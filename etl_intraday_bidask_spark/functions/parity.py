@@ -1,0 +1,65 @@
+"""Cross-engine numeric determinism helpers.
+
+The fixture money/quantity columns are exact 2-decimal values. Products
+of them have exactly 4 or 6 decimals, and such values frequently land
+ON the round-half boundary (e.g. 17947.60995), where Spark's ``round``
+(HALF_UP over the shortest decimal repr) and DuckDB's (binary
+``std::round``) disagree. ``round(x, 4)`` is therefore NOT a valid
+parity policy for sums/averages of fixture money columns.
+
+Policy (supersedes the 4-dp note in SURVEY.md §1.3 for these cases):
+scale each expression to its exact decimal grid, round-to-int (the
+binary value is within ulps of the true integer, so both engines recover
+the SAME integer), aggregate the BIGINTs exactly, and divide back ONCE
+at the end — a single IEEE division that is bit-identical across
+engines. No rounding decision is ever made on an ambiguous value.
+
+``round(x, 4)`` remains correct for irrational outputs (sqrt/ln/cosine/
+z-scores): their boundary hits are measure-zero, and dyadic rationals —
+the only small-denominator values that land exactly on the grid — are
+binary-exact so both engines agree.
+
+Each helper documents the DuckDB SQL it must be paired with; the pairing
+is what makes the hash match, so keep both sides textually in sync.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def scaled_long(col: Column | str, scale: int) -> Column:
+    """Exact scaled integer of a fixed-decimal column/expression.
+
+    DuckDB pair: ``CAST(round(x * {scale}) AS BIGINT)``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * F.lit(float(scale))).cast("long")
+
+
+def exact_value(col: Column | str, scale: int) -> Column:
+    """Canonical double of a fixed-decimal per-row expression.
+
+    DuckDB pair: ``CAST(round(x * {scale}) AS BIGINT) / {scale}.0``.
+    """
+    return scaled_long(col, scale) / F.lit(float(scale))
+
+
+def exact_sum(col: Column | str, scale: int) -> Column:
+    """Exact sum of a fixed-decimal column, emitted as double.
+
+    DuckDB pair:
+    ``CAST(sum(CAST(round(x * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0``.
+    """
+    return F.sum(scaled_long(col, scale)).cast("double") / F.lit(float(scale))
+
+
+def exact_avg(col: Column | str, scale: int) -> Column:
+    """Exact-sum-based average of a fixed-decimal column.
+
+    DuckDB pair:
+    ``CAST(sum(CAST(round(x * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0
+    / count(*)`` — the division order (sum → /scale → /count) must match.
+    """
+    return exact_sum(col, scale) / F.count(F.lit(1))

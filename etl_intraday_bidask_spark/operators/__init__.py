@@ -1,0 +1,16 @@
+"""Operator modules. Importing this package registers every SURVEY.md §2
+operator into :mod:`etl_intraday_bidask_spark.registry`."""
+
+from etl_intraday_bidask_spark.operators import (  # noqa: F401
+    aggregates,
+    joins,
+    llm_ops,
+    projection,
+    scalar_funcs,
+    scans,
+    setops,
+    sorts,
+    timeseries,
+    udfs,
+    windows,
+)

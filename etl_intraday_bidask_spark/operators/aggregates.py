@@ -1,0 +1,245 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+All built-in hash aggregates: Catalyst plans two-phase partial/final
+HashAggregateExec with map-side combine, so each groupBy shuffles only
+pre-aggregated partials — the shape that scales to 100 TB.
+
+Money/quantity aggregates use the exact scaled-integer policy from
+functions/parity.py (sum BIGINTs exactly, divide once) instead of
+round(x, 4): the fixture values are exact decimals whose sums/averages
+land on round-half boundaries where Spark and DuckDB round differently.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.functions.parity import (
+    exact_avg,
+    exact_sum,
+    scaled_long,
+)
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "agg_pricing_summary",
+    oracle_sql="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_qty,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_base_price,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000.0 AS sum_disc_price,
+            CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                                * 1000000) AS BIGINT))
+                 AS DOUBLE) / 1000000.0 AS sum_charge,
+            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                / count(*) AS avg_qty,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                / count(*) AS avg_price,
+            CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                / count(*) AS avg_disc,
+            count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1-style pricing summary — the flagship hash agg. "
+    "All money aggregates via exact scaled-integer sums (parity policy).",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            exact_sum("l_quantity", 100).alias("sum_qty"),
+            exact_sum("l_extendedprice", 100).alias("sum_base_price"),
+            exact_sum(disc_price, 10000).alias("sum_disc_price"),
+            exact_sum(charge, 1000000).alias("sum_charge"),
+            exact_avg("l_quantity", 100).alias("avg_qty"),
+            exact_avg("l_extendedprice", 100).alias("avg_price"),
+            exact_avg("l_discount", 100).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle_sql="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Exact distinct users per event_type.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle_sql=None,  # HLL implementations differ between engines → rows-only.
+    description="HyperLogLog approximate distinct users per event_type; "
+    "approximate by design so graded rows-only.",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("approx_users"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle_sql="""
+        SELECT
+            coalesce(o_orderpriority, 'ALL') AS pri,
+            coalesce(o_orderstatus, 'ALL') AS status,
+            count(*) AS n_orders,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_price
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY pri, status
+    """,
+    description="ROLLUP subtotals over priority × status.",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 100).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "sum_price",
+        )
+        .orderBy("pri", "status")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle_sql="""
+        SELECT
+            coalesce(l_returnflag, 'ALL') AS rf,
+            coalesce(l_linestatus, 'ALL') AS ls,
+            count(*) AS n,
+            CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY rf, ls
+    """,
+    description="CUBE over returnflag × linestatus (all grouping combos).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_quantity", 100).alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "n",
+            "sum_qty",
+        )
+        .orderBy("rf", "ls")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle_sql="""
+        SELECT
+            coalesce(c_mktsegment, 'ALL') AS segment,
+            coalesce(CAST(c_nationkey AS BIGINT), -1) AS nationkey,
+            count(*) AS n_cust,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY segment, nationkey
+    """,
+    description="Explicit GROUPING SETS: by segment, by nation, grand total.",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cust.createOrReplaceTempView("customer_gs")
+    # SQL form — Spark's GROUPING SETS surface is SQL-first.
+    return spark.sql(
+        """
+        SELECT
+            coalesce(c_mktsegment, 'ALL') AS segment,
+            coalesce(CAST(c_nationkey AS BIGINT), -1L) AS nationkey,
+            count(*) AS n_cust,
+            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                AS sum_bal
+        FROM customer_gs
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        ORDER BY segment, nationkey
+        """
+    )
+
+
+@register(
+    "agg_having",
+    oracle_sql="""
+        SELECT c_nationkey AS nationkey,
+               count(*) AS n_cust,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   / count(*) AS avg_bal
+        FROM customer
+        GROUP BY c_nationkey
+        HAVING count(*) > 40
+           AND sum(CAST(round(c_acctbal * 100) AS BIGINT)) > 0
+        ORDER BY nationkey
+    """,
+    description="Post-aggregation HAVING filter; the positivity condition "
+    "is on the exact integer sum so both engines decide identically.",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            exact_avg("c_acctbal", 100).alias("avg_bal"),
+            F.sum(scaled_long("c_acctbal", 100)).alias("_sum_cents"),
+        )
+        .where((F.col("n_cust") > 40) & (F.col("_sum_cents") > 0))
+        .drop("_sum_cents")
+        .orderBy("nationkey")
+    )

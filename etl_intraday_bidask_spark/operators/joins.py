@@ -1,0 +1,273 @@
+"""Join operators (SURVEY.md §2.3).
+
+Strategy notes for the 100 TB design point:
+- dimension joins broadcast (`F.broadcast`) — no shuffle of the fact side;
+- fact-fact equi joins shuffle on the key → sort-merge join, with AQE
+  skew-split enabled in the session defaults;
+- the non-equi band join broadcasts the tiny band table → BNLJ where the
+  streamed side never shuffles;
+- the as-of join is expressed as union + ordered window (one shuffle,
+  partitioned by user) instead of a range join — shuffle-friendly and
+  linear in events per user, which is how it survives a 100 TB replay.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum, scaled_long
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "join_broadcast_dims",
+    oracle_sql="""
+        SELECT n_name,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    description="Star-schema fact→dims chain with broadcast hash joins; "
+    "revenue by nation for ASIA since 1996 (TPC-H Q5 shape).",
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .where(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 100).alias("revenue"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@register(
+    "join_sortmerge_facts",
+    oracle_sql="""
+        SELECT o_orderpriority,
+               count(*) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                             AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+        FROM orders
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Large-large equi join orders⋈lineitem → sort-merge join "
+    "(both sides shuffle on the key; AQE splits skew).",
+)
+def join_sortmerge_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            ).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle_sql="""
+        SELECT c_custkey,
+               count(o_orderkey) AS n_orders,
+               CAST(sum(coalesce(CAST(round(o_totalprice * 100) AS BIGINT), 0))
+                    AS DOUBLE) / 100.0 AS total_spent
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+        ORDER BY c_custkey
+    """,
+    description="Left outer join keeping order-less customers (count=0).",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            (
+                F.sum(F.coalesce(scaled_long("o_totalprice", 100), F.lit(0)))
+                .cast("double")
+                / 100.0
+            ).alias("total_spent"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_semi",
+    oracle_sql="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+        )
+        ORDER BY c_custkey
+    """,
+    description="Left-semi join: customers with ≥1 urgent order.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        customer.join(
+            urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+        )
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_anti",
+    oracle_sql="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        )
+        ORDER BY c_custkey
+    """,
+    description="Left-anti join: customers with no orders at all.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "join_theta_band",
+    oracle_sql="""
+        SELECT b.band AS band,
+               count(*) AS n_parts,
+               CAST(sum(CAST(round(p.p_retailprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / count(*) AS avg_price
+        FROM part p
+        JOIN (VALUES ('budget', 0.0, 1000.0),
+                     ('mid', 1000.0, 1500.0),
+                     ('premium', 1500.0, 2000.0),
+                     ('luxury', 2000.0, 1e12)) AS b(band, lo, hi)
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY b.band
+        ORDER BY b.band
+    """,
+    description="Non-equi (theta/band) join: parts priced into bands — "
+    "broadcast nested-loop with the tiny band table broadcast.",
+)
+def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [
+            ("budget", 0.0, 1000.0),
+            ("mid", 1000.0, 1500.0),
+            ("premium", 1500.0, 2000.0),
+            ("luxury", 2000.0, 1e12),
+        ],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_retailprice") >= F.col("lo"))
+            & (F.col("p_retailprice") < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            exact_avg("p_retailprice", 100).alias("avg_price"),
+        )
+        .orderBy("band")
+    )
+
+
+@register(
+    "join_asof_bidask",
+    oracle_sql="""
+        SELECT p.event_id,
+               p.user_id,
+               p.value AS purchase_value,
+               v.value AS prior_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+    description="As-of join — for each purchase, the latest view at-or-"
+    "before it for the same user (quote-matching primitive of intraday "
+    "bid/ask analytics). Implemented as union + ordered window: one "
+    "shuffle partitioned by user, linear per-user scan — no range-join "
+    "blowup at scale.",
+)
+def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"),
+    )
+    # At equal ts the view sorts first (side 0 < 1) → inclusive "at-or-
+    # before" semantics, matching DuckDB ASOF (ON p.ts >= v.ts).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn(
+            "prior_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select("event_id", "user_id", "purchase_value", "prior_view_value")
+        .orderBy("event_id")
+    )

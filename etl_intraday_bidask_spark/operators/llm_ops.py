@@ -1,0 +1,251 @@
+"""LLM-training-data-pipeline operators (SURVEY.md §2.10): text
+analysis, near-duplicate detection, similarity search.
+
+Scale design notes (the 100 TB story):
+- ``dedup_near_jaccard`` uses a token-postings self-join blocked by
+  language — O(Σ_token df(token)²) instead of the O(n²) crossJoin. The
+  fixture vocabulary is tiny (31 tokens) which makes postings dense; on
+  a real Zipfian corpus the head tokens would be dropped by a df-ceiling
+  (stop-token pruning) and MinHash-LSH banding (see functions/text.py
+  roadmap) bounds candidate pairs; the exact-Jaccard semantics graded
+  here stay the verification oracle for those approximations.
+- ``knn_cosine_topk`` broadcasts the query vector — a map-only scan
+  (no shuffle) followed by TakeOrderedAndProject: the exact-brute-force
+  baseline that an IVF/LSH-bucketed variant must match.
+- ``knn_sim_join_blocked`` blocks the self-join on the label column
+  (in production: an LSH bucket / IVF centroid id) so each block is
+  small enough for a broadcast or co-partitioned join.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.functions.vector import as_double, cosine
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+JACCARD_THRESHOLD = 0.9  # validated on sf0.01: ≈2.5k pairs (fixtures §FIXTURES.md)
+COSINE_THRESHOLD = 0.35  # validated on sf0.01: same-label cosines top out ≈0.55
+
+
+@register(
+    "text_term_docfreq",
+    oracle_sql="""
+        SELECT lang, token, count(DISTINCT doc_id) AS df
+        FROM (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        GROUP BY lang, token
+        ORDER BY lang, token
+    """,
+    description="Document frequency of each token per language — the "
+    "tf-idf / stop-token-pruning building block.",
+)
+def text_term_docfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("lang", "token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("lang", "token")
+    )
+
+
+@register(
+    "text_stats_multimodal",
+    oracle_sql="""
+        SELECT lang,
+               source,
+               count(*) AS n_docs,
+               avg(n_chars) AS avg_chars,
+               avg(len(string_split(text, ' '))) AS avg_tokens
+        FROM documents
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    description="Per-(lang, source) corpus stats: doc count, average "
+    "characters, average whitespace-token count (quality-scoring input).",
+)
+def text_stats_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg("n_chars").alias("avg_chars"),
+            F.avg(F.size(F.split("text", " "))).alias("avg_tokens"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle_sql=f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS c
+            FROM tok a
+            JOIN tok b
+              ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_lo, doc_hi,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        FROM pairs
+        JOIN sz sa ON doc_lo = sa.doc_id
+        JOIN sz sb ON doc_hi = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_lo, doc_hi
+    """,
+    description="Near-duplicate document pairs: exact Jaccard ≥ 0.9 over "
+    "distinct-token sets, blocked by language, via a token-postings "
+    "self-join (no O(n²) crossJoin). Emits (doc_lo, doc_hi, jaccard).",
+)
+def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
+@register(
+    "knn_cosine_topk",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e JOIN q ON e.i = q.i
+            WHERE e.vec_id <> 0
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT 10
+    """,
+    description="Exact top-10 cosine neighbors of vec_id=0 (self "
+    "excluded): broadcast the query vector, map-only higher-order-fn "
+    "cosine, TakeOrderedAndProject top-k. Baseline for ANN variants.",
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    query = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("_raw_sim"),
+        )
+        .orderBy(F.col("_raw_sim").desc(), F.col("vec_id"))
+        .limit(10)
+        .drop("_raw_sim")
+    )
+
+
+@register(
+    "knn_sim_join_blocked",
+    oracle_sql=f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        dots AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.label AS label,
+                   sum(a.x * b.x) AS dot,
+                   sum(a.x * a.x) AS na2,
+                   sum(b.x * b.x) AS nb2
+            FROM exp a
+            JOIN exp b
+              ON a.i = b.i AND a.label = b.label AND a.vec_id < b.vec_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT a_id, b_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        WHERE dot / (sqrt(na2) * sqrt(nb2)) >= {COSINE_THRESHOLD}
+        ORDER BY a_id, b_id
+    """,
+    description="Similarity self-join blocked on label: all same-label "
+    "pairs with cosine ≥ 0.35. The label stands in for an LSH/IVF bucket "
+    "id at scale — the join never leaves its block.",
+)
+def knn_sim_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_id"),
+            F.col("b.vec_id").alias("b_id"),
+            F.col("a.label").alias("label"),
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("_raw_sim"),
+        )
+        .where(F.col("_raw_sim") >= COSINE_THRESHOLD)
+        .drop("_raw_sim")
+        .orderBy("a_id", "b_id")
+    )

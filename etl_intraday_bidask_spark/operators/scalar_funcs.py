@@ -1,0 +1,206 @@
+"""Scalar-function operators: string / date / math / array / JSON
+(SURVEY.md §2.8).
+
+All built-in ``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd;
+no Python boundary anywhere here. Dialect traps handled per SURVEY.md M2:
+DuckDB ``date_diff('day', a, b)`` counts a→b while Spark ``datediff(end,
+start)`` is end−start (argument order flipped); DuckDB ``year()`` returns
+BIGINT while Spark returns INT (cast both to BIGINT).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "str_funcs",
+    oracle_sql="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               CAST(length(p_name) AS BIGINT) AS name_len,
+               substring(p_type, 1, 6) AS type_prefix,
+               concat(p_brand, ':', p_type) AS brand_type,
+               regexp_extract(p_brand, '[0-9]+') AS brand_num,
+               string_split(p_type, ' ')[1] AS type_first_word
+        FROM part
+        ORDER BY p_partkey
+    """,
+    description="String surface: lower/upper/length/substring/concat/"
+    "regexp_extract/split-first-element over part columns.",
+)
+def str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_type", 1, 6).alias("type_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_brand", "[0-9]+", 0).alias("brand_num"),
+        F.split("p_type", " ").getItem(0).alias("type_first_word"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "date_funcs",
+    oracle_sql="""
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS BIGINT) AS order_year,
+               CAST(month(o_orderdate) AS BIGINT) AS order_month,
+               CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               CAST(date_diff('day', o_orderdate,
+                              TIMESTAMP '2001-12-31 00:00:00') AS BIGINT) AS days_to_eoy
+        FROM orders
+        ORDER BY o_orderkey
+    """,
+    description="Date surface: year/month/quarter/date_trunc/datediff. "
+    "Arg-order trap: Spark datediff(end, start) == DuckDB "
+    "date_diff('day', start, end).",
+)
+def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+        F.quarter("o_orderdate").cast("bigint").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(
+            F.lit("2001-12-31").cast("timestamp"), F.col("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("days_to_eoy"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "math_funcs",
+    oracle_sql="""
+        SELECT p_partkey,
+               round(abs(p_retailprice - 1500.0), 4) AS dist_from_mid,
+               round(ln(p_retailprice), 4) AS log_price,
+               round(sqrt(p_retailprice), 4) AS sqrt_price,
+               round(power(p_retailprice, 0.5) + power(p_size, 2), 4) AS poly,
+               CAST(p_size % 7 AS BIGINT) AS size_mod7
+        FROM part
+        WHERE p_retailprice > 0
+        ORDER BY p_partkey
+    """,
+    description="Math surface: round/abs/ln/sqrt/power/mod over prices.",
+)
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return (
+        part.where(F.col("p_retailprice") > 0)
+        .select(
+            "p_partkey",
+            F.round(F.abs(F.col("p_retailprice") - 1500.0), 4).alias(
+                "dist_from_mid"
+            ),
+            F.round(F.log(F.col("p_retailprice")), 4).alias("log_price"),
+            F.round(F.sqrt("p_retailprice"), 4).alias("sqrt_price"),
+            F.round(
+                F.pow("p_retailprice", F.lit(0.5)) + F.pow("p_size", F.lit(2.0)),
+                4,
+            ).alias("poly"),
+            (F.col("p_size") % 7).cast("bigint").alias("size_mod7"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@register(
+    "json_get",
+    oracle_sql="""
+        SELECT event_type,
+               avg(CAST(json_extract_string(props, '$.k') AS INT)) AS avg_k,
+               CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS max_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Semi-structured JSON extraction from events.props "
+    "(get_json_object), aggregated per event_type.",
+)
+def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.avg(k).alias("avg_k"),
+            F.max(k).cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "array_explode_tokens",
+    oracle_sql="""
+        SELECT lang, token, count(*) AS n
+        FROM (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        GROUP BY lang, token
+        HAVING count(*) > 5
+        ORDER BY lang, token
+    """,
+    description="Tokenize text → explode → per-(lang, token) counts > 5 "
+    "(text-analysis building block).",
+)
+def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 5)
+        .orderBy("lang", "token")
+    )
+
+
+@register(
+    "array_funcs",
+    oracle_sql="""
+        SELECT vec_id,
+               CAST(len(embedding) AS BIGINT) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_component,
+               round(list_aggregate(
+                   list_transform(list_slice(embedding, 1, 8),
+                                  x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head_sum,
+               list_contains(list_transform(embedding,
+                                            x -> CAST(x AS DOUBLE) > 0.9), true) AS has_large
+        FROM embeddings
+        ORDER BY vec_id
+    """,
+    description="Array surface over embeddings: size / element access / "
+    "slice+aggregate / existence predicate (higher-order functions).",
+)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias(
+            "first_component"
+        ),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8),
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double"),
+            ),
+            4,
+        ).alias("head_sum"),
+        F.exists("embedding", lambda x: x > 0.9).alias("has_large"),
+    ).orderBy("vec_id")

@@ -1,0 +1,99 @@
+"""Scan / source / sink operators (SURVEY.md §2.1).
+
+The engine is schema-on-read over columnar Parquet (the reference's S3
+data-lake layout). Filters and projections are expressed declaratively so
+Catalyst pushes them into the vectorized Parquet reader — at 100 TB the
+difference between scanning 2 columns of pruned row groups and scanning
+everything is the whole game.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "scan_parquet",
+    oracle_sql="""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+    """,
+    description="Full-table Parquet scan, stable projected subset.",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+@register(
+    "scan_parquet_pushdown",
+    oracle_sql="""
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_totalprice > 100000.0
+    """,
+    description="Scan with predicate + projection pushed into the Parquet "
+    "reader (verify via .explain: PushedFilters / ReadSchema).",
+)
+def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return orders.where(
+        (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 100000.0)
+    ).select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "sink_parquet_partitioned",
+    oracle_sql=None,  # sink side-effect — not expressible against shared views.
+    description="Write Parquet partitioned by o_orderstatus (hive-style "
+    "lake layout), read back, count per partition. Partitioned layout is "
+    "what enables static partition pruning at lake scale.",
+)
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="sink_parquet_"), "orders_by_status"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle_sql=None,  # round-trips through a temp CSV file — rows-only.
+    description="CSV ingest with an explicit schema (raw-file ingest leg "
+    "of the reference ETL): write a sample to CSV, read back typed, agg.",
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation")
+    out = os.path.join(tempfile.mkdtemp(prefix="source_csv_"), "nation_csv")
+    nation.write.mode("overwrite").option("header", "true").csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    back = spark.read.schema(schema).option("header", "true").csv(out)
+    return (
+        back.groupBy("n_regionkey")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+        .orderBy("n_regionkey")
+    )

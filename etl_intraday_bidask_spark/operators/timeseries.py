@@ -1,0 +1,221 @@
+"""Event-time / time-series operators — batch forms (SURVEY.md §2.9).
+
+These are the intraday-bar operators of the bid/ask domain: tumbling /
+sliding / session windows and OHLC bars over the event stream. Each has
+a Structured Streaming twin in :mod:`etl_intraday_bidask_spark.streaming`
+(watermarked, ``availableNow`` replay); Spark's unified semantics make
+the batch output the ground truth for the streaming one, and that
+equivalence is asserted in tests.
+
+Hash-parity policy for event time (SURVEY.md §1.3): ``events.ts`` is
+nanosecond parquet (µs-precision values), Spark truncates to µs — so no
+query emits a raw ``ts``; window starts are emitted as **epoch
+microseconds BIGINT** (``unix_micros`` ⇔ DuckDB ``epoch_us``), which is
+lossless on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "stream_tumbling_1h",
+    oracle_sql="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   / count(*) AS avg_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="1-hour tumbling bars per event_type (counts + sums) — "
+    "the intraday-bar aggregation; streaming twin uses the same window().",
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+            exact_avg("value", 100).alias("avg_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+            "avg_value",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
+@register(
+    "stream_sliding_1h_15m",
+    oracle_sql="""
+        SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000 AS win_start_us,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value
+        FROM events
+        CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="1-hour window sliding every 15 minutes: each event lands "
+    "in 4 overlapping windows (window(ts, '1 hour', '15 minutes')).",
+)
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+        .orderBy("win_start_us", "event_type")
+    )
+
+
+@register(
+    "stream_session_30m",
+    oracle_sql="""
+        WITH d AS (
+            SELECT user_id, value, epoch_us(ts) AS e,
+                   lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS pe
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, value, e,
+                   CASE WHEN pe IS NULL OR e - pe >= 1800000000 THEN 1 ELSE 0 END AS new_s
+            FROM d
+        ),
+        grouped AS (
+            SELECT user_id, value, e,
+                   sum(new_s) OVER (
+                       PARTITION BY user_id ORDER BY e
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               min(e) AS session_start_us,
+               count(*) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value
+        FROM grouped
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+    """,
+    description="Session windows per user with a 30-minute inactivity gap "
+    "(session_window); oracle is the gaps-and-islands formulation with "
+    "exact integer-µs gap arithmetic. A new session starts when the gap "
+    "is ≥ 30 min (Spark sessions are half-open [start, last+gap)).",
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("w.start").alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle_sql="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               event_type,
+               arg_min(value, ts) AS open,
+               max(value) AS high,
+               min(value) AS low,
+               arg_max(value, ts) AS close,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS volume
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="Hourly OHLC bars of value per event_type: open/close via "
+    "min_by/max_by on ts (ts values are unique in the fixtures — verified "
+    "— so no further tie-break is needed), high/low/volume as plain aggs. "
+    "The canonical bid/ask bar builder.",
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("volume"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n",
+            "volume",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
+
+
+@register(
+    "stream_watermark_dedup",
+    oracle_sql=None,  # watermark/late-data behavior is not SQL-expressible.
+    description="Dedup on event_id under a 1-hour event-time watermark. "
+    "On this finite batch input the watermark is a no-op and event_ids "
+    "are unique, so the batch form reduces to dropDuplicates; the real "
+    "stateful streaming form (withWatermark + dropDuplicates over an "
+    "availableNow replay) lives in streaming/replay.py and is asserted "
+    "equal in tests/test_streaming.py.",
+)
+def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique_events"))
+        .orderBy("event_type")
+    )

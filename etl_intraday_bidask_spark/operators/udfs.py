@@ -1,0 +1,124 @@
+"""UDF / UDAF / UDTF surface (SURVEY.md §2.11).
+
+UDFs are the slow path — everything else in this engine stays JVM-side.
+These three operators exist to grade the Python-boundary plumbing itself:
+
+- a scalar ``pandas_udf`` (Arrow-batched, vectorized — the only
+  acceptable scalar-UDF form in the hot path; a row-at-a-time ``@udf``
+  twin is tested for API parity in tests but not graded);
+- ``applyInPandas`` grouped transform (the UDAF/cogroup surface) — each
+  group becomes one pandas DataFrame in a Python worker; partitioning is
+  the groupBy hash shuffle, so group count scales out but a single giant
+  group is the skew hazard (fixtures: ≤ a few hundred events per user);
+- a table function via ``posexplode`` (row → n rows), the codegen'd
+  equivalent of an explode-like UDTF.
+
+Float discipline: all Python-side math is float64 == JVM double ==
+DuckDB DOUBLE; z-scores use population stddev on both sides and round
+to 4 dp (SURVEY.md M5).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+# DoubleType() (not the DDL string "double") so the UDF can be defined at
+# import time, before any SparkSession exists.
+@pandas_udf(DoubleType())
+def clamped_spread_score(value: pd.Series, k: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: value scaled by the JSON ``k`` property,
+    clamped to [0, 100] — an Arrow batch in, an Arrow batch out."""
+    return (value * k / 10.0).clip(lower=0.0, upper=100.0)
+
+
+@register(
+    "udf_python_scalar",
+    oracle_sql="""
+        SELECT event_id,
+               round(least(greatest(
+                   value * CAST(json_extract_string(props, '$.k') AS INT) / 10.0,
+                   0.0), 100.0), 4) AS score
+        FROM events
+        ORDER BY event_id
+    """,
+    description="Arrow-batched scalar pandas UDF computing a clamped "
+    "spread score from value × props.k; oracle is the same arithmetic "
+    "inline. Grades the Python↔JVM Arrow boundary.",
+)
+def udf_python_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int").cast("double")
+    return ev.select(
+        "event_id",
+        F.round(clamped_spread_score(F.col("value"), k), 4).alias("score"),
+    ).orderBy("event_id")
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user z-score of value (population stddev), computed in pandas."""
+    mean = pdf["value"].mean()
+    std = pdf["value"].std(ddof=0)  # population stddev == stddev_pop
+    z = (pdf["value"] - mean) / std if std > 0 else pd.Series(
+        [float("nan")] * len(pdf), index=pdf.index
+    )
+    return pd.DataFrame(
+        {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "z": z.round(4)}
+    )
+
+
+@register(
+    "udaf_grouped_pandas",
+    oracle_sql="""
+        SELECT event_id,
+               user_id,
+               round((value - avg(value) OVER w) / stddev_pop(value) OVER w,
+                     4) AS z
+        FROM events
+        WINDOW w AS (PARTITION BY user_id)
+        ORDER BY event_id
+    """,
+    description="Grouped-map applyInPandas: per-user z-score of value "
+    "(population stddev). One pandas frame per user group in a Python "
+    "worker; oracle is the equivalent window SQL.",
+)
+def udaf_grouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(_zscore_group, "event_id long, user_id long, z double")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "udtf_explode_like",
+    oracle_sql="""
+        SELECT doc_id,
+               CAST(generate_subscripts(string_split(text, ' '), 1) - 1
+                    AS BIGINT) AS pos,
+               unnest(string_split(text, ' ')) AS token
+        FROM documents
+        WHERE doc_id < 50
+        ORDER BY doc_id, pos
+    """,
+    description="Table function (one row → n rows): token positions per "
+    "document via posexplode — the codegen'd explode-like UDTF shape.",
+)
+def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.where(F.col("doc_id") < 50)
+        .select(
+            "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+        )
+        .select("doc_id", F.col("pos").cast("bigint"), "token")
+        .orderBy("doc_id", "pos")
+    )

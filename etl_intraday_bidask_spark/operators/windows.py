@@ -1,0 +1,183 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+Each window is one shuffle on its partition key then a per-partition
+sort — Catalyst plans WindowExec after a hash partitioning, which scales
+as long as no single partition key explodes (user_id / custkey here are
+near-uniform in the fixtures; at 100 TB, skewed keys would be salted or
+handled by AQE for the join stages that follow).
+
+Every ordered window carries a total-order tie-break (unique key last)
+so results are deterministic across partitionings (SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "win_topk_per_group",
+    oracle_sql="""
+        SELECT c_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey AS c_custkey,
+                   o_orderkey,
+                   o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM orders
+        )
+        WHERE rn <= 3
+        ORDER BY c_custkey, rn
+    """,
+    description="Top-3 orders per customer by price (row_number window, "
+    "tie-broken on o_orderkey for determinism).",
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("c_custkey", "rn")
+    )
+
+
+@register(
+    "win_lag_spread",
+    oracle_sql="""
+        SELECT event_id,
+               user_id,
+               (CAST(round(value * 100) AS BIGINT)
+                - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                  )) / 100.0 AS delta
+        FROM events
+        ORDER BY event_id
+    """,
+    description="Per-user tick-to-tick value delta via lag() — the "
+    "spread-change primitive of the bid/ask domain.",
+)
+def win_lag_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = scaled_long("value", 100)
+    return ev.select(
+        "event_id",
+        "user_id",
+        ((cents - F.lag(cents).over(w)) / 100.0).alias("delta"),
+    ).orderBy("event_id")
+
+
+@register(
+    "win_moving_avg",
+    oracle_sql="""
+        SELECT event_id,
+               user_id,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                   / 100.0 / count(*) OVER w AS ma10
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+    """,
+    description="10-row trailing mean of value per user (moving average "
+    "over the tick stream) — exact scaled-integer window sum / count.",
+)
+def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(scaled_long("value", 100)).over(w).cast("double")
+            / 100.0
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma10"),
+    ).orderBy("event_id")
+
+
+@register(
+    "win_rank_dense_ntile",
+    oracle_sql="""
+        SELECT c_custkey,
+               c_nationkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               ntile(4) OVER w AS quartile,
+               round(percent_rank() OVER w, 4) AS prank
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        ORDER BY c_custkey
+    """,
+    description="rank / dense_rank / ntile(4) / percent_rank over account "
+    "balance within nation.",
+)
+def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("prank"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "win_range_frame",
+    oracle_sql="""
+        SELECT o_orderkey,
+               price_cents,
+               cnt_within_1000 AS n_near
+        FROM (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   count(*) OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                       RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW
+                   ) AS cnt_within_1000
+            FROM orders
+        )
+        ORDER BY o_orderkey
+    """,
+    description="RANGE frame over a numeric key: for each order, how many "
+    "orders are priced within $1000 below it (price in integer cents to "
+    "keep the range frame exact).",
+)
+def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.orderBy(F.col("price_cents")).rangeBetween(-100000, Window.currentRow)
+    return (
+        orders.select("o_orderkey", cents.alias("price_cents"))
+        .select(
+            "o_orderkey",
+            "price_cents",
+            F.count(F.lit(1)).over(w).alias("n_near"),
+        )
+        .orderBy("o_orderkey")
+    )

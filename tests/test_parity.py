@@ -1,0 +1,83 @@
+"""Oracle-parity tests: for every registered operator with an oracle,
+run the PySpark plan and the DuckDB SQL on the same parquet fixtures and
+assert value equality — the same check as the driver's t2 gate, at
+sf0.001 for speed (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_intraday_bidask_spark.registry import load_all_operators
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all_operators()
+HASH_CHECKED = sorted(n for n, s in REGISTRY.items() if s.oracle_sql)
+ROWS_ONLY = sorted(n for n, s in REGISTRY.items() if not s.oracle_sql)
+
+
+def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
+    """Order-insensitive, type-tolerant canonical form of a result set.
+
+    Columns are sorted by name (the driver does the same before
+    hashing), floats go through repr of a 4-dp-stable form, timestamps
+    to isoformat.
+    """
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+
+    def canon(v):
+        if v is None:
+            return "∅"
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, float):
+            if math.isnan(v):
+                return "nan"
+            # collapse -0.0 and .4f-stable representations
+            return f"f:{v + 0.0:.10g}"
+        if isinstance(v, int):
+            return f"i:{v}"
+        if hasattr(v, "isoformat"):
+            return f"t:{v.isoformat()}"
+        return f"s:{v}"
+
+    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+
+
+def run_spark(spark, name: str, sf_dir: str):
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df.collect(), df.columns
+
+
+def run_duck(con, name: str):
+    cur = con.execute(REGISTRY[name].oracle_sql)
+    cols = [d[0] for d in cur.description]
+    return cur.fetchall(), cols
+
+
+@pytest.mark.parametrize("name", HASH_CHECKED)
+def test_hash_parity(spark, duck_small, name):
+    s_rows, s_cols = run_spark(spark, name, SF_SMALL)
+    d_rows, d_cols = run_duck(duck_small, name)
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: column names differ: spark={s_cols} duckdb={d_cols}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    s_norm = normalize([tuple(r) for r in s_rows], s_cols)
+    d_norm = normalize(d_rows, d_cols)
+    mismatches = [
+        (a, b) for a, b in zip(s_norm, d_norm) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} mismatched rows; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, name):
+    rows, cols = run_spark(spark, name, SF_SMALL)
+    assert cols, f"{name}: no columns"
+    assert len(rows) >= 0
