@@ -1,0 +1,76 @@
+"""Benchmark harness — runs the headline queries at the bench scale
+factor and prints ONE JSON line for the driver.
+
+Usage: ``python bench.py`` (env: ``SPARK_GRAFT_SF_DIR`` fixture dir,
+default /root/testdata/sf0.1; ``SPARK_GRAFT_CPUS`` local cores,
+default 32; ``SPARK_GRAFT_BENCH_RUNS`` timed runs per query, default 3).
+
+The query set mirrors BASELINE.md (measured DuckDB 1.0.0 on the same
+machine/fixtures). Timing = full materialization (``collect()``), after
+one untimed warm-up run per query; reported value is the median.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+HEADLINE = [
+    "agg_pricing_summary",
+    "join_broadcast_dims",
+    "win_topk_per_group",
+    "stream_tumbling_1h",
+    "stream_session_30m",
+    "agg_rollup",
+    "json_get",
+    "array_explode_tokens",
+    "knn_cosine_topk",
+    "join_asof_bidask",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Infer sf from the directory name (e.g. ".../sf0.1" -> 0.1).
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    from etl_intraday_bidask_spark.registry import load_all_operators
+    from etl_intraday_bidask_spark.session import build_spark
+
+    registry = load_all_operators()
+    spark = build_spark(app_name="etl-bidask-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry[name].spark_fn
+        fn(spark, sf_dir).collect()  # warm-up: plan + code + page cache
+        samples = []
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            samples.append(time.perf_counter() - t0)
+        timings[name] = round(statistics.median(samples), 4)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    result = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

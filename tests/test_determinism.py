@@ -1,0 +1,46 @@
+"""Determinism audit (SURVEY.md §5): every hash-checked query must
+produce identical results under different shuffle partitioning — this
+catches missing window/limit tie-breaks and order-dependent float
+aggregation, the #1 predicted hash-parity failure mode."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_intraday_bidask_spark.registry import load_all_operators
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all_operators()
+
+# The operators where partitioning could plausibly leak into results:
+# ordered windows, global limits, float aggregation, joins with
+# nondeterministic row choice, approximate/sampled ops.
+AUDITED = [
+    "agg_pricing_summary",
+    "join_asof_bidask",
+    "join_sortmerge_facts",
+    "limit_global_topk",
+    "win_topk_per_group",
+    "win_moving_avg",
+    "win_rank_dense_ntile",
+    "stream_session_30m",
+    "stream_ohlc_bars",
+    "dedup_near_jaccard",
+    "knn_cosine_topk",
+    "knn_sim_join_blocked",
+    "udaf_grouped_pandas",
+]
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_shuffle_partition_invariance(spark, name):
+    fn = REGISTRY[name].spark_fn
+    original = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        b = sorted(map(tuple, fn(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", original)
+    assert a == b, f"{name}: result depends on shuffle partitioning"
