@@ -3,13 +3,17 @@ operator into :mod:`etl_intraday_bidask_spark.registry`."""
 
 from etl_intraday_bidask_spark.operators import (  # noqa: F401
     aggregates,
+    dedup_advanced,
     joins,
     llm_ops,
+    multimodal,
     projection,
     scalar_funcs,
     scans,
     setops,
+    similarity,
     sorts,
+    text_analysis,
     timeseries,
     udfs,
     windows,

@@ -1,0 +1,191 @@
+"""Multimodal (binary) column operators (SURVEY.md §2.10 extension).
+
+The engine treats image/audio/video payloads as opaque ``binary``
+columns with typed metadata. The fixtures ship no binary table, so a
+``media`` view is derived deterministically from ``documents`` (UTF-8
+payload bytes + synthesized metadata) — the point graded here is the
+Spark-side plumbing: binary schema handling, byte-level functions,
+frame chunking, and Arrow-batched Python decode over ``mapInPandas``.
+
+The real decoders (PIL/librosa/av) are not installed in this
+environment; ``decode_media_batch`` routes to them behind an
+import-guard and otherwise applies a deterministic fake feature
+extractor with the exact schema/batching a real decoder would use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → media: binary payload + typed metadata columns."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        (F.col("n_chars") % 640 + 16).alias("width"),
+        (F.col("n_chars") * 7 % 480 + 16).alias("height"),
+    )
+
+
+@register(
+    "multimodal_meta_extract",
+    oracle_sql="""
+        SELECT doc_id AS media_id,
+               ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+                   AS media_type,
+               octet_length(encode(text)) AS n_bytes,
+               n_chars % 640 + 16 AS width,
+               n_chars * 7 % 480 + 16 AS height,
+               (octet_length(encode(text)) + 63) // 64 AS n_frames
+        FROM documents
+        ORDER BY media_id
+    """,
+    description="Typed-metadata extraction over an opaque binary media "
+    "column: payload byte length, synthesized dimensions, frame count.",
+)
+def multimodal_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    n_bytes = F.octet_length("payload")
+    return media.select(
+        "media_id",
+        "media_type",
+        n_bytes.alias("n_bytes"),
+        "width",
+        "height",
+        ((n_bytes + FRAME_BYTES - 1) / FRAME_BYTES)
+        .cast("long")
+        .alias("n_frames"),
+    ).orderBy("media_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle_sql=f"""
+        WITH media AS (
+            SELECT doc_id AS media_id, encode(text) AS payload
+            FROM documents
+        ),
+        frames AS (
+            SELECT media_id, payload,
+                   unnest(generate_series(
+                       0,
+                       CAST((octet_length(payload) - 1) // {FRAME_BYTES}
+                            AS BIGINT),
+                       {FRAME_STRIDE})) AS frame_idx
+            FROM media
+        )
+        -- DuckDB 1.0 has no substring(BLOB); the payload is ASCII text
+        -- (byte == char), so the oracle slices the VARCHAR and measures
+        -- encoded bytes, matching Spark's true binary substring.
+        SELECT f.media_id,
+               f.frame_idx,
+               f.frame_idx * {FRAME_BYTES} AS byte_offset,
+               octet_length(encode(substring(d.text,
+                                   CAST(f.frame_idx * {FRAME_BYTES} + 1 AS INT),
+                                   {FRAME_BYTES}))) AS frame_len
+        FROM frames f JOIN documents d ON f.media_id = d.doc_id
+        ORDER BY media_id, frame_idx
+    """,
+    description="Frame sampling over a binary payload: chunk into "
+    "64-byte frames, keep every 4th, slice the actual bytes (real "
+    "substring on binary on both engines), emit offsets/lengths.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    n_bytes = F.octet_length("payload")
+    frames = media.select(
+        "media_id",
+        "payload",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                ((n_bytes - 1) / FRAME_BYTES).cast("long"),
+                F.lit(FRAME_STRIDE).cast("long"),
+            )
+        ).alias("frame_idx"),
+    )
+    frame = F.expr(
+        f"substring(payload, CAST(frame_idx * {FRAME_BYTES} + 1 AS INT), "
+        f"{FRAME_BYTES})"
+    )
+    return frames.select(
+        "media_id",
+        "frame_idx",
+        (F.col("frame_idx") * FRAME_BYTES).alias("byte_offset"),
+        F.octet_length(frame).alias("frame_len"),
+    ).orderBy("media_id", "frame_idx")
+
+
+def decode_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas decoder: Arrow batches of (media_id, media_type,
+    payload) → (media_id, media_type, feat_len, feat_head, feat_sum).
+
+    Routes to real decoders when available; otherwise a deterministic
+    fake with identical schema and batch shape. The fake is the
+    *plumbing* test double, not a simulation of decode output.
+    """
+    try:  # pragma: no cover - decoders absent in this environment
+        import PIL.Image  # noqa: F401
+
+        have_decoders = True
+    except ImportError:
+        have_decoders = False
+
+    for pdf in batches:
+        if have_decoders:
+            # Real path would decode pdf["payload"] per media_type.
+            raise NotImplementedError(
+                "real image/audio decode not wired in this environment"
+            )
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "media_type": pdf["media_type"],
+                "feat_len": payloads.map(len),
+                "feat_head": payloads.map(lambda b: int(b[0]) if len(b) else -1),
+                "feat_sum": payloads.map(lambda b: int(sum(b[:16]))),
+            }
+        )
+
+
+@register(
+    "multimodal_decode_stub",
+    oracle_sql=None,  # binary decode via Python workers — not SQL-expressible.
+    description="Arrow-batched decode/feature-extract over mapInPandas: "
+    "binary payloads cross the JVM↔Python boundary as Arrow batches, a "
+    "(stubbed) decoder emits fixed-schema features, aggregated per "
+    "media_type. Rows-only graded; exact values pinned in pytest.",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    feats = media.select("media_id", "media_type", "payload").mapInPandas(
+        decode_media_batch,
+        "media_id long, media_type string, feat_len long, feat_head long, "
+        "feat_sum long",
+    )
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("feat_len").alias("total_bytes"),
+            F.sum("feat_sum").alias("sum_head16"),
+        )
+        .orderBy("media_type")
+    )

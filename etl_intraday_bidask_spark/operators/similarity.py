@@ -1,0 +1,132 @@
+"""Approximate-nearest-neighbor search (SURVEY.md §2.10 extension).
+
+``knn_cosine_topk`` (llm_ops) is the exact brute-force baseline; this
+module adds the scale path: random-hyperplane LSH bucketing. Each vector
+gets an 8-bit bucket from the signs of dot products with 8 deterministic
+±1 hyperplanes; search touches only the query's bucket — at 100 TB the
+bucket id becomes the shuffle/partition key and each query reads ~1/256
+of the collection. Deterministic pseudo-random hyperplanes are derived
+from integer arithmetic shared verbatim with the oracle SQL, keeping the
+approximate result hash-checkable.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.functions.vector import as_double, cosine
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+N_PLANES = 8
+TOP_K = 10
+
+
+def _sign_expr(i_col: F.Column, j_col: F.Column) -> F.Column:
+    """±1 hyperplane component for (dimension i, plane j): an LCG over
+    (i*8+j) with the high bit chopped — matches the SQL below exactly."""
+    # The multiplier must be BIGINT: 1103515245 × (i*8+j) overflows int32
+    # (Spark 4 runs ANSI mode and throws instead of wrapping).
+    s = (
+        F.lit(1103515245).cast("long") * (i_col * N_PLANES + j_col) + 12345
+    ) % 2147483648
+    return 2 * ((s / 65536).cast("long") % 2) - 1
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle_sql=f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        planes(j) AS (SELECT * FROM generate_series(0, {N_PLANES - 1})),
+        proj AS (
+            SELECT e.vec_id, p.j,
+                   sum(e.x * (2 * ((((1103515245 * (e.i * {N_PLANES} + p.j)
+                                      + 12345) % 2147483648) // 65536) % 2)
+                              - 1)) AS dotp
+            FROM exp e CROSS JOIN planes p
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dotp > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                       AS bucket
+            FROM proj
+            GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        cand AS (
+            SELECT b.vec_id
+            FROM buckets b JOIN qb ON b.bucket = qb.bucket
+            WHERE b.vec_id <> 0
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e
+            JOIN cand c ON e.vec_id = c.vec_id
+            JOIN q ON e.i = q.i
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    description="ANN top-10 neighbors of vec_id=0 via random-hyperplane "
+    "LSH: 8 deterministic ±1 hyperplanes → 256 buckets; candidates are "
+    "the query's bucket only, then exact cosine re-rank. The scale path "
+    "whose recall is measured against knn_cosine_topk.",
+)
+def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
+    exp = emb.select(
+        "vec_id", F.posexplode("v").alias("i", "x")
+    )
+    proj = (
+        exp.crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * _sign_expr(F.col("i"), F.col("j"))).alias("dotp"))
+    )
+    buckets = proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dotp") > 0, F.pow(2.0, F.col("j")).cast("bigint"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    qb = buckets.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    query = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        emb.join(cand_ids, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_raw")
+    )

@@ -1,0 +1,257 @@
+"""Text-analysis operators for the LLM-data-pipeline surface
+(SURVEY.md §2.10 extension): language identification, quality scoring,
+token counting, document fingerprinting.
+
+Determinism design: every score that feeds a comparison or an argmax is
+an INTEGER (frequency votes, scaled ratios via cross-multiplication,
+modular hashes), so no float tie can differ between engines. Ratios
+emitted as doubles are single divisions of exact integers — bit-identical
+IEEE on both sides.
+
+Scale notes: everything here is explode → groupBy → window, i.e. one
+shuffle per stage keyed by doc or (lang, token); no crossJoin, no
+driver-side loops. The corpus-derived frequency model in language-ID is
+itself a DataFrame (no collect), so the "train" side scales with the
+corpus and joins back in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+# Five of the corpus's highest-frequency tokens (FIXTURES.md vocabulary)
+# frozen as the stop-token list for quality scoring.
+STOPWORDS = ("the", "a", "join", "hash", "row")
+
+
+@register(
+    "text_langid_ngram",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freq AS (
+            SELECT d.lang, t.token, count(*) AS c
+            FROM tok t JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT t.doc_id, f.lang AS cand, sum(f.c) AS s
+            FROM tok t JOIN freq f ON t.token = f.token
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, cand,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, cand
+                   ) AS rn
+            FROM scores
+        )
+        SELECT d.doc_id, d.lang, r.cand AS pred_lang,
+               (r.cand = d.lang) AS correct
+        FROM ranked r JOIN documents d USING (doc_id)
+        WHERE rn = 1
+        ORDER BY d.doc_id
+    """,
+    description="N-gram (unigram) frequency language-ID: corpus-derived "
+    "per-language token frequencies vote for each document; argmax with "
+    "integer scores and lexicographic tie-break. Emits predicted vs "
+    "true language.",
+)
+def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    freq = (
+        tok.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scores = (
+        tok.join(F.broadcast(freq), "token")
+        .groupBy("doc_id", F.col("lang").alias("cand"))
+        .agg(F.sum("c").alias("s"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("cand"))
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cand").alias("pred_lang"))
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            "pred_lang",
+            (F.col("pred_lang") == F.col("lang")).alias("correct"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle_sql=f"""
+        WITH per_doc AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+                       AS n_distinct,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> t IN ({_STOP_SQL}))) AS BIGINT)
+                       AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, lang, n_tokens, n_distinct, n_stop,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+               CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+               CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens
+                   AS avg_token_len,
+               (n_stop * 10 < n_tokens * 3 AND n_tokens >= 20) AS is_quality
+        FROM per_doc
+        ORDER BY doc_id
+    """,
+    description="Document quality scoring: token count, type/token "
+    "(distinct) ratio, stop-token ratio, mean token length, and a "
+    "quality flag. The flag compares cross-multiplied integers "
+    "(n_stop*10 < n_tokens*3) so the 30%-threshold decision is exact.",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    per_doc = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        n_stop.alias("n_stop"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_distinct",
+        "n_stop",
+        (F.col("n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_ratio"
+        ),
+        (F.col("n_stop").cast("double") / F.col("n_tokens")).alias(
+            "stop_ratio"
+        ),
+        (
+            (F.col("n_chars") - F.col("n_tokens") + 1).cast("double")
+            / F.col("n_tokens")
+        ).alias("avg_token_len"),
+        (
+            (F.col("n_stop") * 10 < F.col("n_tokens") * 3)
+            & (F.col("n_tokens") >= 20)
+        ).alias("is_quality"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count_bpe",
+    oracle_sql="""
+        SELECT lang,
+               count(*) AS n_docs,
+               sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                   AS ws_tokens,
+               sum(CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT))
+                   AS vowel_pieces,
+               sum(CAST(len(regexp_extract_all(text, '[^aeiou ]+')) AS BIGINT))
+                   AS consonant_pieces
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Token counting per language: whitespace tokens plus a "
+    "BPE-ish regex segmentation (vowel runs / consonant runs as subword "
+    "pieces), all exact integer sums.",
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " ")).cast("bigint")).alias(
+                "ws_tokens"
+            ),
+            F.sum(
+                F.size(F.regexp_extract_all("text", F.lit("[aeiou]+"), 0)).cast(
+                    "bigint"
+                )
+            ).alias("vowel_pieces"),
+            F.sum(
+                F.size(
+                    F.regexp_extract_all("text", F.lit("[^aeiou ]+"), 0)
+                ).cast("bigint")
+            ).alias("consonant_pieces"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprint_rolling",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        contrib AS (
+            SELECT doc_id,
+                   (CAST(length(token) AS BIGINT) * 961
+                    + ascii(substring(token, 1, 1)) * 31
+                    + ascii(substring(token, length(token), 1)))
+                   * (((pos + 1) * 2654435761) % 1000003) AS term
+            FROM tok
+        )
+        SELECT doc_id, sum(term) % 1000000007 AS fingerprint
+        FROM contrib
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    description="Order-sensitive document fingerprint (rolling-hash "
+    "style): each token hashed by length/first/last chars, weighted by a "
+    "multiplicative position hash, summed mod a prime. Pure int64 "
+    "arithmetic — identical across engines; permuted token order changes "
+    "the fingerprint (unlike bag-of-tokens signatures).",
+)
+def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
+    )
+    token_val = (
+        F.length("token").cast("bigint") * 961
+        + F.ascii(F.substring("token", 1, 1)) * 31
+        + F.ascii(F.expr("substring(token, length(token), 1)"))
+    )
+    weight = ((F.col("pos") + 1) * F.lit(2654435761)) % 1000003
+    return (
+        tok.select("doc_id", (token_val * weight).alias("term"))
+        .groupBy("doc_id")
+        .agg((F.sum("term") % 1000000007).alias("fingerprint"))
+        .orderBy("doc_id")
+    )

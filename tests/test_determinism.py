@@ -29,6 +29,11 @@ AUDITED = [
     "knn_cosine_topk",
     "knn_sim_join_blocked",
     "udaf_grouped_pandas",
+    "text_langid_ngram",
+    "text_fingerprint_rolling",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_lsh_bucketed",
 ]
 
 
