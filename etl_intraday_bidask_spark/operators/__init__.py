@@ -15,6 +15,10 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     sorts,
     text_analysis,
     timeseries,
+    quality,
     udfs,
     windows,
 )
+
+# The ETL pipeline operator lives under plans/ but registers like any other.
+from etl_intraday_bidask_spark.plans import pipeline  # noqa: E402,F401

@@ -1,0 +1,79 @@
+"""Physical-plan audits (SURVEY.md §4): the optimizations the 100 TB
+design depends on must actually appear in the plan — predicate pushdown
+into the Parquet scan, column pruning, broadcast joins for dims,
+TakeOrderedAndProject for global top-k, two-phase hash aggregation.
+A correctness-green operator with the wrong plan is a scale bug."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_intraday_bidask_spark.registry import load_all_operators
+from tests.conftest import SF_SMALL
+
+REGISTRY = load_all_operators()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pushdown_reaches_parquet_scan(spark):
+    plan = plan_of(spark, "scan_parquet_pushdown")
+    assert "PushedFilters:" in plan
+    assert "o_orderstatus" in plan.split("PushedFilters:")[1].split("\n")[0], (
+        "status equality filter not pushed to the Parquet reader"
+    )
+
+
+def test_column_pruning_in_read_schema(spark):
+    plan = plan_of(spark, "project_select")
+    read_schema = plan.split("ReadSchema:")[1].split("\n")[0]
+    for needed in ("l_orderkey", "l_extendedprice", "l_discount", "l_tax"):
+        assert needed in read_schema
+    for pruned in ("l_shipdate", "l_returnflag", "l_suppkey", "l_quantity"):
+        assert pruned not in read_schema, f"{pruned} read but never used"
+
+
+def test_dim_joins_are_broadcast(spark):
+    plan = plan_of(spark, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") >= 3, (
+        "customer/nation/region should all join as broadcast hash joins"
+    )
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_uses_take_ordered(spark):
+    plan = plan_of(spark, "limit_global_topk")
+    assert "TakeOrderedAndProject" in plan, (
+        "ORDER BY + LIMIT should collapse to per-partition top-k"
+    )
+
+
+def test_flagship_agg_is_two_phase(spark):
+    plan = plan_of(spark, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, (
+        "expected partial + final hash aggregation (map-side combine)"
+    )
+    assert "PushedFilters:" in plan  # the shipdate filter reaches the scan
+
+
+def test_knn_topk_broadcasts_query_vector(spark):
+    plan = plan_of(spark, "knn_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan  # query side must broadcast
+
+
+def test_asof_join_is_single_user_partitioned_window(spark):
+    plan = plan_of(spark, "join_asof_bidask")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "as-of must not degenerate into a range join"
+    )
