@@ -4,10 +4,12 @@ operator into :mod:`etl_intraday_bidask_spark.registry`."""
 from etl_intraday_bidask_spark.operators import (  # noqa: F401
     aggregates,
     dedup_advanced,
+    etl_ext,
     joins,
     llm_ops,
     multimodal,
     projection,
+    relational_ext,
     scalar_funcs,
     scans,
     setops,
@@ -20,5 +22,6 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     windows,
 )
 
-# The ETL pipeline operator lives under plans/ but registers like any other.
+# These operators live outside operators/ but register like any other.
 from etl_intraday_bidask_spark.plans import pipeline  # noqa: E402,F401
+from etl_intraday_bidask_spark.streaming import stateful  # noqa: E402,F401

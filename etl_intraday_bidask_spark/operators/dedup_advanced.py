@@ -314,3 +314,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_raw")
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle_sql="""
+        WITH d AS (
+            SELECT doc_id, lang, n_chars, substring(text, 1, 30) AS s
+            FROM documents
+        )
+        SELECT
+            a.doc_id AS doc_lo,
+            b.doc_id AS doc_hi,
+            CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        FROM d a
+        JOIN d b
+          ON a.lang = b.lang
+         AND a.doc_id < b.doc_id
+         AND abs(a.n_chars - b.n_chars) <= 5
+        WHERE levenshtein(a.s, b.s) <= 15
+    """,
+    description="Edit-distance fuzzy dedup: document pairs whose 30-char "
+    "prefixes are within levenshtein 15, blocked by (lang, |n_chars "
+    "diff| <= 5) so the O(len^2) distance only runs on candidates that "
+    "share a language and a size band. At 100 TB the blocking key "
+    "becomes (lang, n_chars bucket) equi-join buckets, keeping the "
+    "quadratic comparison inside small groups.",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 30).alias("s")
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_lo"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_hi"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_lo") < F.col("doc_hi"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 5),
+    )
+    dist = F.levenshtein("s_a", "s_b")
+    return pairs.where(dist <= 15).select(
+        "doc_lo", "doc_hi", dist.cast("long").alias("dist")
+    )

@@ -255,3 +255,103 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("term") % 1000000007).alias("fingerprint"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token <> '' GROUP BY doc_id, token
+        ),
+        dfreq AS (
+            SELECT token, count(DISTINCT doc_id) AS df
+            FROM tok WHERE token <> '' GROUP BY token
+        ),
+        nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT
+                doc_id, token,
+                CAST(round(tf * ln(CAST(n_docs AS DOUBLE) / df) * 10000)
+                     AS BIGINT) AS s
+            FROM tf JOIN dfreq USING (token) CROSS JOIN nd
+            WHERE doc_id < 10
+        ),
+        ranked AS (
+            SELECT
+                doc_id, token, s / 10000.0 AS tfidf,
+                row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, token)
+                    AS rk
+            FROM scored
+        )
+        SELECT doc_id, token, tfidf, rk FROM ranked WHERE rk <= 5
+    """,
+    description="TF-IDF scoring with per-document top-5 terms (corpus "
+    "stats over ALL docs, ranking restricted to doc_id < 10). Ranking "
+    "happens on the 4dp-scaled BIGINT score — cross-engine float order "
+    "is undefined only within an ulp, which the scaled grid absorbs "
+    "(ln boundary hits are measure-zero). At 100 TB: tf and df are both "
+    "map-side-combined aggregates on the token key, and the corpus-size "
+    "scalar broadcasts.",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).where(F.col("token") != "")
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .where(F.col("doc_id") < 10)
+        .select(
+            "doc_id",
+            "token",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df"))
+                * 10000
+            )
+            .cast("long")
+            .alias("s"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("token"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("doc_id", "token", (F.col("s") / 10000.0).alias("tfidf"), "rk")
+    )
+
+
+@register(
+    "text_normalize_hash",
+    oracle_sql="""
+        SELECT
+            doc_id,
+            md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                AS content_hash,
+            CAST(length(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+                 AS BIGINT) AS n_chars_norm
+        FROM documents
+    """,
+    description="Canonical text normalization (lowercase, collapse "
+    "whitespace, trim) + MD5 content hash — the normalize-then-hash "
+    "primitive exact dedup keys on in an LLM ingest pipeline. Pure "
+    "narrow transforms, no shuffle; MD5 is bit-identical across engines "
+    "so the hash itself is graded, not just row counts.",
+)
+def text_normalize_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("content_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+    )

@@ -34,6 +34,12 @@ AUDITED = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "knn_lsh_bucketed",
+    "agg_percentiles",
+    "win_first_last_nth",
+    "text_tfidf_topk",
+    "q3_shipping_priority",
+    "dedup_fuzzy_levenshtein",
+    "merge_upsert_scd1",
 ]
 
 

@@ -77,3 +77,33 @@ def test_asof_join_is_single_user_partitioned_window(spark):
     assert "SortMergeJoin" not in plan, (
         "as-of must not degenerate into a range join"
     )
+
+
+def test_range_interval_join_keeps_equi_key(spark):
+    plan = plan_of(spark, "join_range_interval")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "the user_id equi key must make this an equi join with a "
+        "residual interval filter, not a nested-loop join"
+    )
+
+
+def test_pivot_is_single_aggregate_pass(spark):
+    plan = plan_of(spark, "pivot_status_matrix")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_corpus_scalar(spark):
+    plan = plan_of(spark, "text_tfidf_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "the 1-row corpus-size side must broadcast"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_levenshtein_blocks_on_lang(spark):
+    plan = plan_of(spark, "dedup_fuzzy_levenshtein")
+    assert "CartesianProduct" not in plan, (
+        "the lang equi key must block the self-join"
+    )
