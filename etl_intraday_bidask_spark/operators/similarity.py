@@ -130,3 +130,97 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .drop("_raw")
     )
+
+
+N_CELLS = 8
+
+
+@register(
+    "knn_ivf_coarse",
+    oracle_sql=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, e.embedding, c.cid,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(c.cv AS DOUBLE[])), 6) AS a
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, label, embedding, cid
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        qcell AS (
+            SELECT cid AS qcid, embedding AS qv FROM assign WHERE vec_id = 0
+        ),
+        cand AS (
+            SELECT a.vec_id, a.label, a.embedding, q.qv
+            FROM assign a JOIN qcell q ON a.cid = q.qcid
+            WHERE a.vec_id <> 0
+        )
+        SELECT vec_id, label,
+               round(list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4)
+                   AS cosine_sim
+        FROM cand
+        ORDER BY list_cosine_similarity(
+                   CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])) DESC,
+                 vec_id
+        LIMIT {TOP_K}
+    """,
+    description="ANN top-10 via IVF coarse quantization (probe=1): 8 "
+    "deterministic centroid vectors (vec_id<8 — training-free stand-in "
+    "for k-means cells), every vector assigned to its argmax-cosine "
+    "cell (6dp-rounded score with centroid-id tie-break for cross-"
+    "engine stability), search touches only the query's cell, exact "
+    "re-rank inside. At 100 TB the cell id is the partition key — each "
+    "query reads ~1/cells of the collection; the assignment argmax "
+    "becomes a max_by aggregate instead of a window.",
+)
+def knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    cents = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("a"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("a").desc(), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "v", "cid")
+    )
+    qcell = assign.where(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid"), F.col("v").alias("qv")
+    )
+    cand = assign.join(
+        F.broadcast(qcell), F.col("cid") == F.col("qcid")
+    ).where(F.col("vec_id") != 0)
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        cand.select(
+            "vec_id",
+            "label",
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_raw")
+    )

@@ -1,0 +1,57 @@
+"""Property tests for the exact scaled-integer parity policy
+(functions/parity.py): the policy's correctness rests on two numeric
+claims, checked here with hypothesis against Decimal ground truth —
+no Spark session needed, so these run in milliseconds.
+
+Claim 1: for any fixture-style fixed-decimal value v (≤ `places`
+decimals) stored as a double, ``round(v * scale)`` recovers EXACTLY the
+integer ``v · scale`` — the double is within ulps of the true integer,
+never on a rounding boundary, so every engine's rounding mode agrees.
+
+Claim 2: summing those integers exactly and dividing once by the scale
+yields the correctly-rounded double of the true rational sum — i.e. the
+one value both engines must produce, independent of aggregation order.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+money = st.decimals(
+    min_value=Decimal("0.00"),
+    max_value=Decimal("9999999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@given(st.lists(money, min_size=1, max_size=100))
+def test_scaled_long_recovers_exact_cents(vals):
+    doubles = [float(v) for v in vals]
+    scaled = [round(d * 100) for d in doubles]
+    truth = [int(v.scaleb(2)) for v in vals]
+    assert scaled == truth
+
+
+@given(st.lists(money, min_size=1, max_size=100))
+def test_exact_sum_is_order_independent_and_correctly_rounded(vals):
+    doubles = [float(v) for v in vals]
+    forward = sum(round(d * 100) for d in doubles)
+    backward = sum(round(d * 100) for d in reversed(doubles))
+    assert forward == backward  # integer aggregation: any order, any split
+    # Single final division == correctly-rounded double of the true sum.
+    assert forward / 100.0 == float(sum(vals))
+
+
+@given(money, money)
+def test_product_scale_covers_discounted_price(a, b):
+    # l_extendedprice * (1 - l_discount)-style products have ≤4 decimals
+    # when the discount has 2; scale 10000 recovers them exactly.
+    price, disc = a, Decimal("0.10")
+    product_double = float(price) * (1 - float(disc))
+    truth = int((price * (1 - disc)).scaleb(4))
+    assert round(product_double * 10000) == truth
