@@ -204,3 +204,64 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_sum"),
         F.exists("embedding", lambda x: x > 0.9).alias("has_large"),
     ).orderBy("vec_id")
+
+
+@register(
+    "array_higher_order",
+    oracle_sql="""
+        SELECT
+            vec_id,
+            round(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> x * x)), 4) AS sum_sq,
+            CAST(len(list_filter(CAST(embedding AS DOUBLE[]),
+                                 x -> x > 0)) AS BIGINT) AS n_pos,
+            len(list_filter(CAST(embedding AS DOUBLE[]),
+                            x -> x > 2.0)) > 0 AS has_large
+        FROM embeddings
+    """,
+    description="Higher-order array lambdas (transform/filter/exists) "
+    "over the embedding column — all JVM-side Catalyst expressions, no "
+    "Python boundary: the idiomatic way to process array columns at "
+    "scale. 4dp rounding on the folded sum (sequential fold on both "
+    "engines; error ulps below the grid).",
+)
+def array_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.round(
+            F.aggregate(
+                F.transform(v, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            4,
+        ).alias("sum_sq"),
+        F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.exists(v, lambda x: x > 2.0).alias("has_large"),
+    )
+
+
+@register(
+    "json_map_funcs",
+    oracle_sql="""
+        SELECT
+            event_id,
+            CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+            CAST(json_extract_string(props, '$.k') AS INT) AS k_val
+        FROM events
+    """,
+    description="Semi-structured map surface: parse the props JSON into "
+    "a typed map, count keys, extract a typed value — from_json/"
+    "map_keys/element_at as the schema-on-read path for event payloads "
+    "(vs json_get's string-path extraction).",
+)
+def json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return ev.select(
+        "event_id",
+        F.size(F.map_keys(m)).cast("long").alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+    )

@@ -122,3 +122,45 @@ def udtf_explode_like(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("pos").cast("bigint"), "token")
         .orderBy("doc_id", "pos")
     )
+
+
+@register(
+    "udtf_python_ngrams",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT doc_id,
+                   generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+            WHERE doc_id < 20
+        )
+        SELECT a.doc_id,
+               CAST(a.pos AS INT) AS pos,
+               a.token || ' ' || b.token AS bigram
+        FROM tok a
+        JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    """,
+    description="Genuine Python UDTF (Spark 4 @udtf class, lateral join): "
+    "one (doc_id, text) row expands to n-1 token-bigram rows inside a "
+    "Python worker. Grades the real UDTF surface — udtf_explode_like is "
+    "the codegen'd explode equivalent; this one exercises the "
+    "class-based eval/yield protocol.",
+)
+def udtf_python_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, pos int, bigram string")
+    class TokenBigrams:
+        def eval(self, doc_id: int, text: str):
+            toks = text.split(" ")
+            for i in range(len(toks) - 1):
+                yield doc_id, i, toks[i] + " " + toks[i + 1]
+
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    spark.udtf.register("token_bigrams", TokenBigrams)
+    docs.createOrReplaceTempView("documents_for_udtf")
+    return spark.sql(
+        "SELECT b.doc_id, b.pos, b.bigram "
+        "FROM documents_for_udtf d, "
+        "LATERAL token_bigrams(d.doc_id, d.text) b"
+    )
