@@ -243,3 +243,68 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_sum_cents")
         .orderBy("nationkey")
     )
+
+
+@register(
+    "agg_listagg_sorted",
+    oracle_sql="""
+        SELECT
+            c_nationkey,
+            count(*) AS n,
+            string_agg(c_name, ',' ORDER BY c_name) AS names
+        FROM customer
+        WHERE c_acctbal > 9000.0
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    description="Deterministic list aggregation: per-nation sorted, "
+    "comma-joined customer names (collect_list is unordered across "
+    "partitions, so array_sort before joining is what makes the result "
+    "partitioning-invariant — the same discipline string_agg ORDER BY "
+    "encodes in the oracle).",
+)
+def agg_listagg_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    return (
+        customer.where(F.col("c_acctbal") > 9000.0)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "names"
+            ),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle_sql="""
+        SELECT
+            event_type,
+            bool_or(value > 9.0) AS any_large,
+            bool_and(value >= 0.0) AS all_nonneg,
+            bit_or(CAST(json_extract_string(props, '$.k') AS INT)) AS k_or,
+            bit_and(CAST(json_extract_string(props, '$.k') AS INT)) AS k_and
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Boolean and bitwise aggregates per event type — "
+    "mergeable single-pass aggregates (bitmask rollups are the compact "
+    "flag-summary primitive for lake-scale audit tables).",
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_or(F.col("value") > 9.0).alias("any_large"),
+            F.bool_and(F.col("value") >= 0.0).alias("all_nonneg"),
+            F.bit_or(k).alias("k_or"),
+            F.bit_and(k).alias("k_and"),
+        )
+        .orderBy("event_type")
+    )

@@ -265,3 +265,29 @@ def json_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).cast("long").alias("n_keys"),
         F.element_at(m, "k").alias("k_val"),
     )
+
+
+@register(
+    "regexp_extract_all_counts",
+    oracle_sql="""
+        SELECT
+            p_partkey,
+            CAST(len(regexp_extract_all(p_name, '([a-z]+)', 1)) AS BIGINT)
+                AS n_words,
+            regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        FROM part
+    """,
+    description="Multi-match regex extraction: all lowercase word runs "
+    "per part name, count + first match. Java and RE2 regex dialects "
+    "agree on this character-class subset — the dialect-safe zone the "
+    "engine's regex surface sticks to (SURVEY.md M2 dialect note).",
+)
+def regexp_extract_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.size(F.regexp_extract_all("p_name", F.lit("([a-z]+)"), 1))
+        .cast("long")
+        .alias("n_words"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+    )

@@ -40,6 +40,8 @@ AUDITED = [
     "q3_shipping_priority",
     "dedup_fuzzy_levenshtein",
     "merge_upsert_scd1",
+    "agg_listagg_sorted",
+    "knn_ivf_coarse",
 ]
 
 

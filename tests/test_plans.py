@@ -107,3 +107,12 @@ def test_fuzzy_levenshtein_blocks_on_lang(spark):
     assert "CartesianProduct" not in plan, (
         "the lang equi key must block the self-join"
     )
+
+
+def test_q3_broadcasts_filtered_dims_and_takes_topk(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "segment-filtered customer and date-filtered orders must broadcast"
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
