@@ -52,11 +52,12 @@ def main() -> None:
     shuffle = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "4"))
     spark = build_spark(app_name="etl-bidask-bench", shuffle_partitions=shuffle)
     spark.sparkContext.setLogLevel("ERROR")
-    # AQE's per-stage runtime re-planning costs ~30% wall at sf0.1
-    # (measured: suite 5.4s -> 3.7s with it off) while its benefits
-    # (coalescing, skew splits) only exist at cluster scale — the
-    # engine's session defaults keep it ON (session.py); the bench
-    # measures fixture-scale dispatch, so default it off here.
+    # AQE's per-stage runtime re-planning costs ~8-12% wall at sf0.1
+    # steady state (measured warm: 4.18s AQE-on vs 3.72-3.86s off)
+    # while its benefits (coalescing, skew splits) only exist at
+    # cluster scale — the engine's session defaults keep it ON
+    # (session.py); the bench measures fixture-scale dispatch, so
+    # default it off here.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
     spark.conf.set("spark.sql.adaptive.enabled", aqe)
 

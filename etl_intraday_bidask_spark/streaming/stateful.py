@@ -74,3 +74,49 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events").alias("n_events"),
         F.max("max_value").alias("max_value"),
     )
+
+
+@register(
+    "stream_foreachbatch_compact",
+    oracle_sql="""
+        SELECT user_id, count(*) AS n_events
+        FROM events
+        GROUP BY user_id
+    """,
+    description="foreachBatch lake-landing pattern: each micro-batch "
+    "appends its per-user partial counts to a staging parquet dir, and "
+    "a compaction pass re-aggregates the partials after the replay — "
+    "the additive-merge shape (counts, sums, sketches) that makes "
+    "incremental ingestion deterministic regardless of micro-batching, "
+    "which is exactly why it stays hash-gradable against the batch "
+    "GROUP BY.",
+)
+def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    ev = _read_events_stream(spark, sf_dir)
+    staging = os.path.join(
+        tempfile.mkdtemp(prefix="foreachbatch_"), "partials"
+    )
+
+    def land_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("partial_n"))
+            .write.mode("append")
+            .parquet(staging)
+        )
+
+    query = (
+        ev.writeStream.foreachBatch(land_batch)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.read.parquet(staging)
+        .groupBy("user_id")
+        .agg(F.sum("partial_n").alias("n_events"))
+    )
