@@ -271,3 +271,59 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "purchase_value", "prior_view_value")
         .orderBy("event_id")
     )
+
+
+@register(
+    "join_skew_salted",
+    oracle_sql="""
+        WITH dim AS (
+            SELECT user_id, min(ts) AS first_ts
+            FROM events GROUP BY user_id
+        )
+        SELECT
+            e.event_type,
+            count(*) AS n,
+            count(*) FILTER (WHERE e.ts = d.first_ts) AS n_first
+        FROM events e
+        JOIN dim d ON e.user_id = d.user_id
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+    description="Skew-salting demonstrated as an operator: the per-user "
+    "dim side is exploded across 8 salt replicas and the fact side "
+    "salts on event_id % 8, so one hot user_id spreads over 8 shuffle "
+    "partitions instead of one straggler task. Salting MUST NOT change "
+    "results — which is exactly why the oracle is the plain unsalted "
+    "join. At 100 TB this is the manual fallback when AQE's skew split "
+    "can't help (e.g. skewed aggregation keys, not just joins).",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    n_salt = 8
+    dim = ev.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    salted_dim = dim.select(
+        "user_id",
+        "first_ts",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salt)])).alias("salt"),
+    )
+    salted_fact = ev.select(
+        F.col("user_id").alias("f_user"),
+        "event_type",
+        "ts",
+        (F.col("event_id") % n_salt).cast("int").alias("f_salt"),
+    )
+    joined = salted_fact.join(
+        salted_dim,
+        (F.col("f_user") == F.col("user_id"))
+        & (F.col("f_salt") == F.col("salt")),
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count(F.when(F.col("ts") == F.col("first_ts"), 1)).alias(
+                "n_first"
+            ),
+        )
+        .orderBy("event_type")
+    )
