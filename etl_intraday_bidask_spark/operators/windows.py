@@ -181,3 +181,44 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_time_range_frame",
+    oracle_sql="""
+        SELECT
+            event_id,
+            user_id,
+            count(*) OVER w AS n_1h,
+            CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE)
+                / 100.0 AS sum_value_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY user_id
+            ORDER BY CAST(epoch(ts) AS BIGINT)
+            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+        )
+    """,
+    description="Event-time RANGE frame: trailing 1-hour count and exact "
+    "sum of value per user, ordered by epoch seconds — the time-based "
+    "sliding statistic (vs win_moving_avg's row-based frame) that "
+    "intraday quote analytics is built on. Epoch-seconds ordering keys "
+    "and scaled-BIGINT in-frame sums keep both engines bit-identical; "
+    "rows sharing a second share a frame on both sides (RANGE peers).",
+)
+def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_seconds(F.col("ts")))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).over(w).cast("double")
+            / 100.0
+        ).alias("sum_value_1h"),
+    )
