@@ -16,6 +16,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
+from etl_intraday_bidask_spark.functions.parity import exact_sum
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -96,4 +97,76 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         back.groupBy("n_regionkey")
         .agg(F.count(F.lit(1)).alias("n_nations"))
         .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "scan_partition_pruned",
+    oracle_sql="""
+        SELECT
+            count(*) AS n,
+            CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_price
+        FROM orders
+        WHERE year(o_orderdate) = 1998
+    """,
+    description="Static partition pruning: orders written to a "
+    "hive-partitioned lake by order year, then a year-filtered read-back "
+    "aggregates exactly one partition directory — the scan never opens "
+    "the other years' files. This is the dominant IO eliminator on a "
+    "date-partitioned 100 TB lake; the oracle is the same aggregate "
+    "over the unpartitioned source.",
+)
+def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    out = os.path.join(tempfile.mkdtemp(prefix="part_lake_"), "orders_by_year")
+    (
+        orders.withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).where(F.col("o_year") == 1998)
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum("o_totalprice", 100).alias("sum_price"),
+    )
+
+
+@register(
+    "join_dynamic_partition_pruning",
+    oracle_sql="""
+        SELECT
+            'grpA' AS grp,
+            count(*) AS n,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_price
+        FROM lineitem
+        WHERE l_returnflag = 'A'
+    """,
+    description="Dynamic partition pruning: lineitem written partitioned "
+    "by returnflag, joined to a selective one-row dim on the partition "
+    "column — Catalyst injects the dim's values as a runtime partition "
+    "filter, so the fact scan reads only the matching partition even "
+    "though the filter value is not a literal in the query. The "
+    "star-join shape every partitioned lake query depends on.",
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = os.path.join(tempfile.mkdtemp(prefix="dpp_lake_"), "lineitem_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    fact = spark.read.parquet(out)
+    # The filter on the dim side is what DPP's planner heuristic keys on
+    # ("selective predicate on the build side"): it makes Catalyst inject
+    # the dim's flag values as a runtime PartitionFilter on the fact scan.
+    dim = spark.createDataFrame(
+        [("A", "grpA"), ("N", "grpN"), ("R", "grpR")], ["flag", "grp"]
+    ).where(F.col("grp") == "grpA")
+    return (
+        fact.join(dim, fact.l_returnflag == dim.flag)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("l_extendedprice", 100).alias("sum_price"),
+        )
     )
