@@ -17,7 +17,7 @@ lossless on both engines.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum
 from etl_intraday_bidask_spark.registry import register
@@ -218,4 +218,80 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
         .orderBy("event_type")
+    )
+
+
+@register(
+    "bidask_effective_spread",
+    oracle_sql="""
+        WITH matched AS (
+            SELECT p.user_id, p.value AS pv, v.value AS vv
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+              ON p.user_id = v.user_id AND p.ts >= v.ts
+        )
+        SELECT
+            user_id,
+            count(*) AS n_purchases,
+            count(vv) AS n_matched,
+            CAST(sum(CAST(round((pv - vv) * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 / count(vv) AS avg_spread
+        FROM matched
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Effective-spread analytics — the namesake metric of an "
+    "intraday bid/ask pipeline: each purchase (taker side) matched to "
+    "the latest at-or-before view (quote side) per user via the as-of "
+    "window formulation, spread = purchase - matched view, aggregated "
+    "per user with exact scaled-integer sums. One shuffle on user_id "
+    "serves both the as-of window and the final aggregate.",
+)
+def bidask_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("view_value"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(1).alias("side"),
+    )
+    # View sorts before purchase at equal ts (side 0 < 1): inclusive
+    # at-or-before semantics, same as the ASOF oracle (p.ts >= v.ts).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = (
+        views.unionByName(purchases)
+        .withColumn(
+            "prior_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+    )
+    spread_scaled = F.round(
+        (F.col("purchase_value") - F.col("prior_view_value")) * 100
+    ).cast("long")
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.count("prior_view_value").alias("n_matched"),
+            (
+                F.sum(spread_scaled).cast("double")
+                / 100.0
+                / F.count("prior_view_value")
+            ).alias("avg_spread"),
+        )
+        .orderBy("user_id")
     )

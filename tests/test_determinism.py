@@ -42,6 +42,8 @@ AUDITED = [
     "merge_upsert_scd1",
     "agg_listagg_sorted",
     "knn_ivf_coarse",
+    "bidask_effective_spread",
+    "win_time_range_frame",
 ]
 
 
