@@ -224,3 +224,176 @@ def knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .drop("_raw")
     )
+
+
+KM_CELLS = 8
+KM_SCALE = 10000
+
+
+@register(
+    "knn_ivf_kmeans",
+    oracle_sql=f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        cent0 AS (
+            SELECT vec_id AS cid, i, x AS cval
+            FROM exp WHERE vec_id < {KM_CELLS}
+        ),
+        normv AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS nv FROM exp GROUP BY vec_id
+        ),
+        norm0 AS (
+            SELECT cid, sqrt(sum(cval * cval)) AS nc FROM cent0 GROUP BY cid
+        ),
+        score1 AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum(e.x * c.cval) / (any_value(nv.nv)
+                         * any_value(n0.nc)), 6) AS a
+            FROM exp e
+            JOIN cent0 c ON e.i = c.i
+            JOIN normv nv ON nv.vec_id = e.vec_id
+            JOIN norm0 n0 ON n0.cid = c.cid
+            GROUP BY e.vec_id, c.cid
+        ),
+        assign1 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+                FROM score1
+            ) WHERE rn = 1
+        ),
+        cent1 AS (
+            SELECT a.cid, e.i,
+                   CAST(sum(CAST(round(e.x * {KM_SCALE}) AS BIGINT)) AS DOUBLE)
+                       / count(*) / {KM_SCALE}.0 AS cval
+            FROM exp e JOIN assign1 a ON e.vec_id = a.vec_id
+            GROUP BY a.cid, e.i
+        ),
+        norm1 AS (
+            SELECT cid, sqrt(sum(cval * cval)) AS nc FROM cent1 GROUP BY cid
+        ),
+        score2 AS (
+            SELECT e.vec_id, c.cid,
+                   round(sum(e.x * c.cval) / (any_value(nv.nv)
+                         * any_value(n1.nc)), 6) AS a
+            FROM exp e
+            JOIN cent1 c ON e.i = c.i
+            JOIN normv nv ON nv.vec_id = e.vec_id
+            JOIN norm1 n1 ON n1.cid = c.cid
+            GROUP BY e.vec_id, c.cid
+        ),
+        assign2 AS (
+            SELECT vec_id, cid FROM (
+                SELECT vec_id, cid, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+                FROM score2
+            ) WHERE rn = 1
+        ),
+        qcell AS (SELECT cid FROM assign2 WHERE vec_id = 0),
+        cand AS (
+            SELECT a.vec_id FROM assign2 a JOIN qcell q ON a.cid = q.cid
+            WHERE a.vec_id <> 0
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, any_value(e.label) AS label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e
+            JOIN cand c ON e.vec_id = c.vec_id
+            JOIN q ON e.i = q.i
+            GROUP BY e.vec_id
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    description="IVF with k-means-refined centroids — the iterative-"
+    "algorithm surface: seed cells from vec_id<8, one Lloyd update "
+    "(centroid = exact scaled-integer mean of assigned vectors, so the "
+    "iteration is bit-stable across engines), reassign, then probe=1 "
+    "search with exact cosine re-rank. Each iteration is one join + two "
+    "aggregates — at 100 TB iterations are linear passes with the "
+    "centroid relation (cells × dims) broadcast, never a collect.",
+)
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    exp = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
+    normv = exp.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv")
+    )
+
+    def assign(centroids):
+        """Long-form centroids (cid, i, cval) -> (vec_id, cid) argmax."""
+        normc = centroids.groupBy("cid").agg(
+            F.sqrt(F.sum(F.col("cval") * F.col("cval"))).alias("nc")
+        )
+        score = (
+            exp.join(F.broadcast(centroids), "i")
+            .groupBy("vec_id", "cid")
+            .agg(F.sum(F.col("x") * F.col("cval")).alias("dot"))
+            .join(normv, "vec_id")
+            .join(F.broadcast(normc), "cid")
+            .select(
+                "vec_id",
+                "cid",
+                F.round(F.col("dot") / (F.col("nv") * F.col("nc")), 6).alias("a"),
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("a").desc(), F.col("cid"))
+        return (
+            score.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cid")
+        )
+
+    cent0 = exp.where(F.col("vec_id") < KM_CELLS).select(
+        F.col("vec_id").alias("cid"), "i", F.col("x").alias("cval")
+    )
+    assign1 = assign(cent0)
+    cent1 = (
+        exp.join(assign1, "vec_id")
+        .groupBy("cid", "i")
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * KM_SCALE).cast("long")).cast("double")
+                / F.count(F.lit(1))
+                / float(KM_SCALE)
+            ).alias("cval")
+        )
+    )
+    assign2 = assign(cent1)
+    qcell = assign2.where(F.col("vec_id") == 0).select(
+        F.col("cid").alias("qcid")
+    )
+    cand = (
+        assign2.join(F.broadcast(qcell), F.col("cid") == F.col("qcid"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    query = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = cosine(F.col("v"), F.col("qv"))
+    return (
+        emb.join(cand, "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select(
+            "vec_id",
+            "label",
+            F.round(sim, 4).alias("cosine_sim"),
+            sim.alias("_raw"),
+        )
+        .orderBy(F.col("_raw").desc(), "vec_id")
+        .limit(TOP_K)
+        .drop("_raw")
+    )

@@ -44,6 +44,7 @@ AUDITED = [
     "knn_ivf_coarse",
     "bidask_effective_spread",
     "win_time_range_frame",
+    "knn_ivf_kmeans",
 ]
 
 
