@@ -308,3 +308,36 @@ def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_rollup_grouping_id",
+    oracle_sql="""
+        SELECT
+            o_orderpriority,
+            o_orderstatus,
+            CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_pri,
+            CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+            count(*) AS n
+        FROM orders
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+    description="Rollup with GROUPING() indicators — distinguishes a "
+    "real NULL group key from a subtotal row, which downstream marts "
+    "need to render subtotal levels correctly.",
+)
+def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("long").alias("g_pri"),
+            F.grouping("o_orderstatus").cast("long").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )

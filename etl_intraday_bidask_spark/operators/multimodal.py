@@ -189,3 +189,52 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+def resize_media_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas resize plumbing: Arrow batches in, halved dimensions
+    and a 2:1 byte-decimated payload out. Deterministic test double for
+    the real resampler (PIL/ffmpeg) with identical schema/batching."""
+    for pdf in batches:
+        payloads = pdf["payload"]
+        yield pd.DataFrame(
+            {
+                "media_id": pdf["media_id"],
+                "new_width": pdf["width"] // 2,
+                "new_height": pdf["height"] // 2,
+                "resized_bytes": payloads.map(lambda b: len(b[::2])),
+                "head_byte": payloads.map(lambda b: int(b[0])),
+            }
+        )
+
+
+@register(
+    "multimodal_resize_stub",
+    oracle_sql="""
+        SELECT
+            doc_id AS media_id,
+            (n_chars % 640 + 16) // 2 AS new_width,
+            (n_chars * 7 % 480 + 16) // 2 AS new_height,
+            (octet_length(encode(text)) + 1) // 2 AS resized_bytes,
+            ascii(substring(text, 1, 1)) AS head_byte
+        FROM documents
+        ORDER BY media_id
+    """,
+    description="Resize/resample plumbing over mapInPandas: dimensions "
+    "halved, payload byte-decimated 2:1 inside the Python worker (real "
+    "byte manipulation on the Arrow-transferred binary — the oracle "
+    "checks the decimated length and surviving head byte arithmetically)."
+    " With real codecs installed the same batch shape carries an actual "
+    "resampler.",
+)
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    return (
+        media.select("media_id", "width", "height", "payload")
+        .mapInPandas(
+            resize_media_batch,
+            "media_id long, new_width long, new_height long, "
+            "resized_bytes long, head_byte long",
+        )
+        .orderBy("media_id")
+    )

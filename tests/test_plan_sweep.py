@@ -48,6 +48,7 @@ PYTHON_ALLOWED = {
     "udtf_python_ngrams",
     "multimodal_frame_sample",
     "multimodal_meta_extract",
+    "multimodal_resize_stub",
 }
 
 PYTHON_MARKERS = (
