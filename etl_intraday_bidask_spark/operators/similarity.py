@@ -19,7 +19,12 @@ from etl_intraday_bidask_spark.functions.vector import as_double, cosine
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
-N_PLANES = 8
+# 4 planes → 16 buckets: measured at sf0.01 (2k vectors), 8 planes gave
+# bucket occupancy ~8 and recall 0/10 vs exact; 4 planes gives ~128
+# candidates/bucket and recall measured in SCALE.md. At lake scale the
+# plane count grows with log2(collection/target-bucket-size), plus
+# multi-probe (flip one sign bit) to recover recall without bigger buckets.
+N_PLANES = 4
 TOP_K = 10
 
 
