@@ -1,13 +1,16 @@
 """Approximate-nearest-neighbor search (SURVEY.md §2.10 extension).
 
 ``knn_cosine_topk`` (llm_ops) is the exact brute-force baseline; this
-module adds the scale path: random-hyperplane LSH bucketing. Each vector
-gets an 8-bit bucket from the signs of dot products with 8 deterministic
-±1 hyperplanes; search touches only the query's bucket — at 100 TB the
-bucket id becomes the shuffle/partition key and each query reads ~1/256
-of the collection. Deterministic pseudo-random hyperplanes are derived
-from integer arithmetic shared verbatim with the oracle SQL, keeping the
-approximate result hash-checkable.
+module adds the scale paths: random-hyperplane LSH bucketing (single
+bucket and multi-probe) and IVF coarse cells (fixed and k-means-refined
+centroids). Each vector gets an N_PLANES-bit bucket from the signs of
+dot products with deterministic ±1 hyperplanes; search touches only the
+probed buckets — at 100 TB the bucket/cell id becomes the shuffle/
+partition key and each query reads probes/2^planes (resp. 1/cells) of
+the collection. Deterministic pseudo-random hyperplanes are derived
+from integer arithmetic shared verbatim with the oracle SQL, keeping
+every approximate result hash-checkable; measured recall for all
+variants is recorded in SCALE.md §6.
 """
 
 from __future__ import annotations
@@ -89,18 +92,32 @@ def _sign_expr(i_col: F.Column, j_col: F.Column) -> F.Column:
         LIMIT {TOP_K}
     """,
     description="ANN top-10 neighbors of vec_id=0 via random-hyperplane "
-    "LSH: 8 deterministic ±1 hyperplanes → 256 buckets; candidates are "
-    "the query's bucket only, then exact cosine re-rank. The scale path "
-    "whose recall is measured against knn_cosine_topk.",
+    "LSH: 4 deterministic ±1 hyperplanes → 16 buckets (plane count "
+    "measured, see SCALE.md); candidates are the query's bucket only, "
+    "then exact cosine re-rank. The scale path whose recall is measured "
+    "against knn_cosine_topk.",
 )
 def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, buckets = _bucketize(spark, sf_dir)
+    qb = buckets.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return _rerank(emb, cand_ids)
+
+
+def _bucketize(spark: SparkSession, sf_dir: str):
+    """(embeddings df, per-vector LSH bucket df) — shared by the
+    single-bucket and multi-probe search operators."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
     planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
-    exp = emb.select(
-        "vec_id", F.posexplode("v").alias("i", "x")
-    )
+    exp = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
     proj = (
         exp.crossJoin(F.broadcast(planes))
         .groupBy("vec_id", "j")
@@ -112,14 +129,11 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0))
         ).alias("bucket")
     )
-    qb = buckets.where(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qbucket")
-    )
-    cand_ids = (
-        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
-        .where(F.col("vec_id") != 0)
-        .select("vec_id")
-    )
+    return emb, buckets
+
+
+def _rerank(emb: DataFrame, cand_ids: DataFrame) -> DataFrame:
+    """Exact cosine re-rank of candidate ids against vec_id=0."""
     query = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
     sim = cosine(F.col("v"), F.col("qv"))
     return (
@@ -402,3 +416,89 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(TOP_K)
         .drop("_raw")
     )
+
+
+@register(
+    "knn_lsh_multiprobe",
+    oracle_sql=f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        planes(j) AS (SELECT * FROM generate_series(0, {N_PLANES - 1})),
+        proj AS (
+            SELECT e.vec_id, p.j,
+                   sum(e.x * (2 * ((((1103515245 * (e.i * {N_PLANES} + p.j)
+                                      + 12345) % 2147483648) // 65536) % 2)
+                              - 1)) AS dotp
+            FROM exp e CROSS JOIN planes p
+            GROUP BY 1, 2
+        ),
+        buckets AS (
+            SELECT vec_id,
+                   sum(CASE WHEN dotp > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                       AS bucket
+            FROM proj
+            GROUP BY vec_id
+        ),
+        qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+        probes AS (
+            SELECT unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                           xor(bucket, 4), xor(bucket, 8)]) AS pbucket
+            FROM qb
+        ),
+        cand AS (
+            SELECT DISTINCT b.vec_id
+            FROM buckets b JOIN probes p ON b.bucket = p.pbucket
+            WHERE b.vec_id <> 0
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e
+            JOIN cand c ON e.vec_id = c.vec_id
+            JOIN q ON e.i = q.i
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    description="Multi-probe LSH: probe the query's bucket plus every "
+    "one-bit-flip neighbor bucket (5 probes) — the standard recall "
+    "recovery for hyperplane LSH without growing bucket size; recall "
+    "measured against the exact top-10 in SCALE.md. At 100 TB the probe "
+    "set is still an equi join on the bucket key (IN-list of 1+planes "
+    "values), reading (1+planes)/2^planes of the collection.",
+)
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, buckets = _bucketize(spark, sf_dir)
+    qb = buckets.where(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    probes = qb.select(
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.expr(f"qbucket ^ {1 << j}")
+                    for j in range(N_PLANES)
+                ],
+            )
+        ).alias("pbucket")
+    )
+    cand_ids = (
+        buckets.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    return _rerank(emb, cand_ids)
