@@ -130,3 +130,80 @@ def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return reduce(DataFrame.unionByName, checks).orderBy("check_name")
+
+
+@register(
+    "observe_pipeline_metrics",
+    oracle_sql="""
+        SELECT
+            count(*) AS n_rows,
+            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                / 100.0 AS sum_price,
+            count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted
+        FROM lineitem
+        WHERE l_returnflag = 'R'
+    """,
+    description="Observation API (df.observe): pipeline metrics collected "
+    "as a side-channel of a real pass over the data — zero extra scans, "
+    "the production way to emit row counts / DQ counters from an ETL "
+    "job without a second aggregation job. The observed values are "
+    "returned as the result and hash-graded.",
+)
+def observe_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    obs = Observation("pipeline_metrics")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("double")
+            / 100.0
+        ).alias("sum_price"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the real pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["sum_price"], m["n_discounted"])],
+        "n_rows long, sum_price double, n_discounted long",
+    )
+
+
+@register(
+    "cache_reuse_two_aggs",
+    oracle_sql="""
+        WITH filtered AS (
+            SELECT * FROM orders WHERE o_totalprice > 150000.0
+        )
+        SELECT 'by_status' AS dim, o_orderstatus AS key, count(*) AS n
+        FROM filtered GROUP BY o_orderstatus
+        UNION ALL
+        SELECT 'by_priority', o_orderpriority, count(*)
+        FROM filtered GROUP BY o_orderpriority
+    """,
+    description="Materialized-once reuse: an expensive filtered relation "
+    "is persisted and feeds two independent aggregations — the plan's "
+    "second branch reads InMemoryTableScan instead of re-scanning "
+    "parquet. At lake scale this is checkpoint/cache discipline for "
+    "fan-out DAGs (one pass over 100 TB, many consumers).",
+)
+def cache_reuse_two_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    filtered = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 150000.0)
+        .persist()
+    )
+    by_status = filtered.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("by_status").alias("dim"), F.col("o_orderstatus").alias("key"), "n")
+    by_priority = filtered.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        F.lit("by_priority").alias("dim"),
+        F.col("o_orderpriority").alias("key"),
+        "n",
+    )
+    return by_status.unionByName(by_priority)

@@ -164,3 +164,65 @@ def udtf_python_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents_for_udtf d, "
         "LATERAL token_bigrams(d.doc_id, d.text) b"
     )
+
+
+def _merge_purchase_view(pdf_p: pd.DataFrame, pdf_v: pd.DataFrame) -> pd.DataFrame:
+    """Cogroup handler: both sides of one user arrive as pandas frames.
+    Exact integer cents keep the Python-side arithmetic oracle-stable."""
+    n_p, n_v = len(pdf_p), len(pdf_v)
+    sum_p = int(round(pdf_p["value"], 2).mul(100).round().sum()) if n_p else 0
+    sum_v = int(round(pdf_v["value"], 2).mul(100).round().sum()) if n_v else 0
+    user = pdf_p["user_id"].iloc[0] if n_p else pdf_v["user_id"].iloc[0]
+    return pd.DataFrame(
+        {
+            "user_id": [int(user)],
+            "n_purchases": [n_p],
+            "n_views": [n_v],
+            "sum_purchase": [sum_p / 100.0],
+            "sum_view": [sum_v / 100.0],
+        }
+    )
+
+
+@register(
+    "udaf_cogrouped_pandas",
+    oracle_sql="""
+        WITH p AS (
+            SELECT user_id, count(*) AS n_purchases,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sp
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ),
+        v AS (
+            SELECT user_id, count(*) AS n_views,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS sv
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        )
+        SELECT
+            coalesce(p.user_id, v.user_id) AS user_id,
+            coalesce(n_purchases, 0) AS n_purchases,
+            coalesce(n_views, 0) AS n_views,
+            coalesce(sp, 0) / 100.0 AS sum_purchase,
+            coalesce(sv, 0) / 100.0 AS sum_view
+        FROM p FULL OUTER JOIN v ON p.user_id = v.user_id
+    """,
+    description="Cogrouped pandas (groupBy().cogroup().applyInPandas): "
+    "each user's purchase and view streams arrive as two pandas frames "
+    "in one Python worker call — the two-sided custom-merge surface "
+    "(as-of matching, custom reconciliation). Exact cents arithmetic "
+    "Python-side makes even this op hash-gradable.",
+)
+def udaf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select("user_id", "value")
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(views.groupBy("user_id"))
+        .applyInPandas(
+            _merge_purchase_view,
+            "user_id long, n_purchases long, n_views long, "
+            "sum_purchase double, sum_view double",
+        )
+    )

@@ -39,12 +39,14 @@ EXECUTES_ON_BUILD = {
     "stream_stateful_running_agg",
     "stream_foreachbatch_compact",
     "multimodal_decode_stub",
+    "observe_pipeline_metrics",
 }
 
 # The declared Python-boundary surface (SURVEY.md §2.11, §2.13).
 PYTHON_ALLOWED = {
     "udf_python_scalar",
     "udaf_grouped_pandas",
+    "udaf_cogrouped_pandas",
     "udtf_python_ngrams",
     "multimodal_frame_sample",
     "multimodal_meta_extract",
@@ -55,6 +57,7 @@ PYTHON_MARKERS = (
     "BatchEvalPython",
     "ArrowEvalPython",
     "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
     "PythonUDTF",
 )
 
