@@ -25,9 +25,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry["agg_pricing_summary"].spark_fn(spark, "/root/testdata/sf0.001")
 
 
+# Round-1 driver grading covered exactly the first 50 keys of queries()
+# iteration order, leaving 51 operators with no hard verification
+# (VERDICT.md "Next round" item 1). The registry itself is unordered by
+# contract; this explicit priority list rotates the round-1-ungraded
+# operators (plus the fixed dedup_simhash) into the 50-slot window:
+# slots 1-47 the ungraded hash-checkable ops, 48 dedup_simhash,
+# 49-50 the two ungraded rows-only ops. The remaining two rows-only ops
+# (sink_parquet_partitioned, source_csv_roundtrip) sit at 51-52, first
+# in line for a round-3 rotation; round-1 PASS ops follow.
+_GRADING_PRIORITY = [
+    "json_get",
+    "array_explode_tokens",
+    "array_funcs",
+    "array_higher_order",
+    "json_map_funcs",
+    "regexp_extract_all_counts",
+    "scan_parquet",
+    "scan_parquet_pushdown",
+    "scan_partition_pruned",
+    "join_dynamic_partition_pruning",
+    "set_union_all",
+    "set_intersect",
+    "set_except",
+    "dedup_exact",
+    "knn_lsh_bucketed",
+    "knn_ivf_coarse",
+    "knn_ivf_kmeans",
+    "knn_lsh_multiprobe",
+    "sort_multikey",
+    "limit_global_topk",
+    "text_langid_ngram",
+    "text_quality_score",
+    "text_token_count_bpe",
+    "text_fingerprint_rolling",
+    "text_tfidf_topk",
+    "text_normalize_hash",
+    "stream_tumbling_1h",
+    "stream_sliding_1h_15m",
+    "stream_session_30m",
+    "stream_ohlc_bars",
+    "bidask_effective_spread",
+    "dq_checks",
+    "observe_pipeline_metrics",
+    "cache_reuse_two_aggs",
+    "udf_python_scalar",
+    "udaf_grouped_pandas",
+    "udtf_explode_like",
+    "udtf_python_ngrams",
+    "udaf_cogrouped_pandas",
+    "win_topk_per_group",
+    "win_lag_spread",
+    "win_moving_avg",
+    "win_rank_dense_ntile",
+    "win_range_frame",
+    "win_time_range_frame",
+    "stream_stateful_running_agg",
+    "stream_foreachbatch_compact",
+    "dedup_simhash",
+    "stream_watermark_dedup",
+    "etl_star_pipeline",
+    "sink_parquet_partitioned",
+    "source_csv_roundtrip",
+]
+
+
+def _ordered_registry():
+    registry = load_all_operators()
+    missing = [n for n in _GRADING_PRIORITY if n not in registry]
+    assert not missing, f"priority list names unknown operators: {missing}"
+    ordered = {n: registry[n] for n in _GRADING_PRIORITY}
+    ordered.update((n, s) for n, s in registry.items() if n not in ordered)
+    return ordered
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: spec.spark_fn for name, spec in load_all_operators().items()}
+    return {name: spec.spark_fn for name, spec in _ordered_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -35,6 +109,6 @@ def oracle_sql() -> dict[str, str]:
     (sinks, approx sketches, watermark behavior) are omitted."""
     return {
         name: spec.oracle_sql
-        for name, spec in load_all_operators().items()
+        for name, spec in _ordered_registry().items()
         if spec.oracle_sql is not None
     }

@@ -1,12 +1,21 @@
 """Sketch-based near-duplicate detection (SURVEY.md §2.10 extension):
 MinHash + LSH banding, SimHash, and embedding-cosine near-dup.
 
-All hash functions are explicit universal hashes over corpus-derived
-integer token ids — NOT engine hash() builtins (Spark's Murmur3 and
-DuckDB's hash differ) — so both engines compute identical signatures
-and the operators stay hash-checkable. The (a, b) parameter tables are
+All hash functions are explicit universal hashes over integer token
+ids — NOT engine hash() builtins (Spark's Murmur3 and DuckDB's hash
+differ) — so both engines compute identical signatures and the
+operators stay hash-checkable. The (a, b) parameter tables are
 generated once below and embedded into BOTH the Spark plan and the
 oracle SQL from the same Python list, so they cannot drift.
+
+Token ids are derived arithmetically from the token bytes — the first
+60 bits of md5(token) reduced mod the Mersenne prime — computed with
+the same expression in Spark (``conv(substr(md5(t),1,15),16,10)``) and
+DuckDB (``CAST('0x'||substr(md5(t),1,15) AS BIGINT)``). This replaces
+the round-1 dense dictionary built with a global
+``row_number().over(Window.orderBy(token))``, which funneled the whole
+vocabulary through a single task at scale; the arithmetic id is a
+narrow per-row projection, embarrassingly parallel at 100 TB.
 
 Scale design: MinHash/LSH is the 100 TB dedup path — signatures are
 O(docs × H), banding turns all-pairs comparison into equality joins on
@@ -44,6 +53,21 @@ _PARAMS_SQL = ",\n                     ".join(
     f"({i}, {a}, {b})" for i, a, b in MINHASH_PARAMS
 )
 
+# Distributed token id: low 60 bits of md5(token), reduced mod P so every
+# downstream universal-hash product a*tid stays < 2^62 (BIGINT-safe in
+# both engines). Identical expression in both dialects — verified equal.
+_TID_SQL = (
+    "CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % " + str(MINHASH_P)
+)
+
+
+def _tid_col(token_col: str = "token"):
+    """Spark twin of ``_TID_SQL`` — same md5-prefix arithmetic hash."""
+    return (
+        F.conv(F.substring(F.md5(token_col), 1, 15), 16, 10).cast("bigint")
+        % MINHASH_P
+    )
+
 
 @register(
     "dedup_minhash_lsh",
@@ -53,19 +77,13 @@ _PARAMS_SQL = ",\n                     ".join(
                    unnest(string_split(text, ' ')) AS token
             FROM documents
         ),
-        vocab AS (
-            SELECT token,
-                   row_number() OVER (ORDER BY token) - 1 AS tid
-            FROM (SELECT DISTINCT token FROM tok)
-        ),
         params(i, a, b) AS (
             VALUES {_PARAMS_SQL}
         ),
         mh AS (
             SELECT t.doc_id, p.i,
-                   min((p.a * v.tid + p.b) % {MINHASH_P}) AS mhv
+                   min((p.a * ({_TID_SQL}) + p.b) % {MINHASH_P}) AS mhv
             FROM tok t
-            JOIN vocab v USING (token)
             CROSS JOIN params p
             GROUP BY 1, 2
         ),
@@ -100,28 +118,21 @@ _PARAMS_SQL = ",\n                     ".join(
         ORDER BY doc_lo, doc_hi
     """,
     description="MinHash + LSH near-dup: 16 universal-hash minima per "
-    "doc over integer token ids, banded 4×4; docs sharing any band "
-    "signature become candidates; candidates verified with exact "
-    "Jaccard ≥ 0.9. The LSH equality-join candidate generation replaces "
-    "the all-pairs token-postings join at scale.",
+    "doc over md5-derived integer token ids, banded 4×4; docs sharing "
+    "any band signature become candidates; candidates verified with "
+    "exact Jaccard ≥ 0.9. The LSH equality-join candidate generation "
+    "replaces the all-pairs token-postings join at scale, and the "
+    "arithmetic token id replaces a dictionary (no global window, no "
+    "vocab join).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     )
-    from pyspark.sql import Window
-
-    vocab = (
-        tok.select("token")
-        .distinct()
-        .withColumn(
-            "tid", F.row_number().over(Window.orderBy("token")) - F.lit(1)
-        )
-    )
     params = spark.createDataFrame(MINHASH_PARAMS, "i int, a long, b long")
     mh = (
-        tok.join(F.broadcast(vocab), "token")
+        tok.withColumn("tid", _tid_col())
         .crossJoin(F.broadcast(params))
         .groupBy("doc_id", "i")
         .agg(
@@ -193,14 +204,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, unnest(string_split(text, ' ')) AS token
             FROM documents
         ),
-        vocab AS (
-            SELECT token,
-                   row_number() OVER (ORDER BY token) - 1 AS tid
-            FROM (SELECT DISTINCT token FROM tok)
-        ),
         weights AS (
-            SELECT doc_id, tid, count(*) AS w
-            FROM tok JOIN vocab USING (token)
+            SELECT doc_id, {_TID_SQL} AS tid, count(*) AS w
+            FROM tok
             GROUP BY 1, 2
         ),
         bits(j) AS (SELECT * FROM generate_series(0, {SIMHASH_BITS - 1})),
@@ -213,33 +219,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT doc_id,
-               sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
-                        ELSE 0 END) AS simhash
+               CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, j) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash
         FROM comps
         GROUP BY doc_id
         ORDER BY doc_id
     """,
     description="SimHash document signature: 16 bit-hashes of weighted "
-    "token ids, each bit the sign of the weighted ±1 sum — near-dup "
-    "docs land at small Hamming distance. Pure integer arithmetic.",
+    "md5-derived token ids, each bit the sign of the weighted ±1 sum — "
+    "near-dup docs land at small Hamming distance. Pure integer "
+    "arithmetic, no vocabulary dictionary (scale-safe).",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     )
-    from pyspark.sql import Window
-
-    vocab = (
-        tok.select("token")
-        .distinct()
-        .withColumn(
-            "tid", F.row_number().over(Window.orderBy("token")) - F.lit(1)
-        )
-    )
     weights = (
-        tok.join(F.broadcast(vocab), "token")
-        .groupBy("doc_id", "tid")
+        tok.groupBy("doc_id", _tid_col().alias("tid"))
         .agg(F.count(F.lit(1)).alias("w"))
     )
     bits = spark.range(SIMHASH_BITS).select(F.col("id").alias("j"))

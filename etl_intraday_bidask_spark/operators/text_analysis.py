@@ -172,12 +172,12 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
         SELECT lang,
                count(*) AS n_docs,
-               sum(CAST(len(string_split(text, ' ')) AS BIGINT))
-                   AS ws_tokens,
-               sum(CAST(len(regexp_extract_all(text, '[aeiou]+')) AS BIGINT))
-                   AS vowel_pieces,
-               sum(CAST(len(regexp_extract_all(text, '[^aeiou ]+')) AS BIGINT))
-                   AS consonant_pieces
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT))
+                    AS BIGINT) AS ws_tokens,
+               CAST(sum(CAST(len(regexp_extract_all(text, '[aeiou]+'))
+                             AS BIGINT)) AS BIGINT) AS vowel_pieces,
+               CAST(sum(CAST(len(regexp_extract_all(text, '[^aeiou ]+'))
+                             AS BIGINT)) AS BIGINT) AS consonant_pieces
         FROM documents
         GROUP BY lang
         ORDER BY lang
@@ -227,7 +227,7 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                    * (((pos + 1) * 2654435761) % 1000003) AS term
             FROM tok
         )
-        SELECT doc_id, sum(term) % 1000000007 AS fingerprint
+        SELECT doc_id, CAST(sum(term) % 1000000007 AS BIGINT) AS fingerprint
         FROM contrib
         GROUP BY doc_id
         ORDER BY doc_id

@@ -195,7 +195,7 @@ def win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
         WINDOW w AS (
             PARTITION BY user_id
-            ORDER BY CAST(epoch(ts) AS BIGINT)
+            ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
         )
     """,

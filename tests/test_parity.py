@@ -47,22 +47,75 @@ def normalize(rows: list[tuple], colnames: list[str]) -> list[tuple]:
 
 def run_spark(spark, name: str, sf_dir: str):
     df = REGISTRY[name].spark_fn(spark, sf_dir)
-    return df.collect(), df.columns
+    return df.collect(), df.columns, dict(df.dtypes)
 
 
 def run_duck(con, name: str):
-    cur = con.execute(REGISTRY[name].oracle_sql)
-    cols = [d[0] for d in cur.description]
-    return cur.fetchall(), cols
+    rel = con.sql(REGISTRY[name].oracle_sql)
+    cols = list(rel.columns)
+    types = {c: str(t).upper() for c, t in zip(rel.columns, rel.types)}
+    return rel.fetchall(), cols, types
+
+
+# Type *kind* each engine's result column materializes as once it reaches
+# the driver's hasher (pandas-mediated): integers, floats, booleans,
+# strings, timestamps. DuckDB HUGEINT deliberately maps to FLOAT kind —
+# that is what pandas does to int128, and exactly how the driver caught
+# dedup_simhash in round 1 while the old type-insensitive local gate
+# stayed green. An oracle column typed HUGEINT is a policy violation
+# (registry docstring: computed integer columns are cast to BIGINT).
+_SPARK_KIND = {
+    "bigint": "i", "int": "i", "smallint": "i", "tinyint": "i",
+    "double": "f", "float": "f",
+    "boolean": "b", "string": "s", "timestamp": "t", "timestamp_ntz": "t",
+    "date": "d", "binary": "y",
+}
+
+
+def _duck_kind(t: str) -> str:
+    if t in ("HUGEINT", "UHUGEINT"):
+        return "f"  # pandas coerces int128 to float64 — driver-visible
+    if t in ("BIGINT", "INTEGER", "SMALLINT", "TINYINT",
+             "UBIGINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+        return "i"
+    if t in ("DOUBLE", "FLOAT", "REAL") or t.startswith("DECIMAL"):
+        return "f"
+    if t == "BOOLEAN":
+        return "b"
+    if t == "VARCHAR":
+        return "s"
+    if t.startswith("TIMESTAMP"):
+        return "t"
+    if t == "DATE":
+        return "d"
+    if t == "BLOB":
+        return "y"
+    return t  # unmapped kinds must match verbatim
+
+
+def assert_dtype_parity(name: str, s_types: dict, d_types: dict) -> None:
+    huge = [c for c, t in d_types.items() if t in ("HUGEINT", "UHUGEINT")]
+    assert not huge, (
+        f"{name}: oracle columns {huge} are HUGEINT — cast to BIGINT in the "
+        "oracle SQL (driver hash-fails on pandas int128→float64 coercion)"
+    )
+    for c in s_types:
+        sk = _SPARK_KIND.get(s_types[c], s_types[c])
+        dk = _duck_kind(d_types.get(c, "?"))
+        assert sk == dk, (
+            f"{name}.{c}: dtype kind differs: spark {s_types[c]} ({sk}) "
+            f"vs duckdb {d_types.get(c)} ({dk})"
+        )
 
 
 @pytest.mark.parametrize("name", HASH_CHECKED)
 def test_hash_parity(spark, duck_small, name):
-    s_rows, s_cols = run_spark(spark, name, SF_SMALL)
-    d_rows, d_cols = run_duck(duck_small, name)
+    s_rows, s_cols, s_types = run_spark(spark, name, SF_SMALL)
+    d_rows, d_cols, d_types = run_duck(duck_small, name)
     assert sorted(s_cols) == sorted(d_cols), (
         f"{name}: column names differ: spark={s_cols} duckdb={d_cols}"
     )
+    assert_dtype_parity(name, s_types, d_types)
     assert len(s_rows) == len(d_rows), (
         f"{name}: row count differs: spark={len(s_rows)} duckdb={len(d_rows)}"
     )
@@ -78,6 +131,6 @@ def test_hash_parity(spark, duck_small, name):
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, name):
-    rows, cols = run_spark(spark, name, SF_SMALL)
+    rows, cols, _ = run_spark(spark, name, SF_SMALL)
     assert cols, f"{name}: no columns"
     assert len(rows) >= 0
