@@ -90,13 +90,63 @@ _GRADING_PRIORITY = [
 ]
 
 
+def _grading_history() -> dict[str, list[int]]:
+    """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
+    read from the repo root (next to this file, where the driver writes)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    history: dict[str, list[int]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                graded = json.load(f)
+        except (OSError, ValueError):
+            continue
+        for key in graded:
+            history.setdefault(key, []).append(int(m.group(1)))
+    return history
+
+
+def rotation_order(keys: list[str], history: dict[str, list[int]]) -> list[str]:
+    """Least-recently-graded-first ordering: never-graded keys lead, then
+    ascending (times graded, last round graded); ties break on the round-2
+    priority list position, then name — fully deterministic. Each round the
+    driver grades the first 50 keys, so this rotates stale keys into the
+    window automatically as CORRECTNESS files accumulate."""
+    prio = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
+    return sorted(
+        keys,
+        key=lambda k: (
+            len(history.get(k, ())),
+            max(history.get(k, ()), default=0),
+            prio.get(k, len(prio)),
+            k,
+        ),
+    )
+
+
 def _ordered_registry():
     registry = load_all_operators()
     missing = [n for n in _GRADING_PRIORITY if n not in registry]
     assert not missing, f"priority list names unknown operators: {missing}"
-    ordered = {n: registry[n] for n in _GRADING_PRIORITY}
-    ordered.update((n, s) for n, s in registry.items() if n not in ordered)
-    return ordered
+    history = _grading_history()
+    if max((r for rs in history.values() for r in rs), default=0) >= 2:
+        # Round 3+: rotate by grading history.
+        order = rotation_order(list(registry), history)
+    else:
+        # Round 2: the hand-built window (47 ungraded hash-checkable ops,
+        # the fixed dedup_simhash, 2 ungraded rows-only ops = slots 1-50).
+        order = _GRADING_PRIORITY + [
+            n for n in registry if n not in set(_GRADING_PRIORITY)
+        ]
+    return {n: registry[n] for n in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

