@@ -146,6 +146,89 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+NGRAM_JACCARD = 0.8  # validated on sf0.01: 6 planted pairs ≥0.9, rest <0.5
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle_sql=f"""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, lang,
+                   toks[i] || ' ' || toks[i + 1] AS gram
+            FROM t, unnest(generate_series(1, greatest(len(toks) - 1, 1)))
+                    AS u(i)
+            WHERE i + 1 <= len(toks)
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS c
+            FROM g a
+            JOIN g b
+              ON a.gram = b.gram AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_lo, doc_hi,
+               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
+        FROM pairs
+        JOIN sz sa ON doc_lo = sa.doc_id
+        JOIN sz sb ON doc_hi = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NGRAM_JACCARD}
+        ORDER BY doc_lo, doc_hi
+    """,
+    description="N-gram (token-bigram shingle) Jaccard near-dup: distinct "
+    "word-2-gram sets per document, postings self-join blocked by lang, "
+    "exact Jaccard ≥ 0.8. Order-sensitive where unigram Jaccard is not — "
+    "shuffled token order destroys bigrams — and cheaper at scale: bigram "
+    "document frequencies are far below unigram ones (sf0.01: max df 46 "
+    "vs 500 docs), so the Σdf² postings-join work shrinks by orders of "
+    "magnitude. This is the shingle construction MinHash signatures are "
+    "built over at 100 TB.",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", F.split("text", " ").alias("toks"))
+    grams = F.when(
+        F.size("toks") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    g = t.select(
+        "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = g.alias("a")
+    b = g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        .where(jac >= NGRAM_JACCARD)
+        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_lo", "doc_hi")
+    )
+
+
 @register(
     "knn_cosine_topk",
     oracle_sql="""
