@@ -418,6 +418,123 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_TABLES = 4
+
+
+def _sign_expr_mt(i_col: F.Column, t_col: F.Column, j_col: F.Column) -> F.Column:
+    """±1 hyperplane component for (dimension i, table t, plane j) — the
+    multi-table extension of ``_sign_expr``, LCG-seeded per table so the
+    L tables are independent hash families."""
+    s = (
+        F.lit(1103515245).cast("long")
+        * (i_col * (N_TABLES * N_PLANES) + t_col * N_PLANES + j_col)
+        + 12345
+    ) % 2147483648
+    return 2 * ((s / 65536).cast("long") % 2) - 1
+
+
+@register(
+    "knn_lsh_multitable",
+    oracle_sql=f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        tabs(t) AS (SELECT * FROM generate_series(0, {N_TABLES - 1})),
+        planes(j) AS (SELECT * FROM generate_series(0, {N_PLANES - 1})),
+        proj AS (
+            SELECT e.vec_id, tb.t, p.j,
+                   sum(e.x * (2 * ((((1103515245
+                                      * (e.i * {N_TABLES * N_PLANES}
+                                         + tb.t * {N_PLANES} + p.j)
+                                      + 12345) % 2147483648) // 65536) % 2)
+                              - 1)) AS dotp
+            FROM exp e CROSS JOIN tabs tb CROSS JOIN planes p
+            GROUP BY 1, 2, 3
+        ),
+        buckets AS (
+            SELECT vec_id, t,
+                   sum(CASE WHEN dotp > 0
+                            THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END)
+                       AS bucket
+            FROM proj
+            GROUP BY vec_id, t
+        ),
+        qb AS (SELECT t, bucket FROM buckets WHERE vec_id = 0),
+        cand AS (
+            SELECT DISTINCT b.vec_id
+            FROM buckets b
+            JOIN qb ON b.t = qb.t AND b.bucket = qb.bucket
+            WHERE b.vec_id <> 0
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e
+            JOIN cand c ON e.vec_id = c.vec_id
+            JOIN q ON e.i = q.i
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT {TOP_K}
+    """,
+    description="Multi-table LSH: 4 independent 4-plane hash tables; "
+    "candidates are vectors sharing the query's bucket in ANY table "
+    "(union), then exact cosine re-rank. The production recall lever "
+    "orthogonal to multi-probe — more independent chances to co-bucket "
+    "a true neighbor instead of widening one table's probe set; recall "
+    "and candidate fraction measured in SCALE.md. At 100 TB each table "
+    "is one equi join on its (t, bucket) key; candidate volume is "
+    "L/2^planes of the collection in expectation.",
+)
+def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    tabs = spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))
+    planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
+    exp = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
+    proj = (
+        exp.crossJoin(F.broadcast(tabs))
+        .crossJoin(F.broadcast(planes))
+        .groupBy("vec_id", "t", "j")
+        .agg(
+            F.sum(
+                F.col("x")
+                * _sign_expr_mt(F.col("i"), F.col("t"), F.col("j"))
+            ).alias("dotp")
+        )
+    )
+    buckets = proj.groupBy("vec_id", "t").agg(
+        F.sum(
+            F.when(F.col("dotp") > 0, F.pow(2.0, F.col("j")).cast("bigint"))
+            .otherwise(F.lit(0))
+        ).alias("bucket")
+    )
+    qb = buckets.where(F.col("vec_id") == 0).select(
+        F.col("t").alias("qt"), F.col("bucket").alias("qbucket")
+    )
+    cand_ids = (
+        buckets.join(
+            F.broadcast(qb),
+            (F.col("t") == F.col("qt"))
+            & (F.col("bucket") == F.col("qbucket")),
+        )
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+        .distinct()
+    )
+    return _rerank(emb, cand_ids)
+
+
 @register(
     "knn_lsh_multiprobe",
     oracle_sql=f"""
