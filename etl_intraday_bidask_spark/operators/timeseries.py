@@ -295,3 +295,55 @@ def bidask_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "stream_interval_join",
+    oracle_sql="""
+        SELECT a.event_id AS click_id,
+               b.event_id AS purchase_id,
+               a.user_id,
+               epoch_us(b.ts) - epoch_us(a.ts) AS lag_us
+        FROM events a
+        JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click'
+         AND b.event_type = 'purchase'
+         AND b.ts >= a.ts
+         AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        ORDER BY click_id, purchase_id
+    """,
+    description="Event-time interval join: each click joined to the same "
+    "user's purchases within the following 30 minutes (conversion "
+    "attribution; in the bid/ask domain the identical shape pairs quote "
+    "updates with trades inside a validity window). Batch form of the "
+    "stream-stream join — the streaming twin (streaming/replay.py) runs "
+    "two watermarked streams through Spark's interval-join state "
+    "manager, where the 30-minute bound is what lets state be evicted. "
+    "At 100 TB both sides shuffle on user_id and the time bound keeps "
+    "per-key state O(events in window), not O(history).",
+)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("cts"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("pts"),
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("user_b"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 MINUTES")),
+    )
+    return j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    ).orderBy("click_id", "purchase_id")

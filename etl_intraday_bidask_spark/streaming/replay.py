@@ -174,3 +174,46 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
         .orderBy("event_type")
     )
+
+
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.timeseries.stream_interval_join — a
+    true stream-stream inner join: two watermarked streams over the same
+    replayed source, joined on user_id with a 30-minute event-time bound.
+    The time bound + watermarks let Spark evict join state; output mode
+    is append (interval-join matches are final once the watermark
+    passes)."""
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = user_b AND pts >= cts "
+            "AND pts <= cts + interval 30 minutes"
+        ),
+    )
+    out = j.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
+    )
+    return _run_to_memory(out, "append")

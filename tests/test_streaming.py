@@ -18,6 +18,7 @@ TWINS = [
     "stream_session_30m",
     "stream_ohlc_bars",
     "stream_watermark_dedup",
+    "stream_interval_join",
 ]
 
 
