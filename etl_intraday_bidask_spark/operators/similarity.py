@@ -619,3 +619,87 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return _rerank(emb, cand_ids)
+
+
+N_IVF_PROBES = 2
+
+
+@register(
+    "knn_ivf_multiprobe",
+    oracle_sql=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, e.embedding, c.cid,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(c.cv AS DOUBLE[])), 6) AS a
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+            FROM scored
+        ),
+        assign AS (
+            SELECT vec_id, label, embedding, cid FROM ranked WHERE rn = 1
+        ),
+        qcells AS (
+            SELECT cid AS qcid FROM ranked
+            WHERE vec_id = 0 AND rn <= {N_IVF_PROBES}
+        ),
+        qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        cand AS (
+            SELECT a.vec_id, a.label, a.embedding
+            FROM assign a JOIN qcells q ON a.cid = q.qcid
+            WHERE a.vec_id <> 0
+        )
+        SELECT c.vec_id, c.label,
+               round(list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])), 4)
+                   AS cosine_sim
+        FROM cand c CROSS JOIN qv q
+        ORDER BY list_cosine_similarity(
+                   CAST(c.embedding AS DOUBLE[]), CAST(q.qv AS DOUBLE[])) DESC,
+                 c.vec_id
+        LIMIT {TOP_K}
+    """,
+    description="IVF with multi-probe (probe=2): vectors assigned to "
+    "their argmax-cosine cell as in knn_ivf_coarse, but the query "
+    "searches its 2 nearest cells — the IVF analogue of LSH multi-probe, "
+    "recovering the neighbors that straddle the query's cell boundary "
+    "(the dominant IVF recall-loss mode). Recall measured in SCALE.md. "
+    "At 100 TB the probe list is an IN-list equi join on the cell key, "
+    "reading probes/cells of the collection.",
+)
+def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    cents = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("a"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("a").desc(), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    assign = ranked.where(F.col("rn") == 1).select("vec_id", "label", "v", "cid")
+    qcells = (
+        ranked.where((F.col("vec_id") == 0) & (F.col("rn") <= N_IVF_PROBES))
+        .select(F.col("cid").alias("qcid"))
+    )
+    cand_ids = (
+        assign.join(F.broadcast(qcells), F.col("cid") == F.col("qcid"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    return _rerank(emb, cand_ids)

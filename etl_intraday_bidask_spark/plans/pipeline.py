@@ -168,3 +168,103 @@ def etl_star_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipe = build_star_pipeline(sf_dir, out_dir)
     ctx = pipe.run(spark)
     return ctx["serve"]
+
+
+@register(
+    "etl_docs_pipeline",
+    oracle_sql="""
+        WITH norm AS (
+            SELECT doc_id, lang,
+                   trim(regexp_replace(lower(text), ' +', ' ', 'g')) AS t
+            FROM documents
+        ),
+        feat AS (
+            SELECT doc_id, lang, md5(t) AS h,
+                   CAST(len(string_split(t, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(string_split(t, ' '),
+                            s -> s IN ('the', 'a', 'join', 'hash', 'row')))
+                        AS BIGINT) AS n_stop
+            FROM norm
+        ),
+        quality AS (
+            SELECT * FROM feat
+            WHERE n_tokens >= 20 AND n_stop * 10 < n_tokens * 3
+        ),
+        unique_docs AS (
+            SELECT lang, h, min(doc_id) AS keeper,
+                   min(n_tokens) AS n_tokens
+            FROM quality GROUP BY lang, h
+        )
+        SELECT f.lang,
+               count(*) AS docs_in,
+               CAST(count(*) FILTER (WHERE f.n_tokens >= 20
+                                       AND f.n_stop * 10 < f.n_tokens * 3)
+                    AS BIGINT) AS docs_quality,
+               (SELECT count(*) FROM unique_docs u WHERE u.lang = f.lang)
+                   AS docs_unique,
+               (SELECT CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                FROM unique_docs u WHERE u.lang = f.lang)
+                   AS tokens_kept
+        FROM feat f
+        GROUP BY f.lang
+        ORDER BY f.lang
+    """,
+    description="End-to-end LLM training-data ingest pipeline over "
+    "documents: normalize (lowercase, collapse whitespace, trim) -> "
+    "quality gate (>=20 tokens, <30% stop-token ratio via exact "
+    "cross-multiplied integers) -> exact dedup on the md5 content key "
+    "(keep lowest doc_id) -> per-language survival report (docs in / "
+    "passing quality / unique, tokens kept). One narrow projection, one "
+    "(lang, hash) groupBy, one lang groupBy - at 100 TB the dedup "
+    "shuffle carries distinct content keys only (map-side combine), the "
+    "report is a tiny final aggregate, and each stage is the graded "
+    "primitive (text_normalize_hash, text_quality_score, dedup_exact) "
+    "composed into the DAG a real ingest run executes.",
+)
+def etl_docs_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "join", "hash", "row")])
+    t = F.trim(F.regexp_replace(F.lower(F.col("text")), " +", " "))
+    norm = docs.select("doc_id", "lang", t.alias("t"))
+    toks = F.split("t", " ")
+    feat = norm.select(
+        "doc_id",
+        "lang",
+        F.md5("t").alias("h"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda s: F.array_contains(stop_arr, s)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    is_quality = (F.col("n_stop") * 10 < F.col("n_tokens") * 3) & (
+        F.col("n_tokens") >= 20
+    )
+    unique_docs = (
+        feat.where(is_quality)
+        .groupBy("lang", "h")
+        .agg(
+            F.min("doc_id").alias("keeper"),
+            F.min("n_tokens").alias("n_tokens"),
+        )
+    )
+    survived = unique_docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_unique"),
+        F.coalesce(F.sum("n_tokens"), F.lit(0)).cast("bigint").alias(
+            "tokens_kept"
+        ),
+    )
+    report = feat.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_in"),
+        F.sum(is_quality.cast("bigint")).cast("bigint").alias("docs_quality"),
+    )
+    return (
+        report.join(F.broadcast(survived), "lang", "left")
+        .select(
+            "lang",
+            "docs_in",
+            "docs_quality",
+            F.coalesce("docs_unique", F.lit(0)).alias("docs_unique"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+        .orderBy("lang")
+    )
