@@ -327,3 +327,71 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle_sql="""
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+        ORDER BY c.c_mktsegment
+    """,
+    description="Co-located join via bucketed tables — the 100 TB "
+    "shuffle-elimination pattern made executable: both sides are landed "
+    "as catalog tables bucketed (and sorted) by the join key into the "
+    "same bucket count, so the sort-merge join reads bucket i against "
+    "bucket i directly and the joined plan contains NO shuffle exchange "
+    "(asserted in tests/test_plans.py). On a lake, facts are written "
+    "bucketed once at ingest and every subsequent key join rides the "
+    "layout for free; the merge hint pins SMJ so the demo is not "
+    "converted to a broadcast join at fixture scale.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bo, bc = _bucketed_tables(spark, sf_dir)
+    j = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            exact_sum("o_totalprice", 100).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str):
+    """Land orders/customer as 8-bucket catalog tables keyed by custkey
+    and return the bucketed readers. Overwrite keeps the op idempotent
+    per session and across sf dirs."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    # A managed table's location can survive a previous session whose
+    # in-memory catalog died with it; Spark then refuses to re-create the
+    # table (LOCATION_ALREADY_EXISTS). Drop catalog entry AND location.
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    wh_path = urlparse(wh).path or wh
+    for t in ("bkt_orders", "bkt_customer"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh_path, t), ignore_errors=True)
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_orders")
+    )
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .mode("overwrite")
+        .saveAsTable("bkt_customer")
+    )
+    return spark.table("bkt_orders"), spark.table("bkt_customer")

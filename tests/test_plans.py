@@ -116,3 +116,17 @@ def test_q3_broadcasts_filtered_dims_and_takes_topk(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """join_bucketed_colocated: both sides bucketed by the join key into
+    the same bucket count — the sort-merge join must read bucket-aligned
+    splits with no Exchange anywhere in the joined plan."""
+    from etl_intraday_bidask_spark.operators.joins import _bucketed_tables
+    from tests.conftest import SF_SMALL
+
+    bo, bc = _bucketed_tables(spark, SF_SMALL)
+    j = bo.hint("merge").join(bc, bo.o_custkey == bc.c_custkey)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, "bucketed join must not shuffle"
