@@ -332,3 +332,98 @@ def knn_sim_join_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_raw_sim")
         .orderBy("a_id", "b_id")
     )
+
+
+@register(
+    "sample_domain_mix",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   row_number() OVER (
+                       PARTITION BY source ORDER BY doc_id) AS rn,
+                   CASE WHEN CAST(substring(source, 4) AS INT) < 10
+                        THEN 2 ELSE 5 END AS rate
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS docs_in,
+               CAST(count(*) FILTER (WHERE rn % rate = 1) AS BIGINT)
+                   AS docs_kept,
+               CAST(coalesce(sum(n_tokens) FILTER (WHERE rn % rate = 1), 0)
+                    AS BIGINT) AS tokens_kept
+        FROM ranked
+        GROUP BY source
+        ORDER BY source
+    """,
+    description="Weighted domain mixing — the LLM training-data sampling "
+    "op: each source stratum keeps a deterministic systematic fraction "
+    "(1-in-2 for src0-src9, 1-in-5 for the rest) selected by rank within "
+    "the stratum, reported as per-source docs in/kept and tokens kept. "
+    "Deterministic modular selection replaces seeded Bernoulli sampling "
+    "so both engines pick identical rows (and reruns are reproducible — "
+    "a pipeline requirement). At 100 TB this is one window per stratum "
+    "key; with a monotonic doc_id the rank can be replaced by "
+    "doc_id % rate, removing even the window.",
+)
+def sample_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    rate = F.when(
+        F.substring("source", 4, 10).cast("int") < 10, F.lit(2)
+    ).otherwise(F.lit(5))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.row_number().over(w).alias("rn"),
+        rate.alias("rate"),
+    )
+    kept = (F.col("rn") % F.col("rate") == 1).cast("bigint")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs_in"),
+            F.sum(kept).cast("bigint").alias("docs_kept"),
+            F.coalesce(F.sum(F.when(F.col("rn") % F.col("rate") == 1,
+                                    F.col("n_tokens"))), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_redact_pii",
+    oracle_sql="""
+        SELECT
+            c_custkey,
+            regexp_replace(c_name, '[0-9]+', '<NUM>', 'g') AS name_redacted,
+            CAST(len(regexp_extract_all(c_name, '[0-9]+')) AS BIGINT)
+                AS n_redactions,
+            md5(regexp_replace(c_name, '[0-9]+', '<NUM>', 'g'))
+                AS redacted_hash
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    description="PII-style redaction pass over the customer dimension: "
+    "digit runs in c_name replaced by a <NUM> placeholder, per-row "
+    "redaction count, and an md5 of the redacted form (the content key "
+    "a scrubbed corpus dedups on). The same regexp_replace shape handles "
+    "emails/phones at ingest; pure narrow JVM transforms, no shuffle, "
+    "fully pushdown-friendly at lake scale.",
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    redacted = F.regexp_replace("c_name", "[0-9]+", "<NUM>")
+    return cust.select(
+        "c_custkey",
+        redacted.alias("name_redacted"),
+        F.size(F.regexp_extract_all("c_name", F.lit("[0-9]+"), 0))
+        .cast("bigint")
+        .alias("n_redactions"),
+        F.md5(redacted).alias("redacted_hash"),
+    ).orderBy("c_custkey")
