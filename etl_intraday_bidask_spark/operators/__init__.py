@@ -10,6 +10,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     multimodal,
     projection,
     relational_ext,
+    relational_ext2,
     scalar_funcs,
     scans,
     setops,
