@@ -3,6 +3,7 @@ operator into :mod:`etl_intraday_bidask_spark.registry`."""
 
 from etl_intraday_bidask_spark.operators import (  # noqa: F401
     aggregates,
+    corpus_ops,
     dedup_advanced,
     etl_ext,
     joins,

@@ -1,0 +1,205 @@
+"""Corpus-level training-data operators (SURVEY.md §2.19): unigram
+language-model scoring, deterministic hash-bucket sampling, corpus
+length histograms, and embedding centroid statistics.
+
+These extend the §2.14 per-document text analysis with the
+*corpus-wide* statistics a pretraining-data pipeline computes between
+dedup and sampling: CCNet-style LM quality scores need a corpus
+unigram table; sampling needs a deterministic, replayable doc filter;
+curriculum/mix decisions need length and embedding-space diagnostics.
+
+Scale notes: the unigram score is two shuffles (token agg, then doc
+agg) plus one token-keyed equi join — the vocabulary side is Zipf-
+bounded (≪ corpus size) and broadcastable when it fits; hash-bucket
+sampling is a narrow stateless filter (zero shuffle before the final
+tiny aggregate) and trivially reshardable because membership depends
+only on doc_id; the histogram and centroid stats are single two-phase
+hash aggregates. Centroid math quantizes float32 components onto an
+exact 1e-4 integer grid so partial-sum order cannot perturb results —
+the same scaled-integer policy as money columns (functions/parity.py).
+
+Parity notes: every float emitted is either round(…, 4) of an
+irrational (ln/avg-of-ln) or a bit-identical single division/sqrt over
+exact BIGINTs; DuckDB's parallel ``unnest(range(len(e)))`` zips
+positionally with ``unnest(e)``, matching Spark's ``posexplode``.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "text_unigram_logprob",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), vocab AS (
+            SELECT token, count(*) AS c FROM toks GROUP BY token
+        ), tot AS (
+            SELECT count(*) AS n_total FROM toks
+        )
+        SELECT t.doc_id,
+               count(*) AS n_tokens,
+               round(ln(max(tt.n_total)) - avg(ln(v.c)), 4) AS nll
+        FROM toks t
+        JOIN vocab v USING (token)
+        CROSS JOIN tot tt
+        GROUP BY t.doc_id
+        ORDER BY t.doc_id
+    """,
+    description="CCNet-style unigram-LM quality score: per-document "
+    "mean negative log-probability −avg(ln(c/N)) = ln(N) − avg(ln(c)) "
+    "under the corpus's own unigram distribution (low = templated/"
+    "repetitive, high = rare-token noise). Two shuffles: token-count "
+    "agg, then doc-level agg; the Zipf-bounded vocab joins back on "
+    "token and the 1-row total broadcasts.",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = toks.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.ln(F.max("n_total")) - F.avg(F.ln("c")), 4).alias("nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "sample_hash_bucket",
+    oracle_sql="""
+        SELECT lang,
+               source,
+               count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents
+        WHERE (doc_id * 48271) % 2147483647 % 10 = 0
+        GROUP BY lang, source
+        ORDER BY lang, source
+    """,
+    description="Deterministic 1-in-10 hash-bucket sample: keep a doc "
+    "iff Lehmer-hash(doc_id) mod 10 = 0 — replayable membership that "
+    "depends only on the key, so reruns, backfills, and downstream "
+    "joins see the same sample on any partitioning. A narrow stateless "
+    "filter (no shuffle until the tiny per-(lang,source) audit agg); "
+    "at lake scale swap the arithmetic hash for xxhash64 once "
+    "cross-engine parity is no longer needed.",
+)
+def sample_hash_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    keep = (F.col("doc_id") * 48271) % 2147483647 % 10 == 0
+    return (
+        docs.where(keep)
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@register(
+    "corpus_length_histogram",
+    oracle_sql="""
+        SELECT lang,
+               n_chars // 64 AS bucket,
+               count(*) AS n_docs,
+               min(n_chars) AS min_chars,
+               max(n_chars) AS max_chars
+        FROM documents
+        GROUP BY lang, bucket
+        ORDER BY lang, bucket
+    """,
+    description="Corpus length histogram: doc counts per language in "
+    "64-char integer buckets (exact integer division — no float "
+    "log-bucket boundary ambiguity across engines). Single two-phase "
+    "hash aggregate; the cut feeds length-filter thresholds in a "
+    "curation pipeline.",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", F.expr("n_chars div 64").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
+    "embed_centroid_stats",
+    oracle_sql="""
+        WITH comp AS (
+            SELECT label,
+                   unnest(range(len(embedding))) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                        AS BIGINT) AS xq
+            FROM embeddings
+        ), per_dim AS (
+            SELECT label, pos,
+                   CAST(sum(xq) AS BIGINT) AS sq,
+                   count(*) AS n
+            FROM comp
+            GROUP BY label, pos
+        )
+        SELECT label,
+               CAST(max(n) AS BIGINT) AS n_vecs,
+               count(*) AS dims,
+               sqrt(CAST(sum(sq * sq) AS DOUBLE)) / 10000.0 / max(n)
+                   AS centroid_norm
+        FROM per_dim
+        GROUP BY label
+        ORDER BY label
+    """,
+    description="Per-label embedding centroid norm — the compactness "
+    "diagnostic for class/cluster structure before ANN index design. "
+    "Components are quantized to an exact 1e-4 integer grid, so every "
+    "aggregate is an exact BIGINT sum; the norm is one sqrt and two "
+    "divisions over those integers, bit-identical across engines "
+    "regardless of partial-sum order. posexplode ⇔ DuckDB's zipped "
+    "parallel unnest. Two hash aggs, shuffles keyed (label,pos) then "
+    "label.",
+)
+def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+    )
+    per_dim = comp.groupBy("label", "pos").agg(
+        F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.count(F.lit(1)).alias("dims"),
+            (
+                F.sqrt(F.sum(F.col("sq") * F.col("sq")).cast("double"))
+                / 10000.0
+                / F.max("n")
+            ).alias("centroid_norm"),
+        )
+        .orderBy("label")
+    )
