@@ -347,3 +347,44 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
     ).orderBy("click_id", "purchase_id")
+
+
+@register(
+    "stream_static_enrich",
+    oracle_sql="""
+        SELECT epoch_us(date_trunc('hour', e.ts)) AS bucket_us,
+               c.c_nationkey AS nationkey,
+               count(*) AS n,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="Stream-static enrichment: the event stream joined to "
+    "the static customer dimension (broadcast — the stream side is "
+    "never shuffled for the join), then hourly bars per nation. The "
+    "canonical streaming-ETL enrich-then-aggregate topology; the "
+    "streaming twin (streaming/replay.py) runs the same plan under "
+    "readStream where the static side is re-broadcast per micro-batch, "
+    "so slowly-changing dims pick up updates between batches.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    return (
+        ev.join(F.broadcast(cust), ev.user_id == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            F.col("c_nationkey").alias("nationkey"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("bucket_us", "nationkey")
+    )

@@ -222,3 +222,95 @@ def win_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("sum_value_1h"),
     )
+
+
+@register(
+    "win_cume_dist",
+    oracle_sql="""
+        SELECT o_orderkey,
+               o_orderpriority,
+               cume_dist() OVER w AS cd,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+                   / CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          OVER (PARTITION BY o_orderpriority) AS BIGINT)
+                   AS ratio_to_report
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+        ORDER BY o_orderkey
+    """,
+    description="cume_dist + ratio-to-report per priority: each order's "
+    "cumulative-distribution position over price and its share of the "
+    "partition's total. Both emitted floats are single IEEE divisions "
+    "of identical integers on both engines (peer counts / n, cents / "
+    "partition-cents), so no rounding is needed; one shuffle on the "
+    "partition key serves both windows.",
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = scaled_long("o_totalprice", 100)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    wp = Window.partitionBy("o_orderpriority")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.cume_dist().over(w).alias("cd"),
+        (cents / F.sum(cents).over(wp)).alias("ratio_to_report"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "win_range_frame_dist",
+    oracle_sql="""
+        SELECT o_orderkey,
+               price_cents,
+               cnt_within_1000 AS n_near
+        FROM (
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+                   count(*) OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                       RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW
+                   ) AS cnt_within_1000
+            FROM orders
+        )
+        ORDER BY o_orderkey
+    """,
+    description="Scale-safe twin of win_range_frame: identical result "
+    "(orders priced within $1000 below each order), but instead of a "
+    "global single-task RANGE window, each row probes two $1000-wide "
+    "price buckets (its own and the one below — the frame spans at "
+    "most two) and counts build rows inside the band via a bucket-"
+    "keyed equi join. Shuffles hash on bucket, per-bucket fan-out is "
+    "bounded by bucket occupancy, and no stage ever sees a global "
+    "sort — the VERDICT-flagged mitigation for global range frames, "
+    "implemented rather than just documented (oracle unchanged from "
+    "the window form).",
+)
+def win_range_frame_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    r = orders.select("o_orderkey", cents.alias("price_cents"))
+    probe = r.withColumn(
+        "cand_bucket",
+        F.explode(
+            F.array(
+                F.expr("price_cents div 100000"),
+                F.expr("price_cents div 100000") - 1,
+            )
+        ),
+    )
+    build = r.select(
+        F.expr("price_cents div 100000").alias("bucket"),
+        F.col("price_cents").alias("b_cents"),
+    )
+    return (
+        probe.join(
+            build,
+            (probe.cand_bucket == build.bucket)
+            & (F.col("b_cents") >= F.col("price_cents") - 100000)
+            & (F.col("b_cents") <= F.col("price_cents")),
+        )
+        .groupBy("o_orderkey", "price_cents")
+        .agg(F.count(F.lit(1)).alias("n_near"))
+        .orderBy("o_orderkey")
+    )

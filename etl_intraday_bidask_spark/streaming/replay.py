@@ -217,3 +217,28 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("pts") - F.unix_micros("cts")).alias("lag_us"),
     )
     return _run_to_memory(out, "append")
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of operators.timeseries.stream_static_enrich —
+    stream-static join (static side broadcast each micro-batch) feeding
+    a windowed aggregate."""
+    from etl_intraday_bidask_spark.tables import load
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    agg = (
+        ev.join(F.broadcast(cust), ev.user_id == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("c_nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            F.col("c_nationkey").alias("nationkey"),
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "complete")

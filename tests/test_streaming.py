@@ -19,6 +19,7 @@ TWINS = [
     "stream_ohlc_bars",
     "stream_watermark_dedup",
     "stream_interval_join",
+    "stream_static_enrich",
 ]
 
 
