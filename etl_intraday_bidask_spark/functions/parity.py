@@ -33,9 +33,24 @@ def scaled_long(col: Column | str, scale: int) -> Column:
     """Exact scaled integer of a fixed-decimal column/expression.
 
     DuckDB pair: ``CAST(round(x * {scale}) AS BIGINT)``.
+
+    Implemented as ``floor(x*scale + 0.5)`` rather than ``F.round``:
+    Spark's double ``round`` routes every value through a BigDecimal
+    HALF_UP allocation (measured ~2× the whole aggregate's cost on the
+    8-aggregate pricing query), while ``floor`` is a JVM intrinsic
+    inside codegen. The two are identical on this helper's documented
+    domain: x*scale lands within float ulps of an integer n (that is
+    the exact-decimal-grid precondition), so for either sign of n,
+    ``floor(n ± ε + 0.5) = n`` — the half-boundary where floor-half-up
+    and round-half-away differ is unreachable by construction.
+    (Verified exhaustively over every money/quantity/value expression
+    at sf0.1: zero mismatches vs the BigDecimal form.) Do NOT reuse
+    this shortcut for arbitrary (non-grid) floats — there the boundary
+    is reachable and ``F.round`` must be paired with DuckDB's
+    ``round`` semantics explicitly.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.round(c * F.lit(float(scale))).cast("long")
+    return F.floor(c * F.lit(float(scale)) + F.lit(0.5)).cast("long")
 
 
 def exact_value(col: Column | str, scale: int) -> Column:
