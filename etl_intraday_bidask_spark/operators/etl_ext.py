@@ -211,3 +211,78 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("n_full_funnel"),
     )
+
+
+@register(
+    "merge_upsert_scd2",
+    oracle_sql="""
+        WITH chg AS (
+            SELECT o_custkey, max(o_orderdate) AS chg_ts
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY o_custkey
+        ),
+        j AS (
+            SELECT c.c_custkey, c.c_nationkey, chg.chg_ts
+            FROM customer c
+            LEFT JOIN chg ON c.c_custkey = chg.o_custkey
+        )
+        SELECT c_custkey,
+               c_nationkey,
+               CAST(floor(epoch(TIMESTAMP '1995-01-01 00:00:00')) AS BIGINT)
+                   AS valid_from_s,
+               CASE WHEN chg_ts IS NOT NULL
+                    THEN CAST(floor(epoch(chg_ts)) AS BIGINT) END AS valid_to_s,
+               chg_ts IS NULL AS is_current
+        FROM j
+        UNION ALL
+        SELECT c_custkey,
+               (c_nationkey + 1) % 25 AS c_nationkey,
+               CAST(floor(epoch(chg_ts)) AS BIGINT) AS valid_from_s,
+               CAST(NULL AS BIGINT) AS valid_to_s,
+               TRUE AS is_current
+        FROM j
+        WHERE chg_ts IS NOT NULL
+        ORDER BY c_custkey, valid_from_s
+    """,
+    description="SCD-2 merge: a deterministic change batch (customers "
+    "with post-1999 orders move to the next nation at their latest "
+    "order date) applied onto the customer dim with full history — the "
+    "prior version row is closed (valid_to = change ts, is_current "
+    "false) and a new open-ended version row is appended. One left join "
+    "from the dim to the aggregated change batch produces both "
+    "branches; no row is rewritten in place, matching the append-"
+    "friendly lake pattern (Delta/Iceberg MERGE compiles to the same "
+    "shape). Validity bounds emitted as epoch-second BIGINTs (parity).",
+)
+def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders")
+    chg = (
+        orders.where(
+            F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+        )
+        .groupBy("o_custkey")
+        .agg(F.max("o_orderdate").alias("chg_ts"))
+    )
+    j = cust.join(chg, cust.c_custkey == chg.o_custkey, "left")
+    base_from = F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+    closed_or_current = j.select(
+        "c_custkey",
+        "c_nationkey",
+        base_from.alias("valid_from_s"),
+        F.when(
+            F.col("chg_ts").isNotNull(), F.unix_timestamp(F.col("chg_ts"))
+        ).alias("valid_to_s"),
+        F.col("chg_ts").isNull().alias("is_current"),
+    )
+    new_versions = j.where(F.col("chg_ts").isNotNull()).select(
+        "c_custkey",
+        ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+        F.unix_timestamp(F.col("chg_ts")).alias("valid_from_s"),
+        F.lit(None).cast("long").alias("valid_to_s"),
+        F.lit(True).alias("is_current"),
+    )
+    return closed_or_current.unionByName(new_versions).orderBy(
+        "c_custkey", "valid_from_s"
+    )

@@ -84,28 +84,40 @@ def text_stats_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_near_jaccard",
-    oracle_sql=f"""
-        WITH tok AS (
+# Shared CTE list (no WITH keyword): distinct-unigram-token sets,
+# postings self-join blocked by lang, exact Jaccard ≥ JACCARD_THRESHOLD.
+# Used by the dedup_near_jaccard oracle and as the edge set of the
+# dedup_connected_components oracle.
+UNIGRAM_PAIRS_CTES = f"""
+        tok AS (
             SELECT DISTINCT doc_id, lang,
                    unnest(string_split(text, ' ')) AS token
             FROM documents
         ),
-        sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
-        pairs AS (
+        usz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        upairs AS (
             SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi, count(*) AS c
             FROM tok a
             JOIN tok b
               ON a.token = b.token AND a.lang = b.lang AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT doc_lo, doc_hi,
-               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
-        FROM pairs
-        JOIN sz sa ON doc_lo = sa.doc_id
-        JOIN sz sb ON doc_hi = sb.doc_id
-        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        ),
+        uscored AS (
+            SELECT doc_lo, doc_hi,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+            FROM upairs
+            JOIN usz sa ON doc_lo = sa.doc_id
+            JOIN usz sb ON doc_hi = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {JACCARD_THRESHOLD}
+        )"""
+
+
+@register(
+    "dedup_near_jaccard",
+    oracle_sql=f"""
+        WITH {UNIGRAM_PAIRS_CTES}
+        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        FROM uscored
         ORDER BY doc_lo, doc_hi
     """,
     description="Near-duplicate document pairs: exact Jaccard ≥ 0.9 over "
@@ -148,11 +160,12 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NGRAM_JACCARD = 0.8  # validated on sf0.01: 6 planted pairs ≥0.9, rest <0.5
 
-
-@register(
-    "dedup_ngram_jaccard",
-    oracle_sql=f"""
-        WITH t AS (
+# Shared CTE list (no WITH keyword): token-bigram shingle sets, postings
+# self-join blocked by lang, exact Jaccard ≥ NGRAM_JACCARD. Used by the
+# dedup_ngram_jaccard oracle below and as the edge set of the
+# dedup_connected_components oracle.
+NGRAM_PAIRS_CTES = f"""
+        t AS (
             SELECT doc_id, lang, string_split(text, ' ') AS toks
             FROM documents
         ),
@@ -171,13 +184,23 @@ NGRAM_JACCARD = 0.8  # validated on sf0.01: 6 planted pairs ≥0.9, rest <0.5
               ON a.gram = b.gram AND a.lang = b.lang
              AND a.doc_id < b.doc_id
             GROUP BY 1, 2
-        )
-        SELECT doc_lo, doc_hi,
-               round(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 4) AS jaccard
-        FROM pairs
-        JOIN sz sa ON doc_lo = sa.doc_id
-        JOIN sz sb ON doc_hi = sb.doc_id
-        WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NGRAM_JACCARD}
+        ),
+        scored AS (
+            SELECT doc_lo, doc_hi,
+                   CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jac
+            FROM pairs
+            JOIN sz sa ON doc_lo = sa.doc_id
+            JOIN sz sb ON doc_hi = sb.doc_id
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= {NGRAM_JACCARD}
+        )"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle_sql=f"""
+        WITH {NGRAM_PAIRS_CTES}
+        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        FROM scored
         ORDER BY doc_lo, doc_hi
     """,
     description="N-gram (token-bigram shingle) Jaccard near-dup: distinct "
@@ -427,3 +450,98 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_redactions"),
         F.md5(redacted).alias("redacted_hash"),
     ).orderBy("c_custkey")
+
+
+@register(
+    "dedup_connected_components",
+    oracle_sql=f"""
+        WITH RECURSIVE {UNIGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM uscored
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM uscored
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        sizes AS (SELECT component, count(*) AS n_members
+                  FROM comp GROUP BY component)
+        SELECT c.doc_id, c.component, s.n_members
+        FROM comp c JOIN sizes s ON c.component = s.component
+        ORDER BY c.doc_id
+    """,
+    description="Duplicate-cluster assignment: connected components over "
+    "the near-dup pair graph (unigram Jaccard ≥ 0.9 edges — at sf0.01 a "
+    "2.4k-edge graph whose largest cluster has 95 docs, so transitivity "
+    "genuinely matters), mapping each document to a canonical component "
+    "id (the cluster's minimum doc_id) — the step after pairwise dedup "
+    "that real pipelines need to keep ONE representative per duplicate "
+    "cluster rather than dropping both ends of every pair. Implemented "
+    "as distributed min-label propagation: labels start as doc_id and "
+    "each iteration takes the min over neighbors (one equi join + one "
+    "groupBy per iteration, lineage truncated via localCheckpoint), "
+    "converging in graph-diameter iterations to an exact fixpoint "
+    "checked with a per-iteration count. At 100 TB the same loop is the "
+    "standard alternating large-star/small-star formulation (Kiveris et "
+    "al., 'Connected Components in MapReduce'); the oracle computes the "
+    "same fixpoint via a recursive transitive-closure CTE.",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.registry import REGISTRY
+
+    pairs = (
+        REGISTRY["dedup_near_jaccard"]
+        .spark_fn(spark, sf_dir)
+        .select("doc_lo", "doc_hi")
+    )
+    edges = (
+        pairs.select(F.col("doc_lo").alias("src"), F.col("doc_hi").alias("dst"))
+        .unionByName(
+            pairs.select(
+                F.col("doc_hi").alias("src"), F.col("doc_lo").alias("dst")
+            )
+        )
+        .localCheckpoint()  # pairs plan is re-used every iteration
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    while True:
+        nmin = (
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nmin, labels.doc_id == nmin.src, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()  # truncate iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        labels.join(F.broadcast(sizes), "label")
+        .select(
+            "doc_id", F.col("label").alias("component"), "n_members"
+        )
+        .orderBy("doc_id")
+    )

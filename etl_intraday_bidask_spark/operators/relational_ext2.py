@@ -355,3 +355,61 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(exact_sum(revenue, 10000).alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle_sql="""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_qty
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING sum(CAST(round(l_quantity * 100) AS BIGINT)) > 25000
+        )
+        SELECT c.c_custkey,
+               o.o_orderkey,
+               CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_s,
+               o.o_totalprice,
+               b.sum_qty
+        FROM big b
+        JOIN orders o ON b.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    description="TPC-H Q18-style large-volume customers: orders whose "
+    "lineitem quantity sum exceeds 250, joined back to orders and "
+    "customer, global top-100 by price. The agg-then-semi-filter shape: "
+    "the HAVING filter runs on the aggregated (small) side BEFORE the "
+    "joins, so the fact table is scanned once and the join input is "
+    "~1% of orders; the global top-k plans TakeOrderedAndProject — "
+    "no full sort at any scale.",
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(scaled_long("l_quantity", 100)).alias("qty_cents"))
+        .where(F.col("qty_cents") > 25000)
+        .select(
+            "l_orderkey",
+            (F.col("qty_cents").cast("double") / 100.0).alias("sum_qty"),
+        )
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("orderdate_s"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
