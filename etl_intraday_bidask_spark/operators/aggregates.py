@@ -341,3 +341,44 @@ def agg_rollup_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderstatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "sql_api_pricing",
+    oracle_sql="""
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_base_price,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    description="The SQL entry point: the same engine surface driven "
+    "through spark.sql() over a registered temp view instead of the "
+    "DataFrame API — both produce the identical Catalyst logical plan, "
+    "so everything SCALE.md documents (pushdown, two-phase agg, AQE) "
+    "applies unchanged; this op pins that equivalence into the graded "
+    "contract. Scaled-integer sums written directly in Spark SQL "
+    "(floor(x*100 + 0.5), the scaled_long pairing).",
+)
+def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_sql_api")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               l_linestatus,
+               CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_qty,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_base_price,
+               count(*) AS n
+        FROM lineitem_sql_api
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )

@@ -286,3 +286,48 @@ def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed_or_current.unionByName(new_versions).orderBy(
         "c_custkey", "valid_from_s"
     )
+
+
+@register(
+    "etl_incremental_highwater",
+    oracle_sql="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    description="Incremental load via high-water mark: the 'already "
+    "materialized' partial aggregate (orders before 1999-01-01) and the "
+    "'new batch' partial (at-or-after) are computed separately and "
+    "merged by re-aggregating the additive partials (counts and exact "
+    "cent sums) — the incremental-refresh shape that lets a nightly "
+    "job re-aggregate only the new partition instead of 100 TB of "
+    "history. The oracle is the direct full aggregate: merging partials "
+    "MUST be indistinguishable from recomputing, which is exactly what "
+    "additive statistics guarantee (and non-additive ones, like exact "
+    "medians, do not — those need full recompute or sketches).",
+)
+def etl_incremental_highwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    hwm = F.lit("1999-01-01").cast("timestamp")
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.sum(scaled_long("o_totalprice", 100)).alias("pcents"),
+        )
+
+    old_part = partial(orders.where(F.col("o_orderdate") < hwm))
+    new_part = partial(orders.where(F.col("o_orderdate") >= hwm))
+    return (
+        old_part.unionByName(new_part)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum("pn").alias("n"),
+            (F.sum("pcents").cast("double") / 100.0).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -545,3 +545,70 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle_sql=f"""
+        WITH RECURSIVE {UNIGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM uscored
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM uscored
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        ranked AS (
+            SELECT c.component, c.doc_id, d.n_chars,
+                   count(*) OVER (PARTITION BY c.component) AS n_members,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rn
+            FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+        )
+        SELECT component,
+               doc_id AS kept_doc,
+               n_chars AS kept_chars,
+               n_members
+        FROM ranked
+        WHERE rn = 1
+        ORDER BY component
+    """,
+    description="Canonical-representative selection: within each near-"
+    "duplicate cluster (the connected components of the unigram Jaccard "
+    "graph) keep exactly one document — the longest, ties to the lowest "
+    "doc_id. This is the survivor-pick that completes the dedup "
+    "pipeline: pairwise detection → cluster assignment → ONE kept doc "
+    "per cluster (keeping the most complete copy, not an arbitrary "
+    "pair endpoint). One window over the tiny component relation after "
+    "the propagation loop; the documents join is broadcast-size here "
+    "and key-partitioned at lake scale.",
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from etl_intraday_bidask_spark.registry import REGISTRY
+
+    comp = REGISTRY["dedup_connected_components"].spark_fn(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        comp.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("kept_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            "n_members",
+        )
+        .orderBy("component")
+    )

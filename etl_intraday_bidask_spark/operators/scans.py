@@ -170,3 +170,71 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
             exact_sum("l_extendedprice", 100).alias("sum_price"),
         )
     )
+
+
+def _interleave_sql(x: str, y: str, bits: int = 16) -> str:
+    """SQL expression interleaving the low ``bits`` of x (even positions)
+    and y (odd positions) into a Morton/Z-order value. Pure integer
+    arithmetic (shift/mask/multiply) — identical in Spark SQL and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({x} >> {i}) & 1) * {1 << (2 * i)})")
+        terms.append(f"((({y} >> {i}) & 1) * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+@register(
+    "sort_zorder_layout",
+    oracle_sql=f"""
+        WITH keyed AS (
+            SELECT o_orderkey,
+                   o_custkey % 65536 AS xk,
+                   CAST(floor((epoch(o_orderdate)
+                               - epoch(TIMESTAMP '1995-01-01 00:00:00'))
+                              / 86400) AS BIGINT) % 65536 AS yk
+            FROM orders
+        )
+        SELECT o_orderkey,
+               xk, yk,
+               CAST({_interleave_sql('xk', 'yk')} AS BIGINT) AS zval
+        FROM keyed
+        ORDER BY zval, o_orderkey
+        LIMIT 200
+    """,
+    description="Z-order (Morton) layout key over (custkey, order-day): "
+    "bit-interleaving both dimensions into one sort key so that sorting "
+    "by it co-locates rows that are close in EITHER dimension — the "
+    "multi-dimensional clustering that makes parquet row-group min/max "
+    "pruning effective for queries filtering on either column (the "
+    "OPTIMIZE ZORDER pattern of lakehouse table formats, expressed as "
+    "pure integer arithmetic any engine can evaluate). The sort is the "
+    "normal distributed range-partitioned sort; emitting the top-200 "
+    "curve prefix keeps the graded result bounded.",
+)
+def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    base_epoch = "epoch(TIMESTAMP '1995-01-01 00:00:00')"
+    keyed = orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xk"),
+        (
+            F.floor(
+                (
+                    F.unix_timestamp("o_orderdate")
+                    - F.unix_timestamp(F.lit("1995-01-01").cast("timestamp"))
+                )
+                / 86400
+            ).cast("long")
+            % 65536
+        ).alias("yk"),
+    )
+    return (
+        keyed.select(
+            "o_orderkey",
+            "xk",
+            "yk",
+            F.expr(_interleave_sql("xk", "yk")).cast("long").alias("zval"),
+        )
+        .orderBy("zval", "o_orderkey")
+        .limit(200)
+    )

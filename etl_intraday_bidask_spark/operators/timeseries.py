@@ -388,3 +388,48 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_us", "nationkey")
     )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle_sql="""
+        SELECT coalesce(epoch_us(date_trunc('day', ts)), -1) AS day_us,
+               coalesce(epoch_us(date_trunc('hour', ts)), -1) AS hour_us,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+                   AS sum_value
+        FROM events
+        GROUP BY ROLLUP (date_trunc('day', ts), date_trunc('hour', ts))
+        ORDER BY day_us, hour_us
+    """,
+    description="Time-hierarchy rollup (the hypertable continuous-"
+    "aggregate shape): one pass over events produces hour-level bars, "
+    "day-level subtotals, and the grand total via ROLLUP on the "
+    "(day, hour) truncation hierarchy — Expand multiplies rows by the "
+    "3 grouping levels BEFORE the shuffle and partial aggregation "
+    "collapses each level map-side, so the shuffle carries ~|groups| "
+    "rows. Null subtotal keys are emitted as -1 sentinels (both "
+    "engines), never raw NULL timestamps.",
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.select(
+            F.unix_micros(day).alias("d_us"), F.unix_micros(hour).alias("h_us"),
+            "value",
+        )
+        .rollup("d_us", "h_us")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("d_us", F.lit(-1)).alias("day_us"),
+            F.coalesce("h_us", F.lit(-1)).alias("hour_us"),
+            "n",
+            "sum_value",
+        )
+        .orderBy("day_us", "hour_us")
+    )
