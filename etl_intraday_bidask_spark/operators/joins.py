@@ -395,3 +395,38 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str):
         .saveAsTable("bkt_customer")
     )
     return spark.table("bkt_orders"), spark.table("bkt_customer")
+
+
+@register(
+    "join_null_safe_eq",
+    oracle_sql="""
+        WITH dim AS (
+            SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS grp_n
+            FROM orders
+            GROUP BY nullif(o_orderstatus, 'P')
+        )
+        SELECT o.o_orderstatus,
+               count(*) AS n,
+               max(d.grp_n) AS grp_n
+        FROM orders o
+        JOIN dim d ON nullif(o.o_orderstatus, 'P') IS NOT DISTINCT FROM d.k
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+    """,
+    description="Null-safe equality join (<=> / IS NOT DISTINCT FROM): "
+    "rows whose derived key is NULL (here 'P' orders via nullif) still "
+    "match the dim's NULL row, where plain = would silently drop them — "
+    "the dimension-with-unknown-member pattern. Spark plans <=> as a "
+    "normal hash join key (NULL hashes to a regular bucket), so it "
+    "broadcasts/shuffles exactly like =; no BNLJ degeneration.",
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    dim = orders.groupBy(key.alias("k")).agg(F.count(F.lit(1)).alias("grp_n"))
+    return (
+        orders.join(F.broadcast(dim), key.eqNullSafe(F.col("k")))
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("grp_n").alias("grp_n"))
+        .orderBy("o_orderstatus")
+    )

@@ -291,3 +291,39 @@ def regexp_extract_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_words"),
         F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
     )
+
+
+@register(
+    "json_variant_get",
+    oracle_sql="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS min_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Spark 4 VARIANT path for semi-structured data: "
+    "parse_json(props) produces the binary VARIANT encoding once, and "
+    "variant_get('$.k') navigates it without re-parsing — on repeated "
+    "multi-path extraction this replaces N string parses per row with "
+    "one (the shredded-JSON lakehouse pattern); contrast json_get, "
+    "which re-parses per extraction. Same aggregate contract as the "
+    "string-path op, so the two are directly comparable.",
+)
+def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+        )
+        .orderBy("event_type")
+    )

@@ -238,3 +238,50 @@ def sort_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zval", "o_orderkey")
         .limit(200)
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle_sql="""
+        WITH ticks AS (
+            SELECT i AS tick_id,
+                   (i * 1103515245 + 12345) % 2147483648 % 10000 AS px_cents,
+                   CASE WHEN i % 2 = 0 THEN 'bid' ELSE 'ask' END AS side
+            FROM generate_series(0, 9999) AS t(i)
+        )
+        SELECT side,
+               count(*) AS n,
+               CAST(sum(px_cents) AS BIGINT) AS sum_px_cents,
+               min(px_cents) AS min_px,
+               max(px_cents) AS max_px
+        FROM ticks
+        GROUP BY side
+        ORDER BY side
+    """,
+    description="Custom Python Data Source (Spark 4 pyspark.sql."
+    "datasource API): a partitioned synthetic tick feed — the driver "
+    "plans one InputPartition per shard and each task generates only "
+    "its shard, the same parallel-read contract a real connector "
+    "(internal feed, REST pagination, bespoke binary format) "
+    "implements. Every value is a pure LCG function of the row index "
+    "(sources/tick_source.py), so the DuckDB oracle reproduces the "
+    "stream arithmetically from generate_series — a custom SOURCE that "
+    "is still hash-gradable.",
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.sources.tick_source import TickDataSource
+
+    # Idempotent per session: re-registering the same name is allowed
+    # and cheap; the driver's grading session registers it on first use.
+    spark.dataSource.register(TickDataSource)
+    ticks = spark.read.format("synthetic_ticks").load()
+    return (
+        ticks.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("px_cents").alias("sum_px_cents"),
+            F.min("px_cents").alias("min_px"),
+            F.max("px_cents").alias("max_px"),
+        )
+        .orderBy("side")
+    )

@@ -226,3 +226,101 @@ def udaf_cogrouped_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_purchase double, sum_view double",
         )
     )
+
+
+@register(
+    "udf_arrow_scalar",
+    oracle_sql="""
+        SELECT event_id,
+               upper(event_type) || ':' ||
+                   CAST(CAST(floor(value) AS BIGINT) AS VARCHAR) AS tag
+        FROM events
+        ORDER BY event_id
+    """,
+    description="Arrow-optimized Python scalar UDF (Spark 4 "
+    "@udf(useArrow=True)): rows cross the JVM↔Python boundary as Arrow "
+    "batches instead of pickled rows, ~2-5× the row-at-a-time pickle "
+    "path while keeping plain-Python (non-pandas) per-value semantics — "
+    "the migration target for legacy @udf code that can't be "
+    "vectorized. The function itself is trivial string math so the "
+    "boundary, not the body, is what's graded.",
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    @udf(StringType(), useArrow=True)
+    def tag(event_type: str, value: float) -> str:
+        import math
+
+        return f"{event_type.upper()}:{int(math.floor(value))}"
+
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", tag("event_type", "value").alias("tag")
+    ).orderBy("event_id")
+
+
+@register(
+    "udtf_mapinarrow",
+    oracle_sql="""
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="mapInArrow partition transform: each task's rows "
+    "arrive as pyarrow RecordBatches and are reduced with pyarrow "
+    "compute kernels (C++-vectorized, zero pandas materialization) "
+    "into per-batch partial (count, exact cent sum) rows; a JVM-side "
+    "re-aggregation merges the partials. This is the lowest-overhead "
+    "Python boundary Spark offers — the right escape hatch when the "
+    "per-batch logic needs Arrow-native libraries (tokenizers, image "
+    "codecs) rather than pandas. Additive partials keep it exactly "
+    "hash-gradable, per the same argument as foreachbatch compaction.",
+)
+def udtf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def partial_cents(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            cents = pc.cast(
+                pc.floor(pc.add(pc.multiply(batch.column("value"), 100.0), 0.5)),
+                pa.int64(),
+            )
+            tbl = pa.table(
+                {"event_type": batch.column("event_type"), "cents": cents}
+            )
+            agg = tbl.group_by("event_type").aggregate(
+                [("cents", "sum"), ("cents", "count")]
+            )
+            # group_by may emit dictionary/chunked columns; cast back to
+            # the exact declared output types before handing to the JVM.
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(
+                        agg.column("event_type").combine_chunks(), pa.string()
+                    ),
+                    pc.cast(agg.column("cents_count").combine_chunks(), pa.int64()),
+                    pc.cast(agg.column("cents_sum").combine_chunks(), pa.int64()),
+                ],
+                names=["event_type", "pn", "pcents"],
+            )
+
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    partials = ev.mapInArrow(
+        partial_cents, "event_type string, pn bigint, pcents bigint"
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("pcents").alias("sum_cents"),
+        )
+        .orderBy("event_type")
+    )

@@ -120,3 +120,4 @@ def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.sum("partial_n").alias("n_events"))
     )
+
