@@ -45,6 +45,8 @@ EXECUTES_ON_BUILD = {
 # The declared Python-boundary surface (SURVEY.md §2.11, §2.13).
 PYTHON_ALLOWED = {
     "udf_python_scalar",
+    "udf_arrow_scalar",
+    "udtf_mapinarrow",
     "udaf_grouped_pandas",
     "udaf_cogrouped_pandas",
     "udtf_python_ngrams",

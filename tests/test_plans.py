@@ -130,3 +130,46 @@ def test_bucketed_join_has_no_shuffle(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" in plan
     assert "Exchange" not in plan, "bucketed join must not shuffle"
+
+
+def test_q5_broadcasts_dims_no_cartesian(spark):
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "supplier/nation/region should broadcast"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_range_frame_dist_has_no_window(spark):
+    # The scale-safe twin must NOT contain the single-task global
+    # WindowExec that win_range_frame declares — that is its point.
+    plan = plan_of(spark, "win_range_frame_dist")
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_zorder_sorts_via_take_ordered(spark):
+    plan = plan_of(spark, "sort_zorder_layout")
+    assert "TakeOrderedAndProject" in plan, (
+        "z-order top-k should never globally sort"
+    )
+
+
+def test_variant_get_stays_jvm_side(spark):
+    plan = plan_of(spark, "json_variant_get")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_q18_filters_before_joins(spark):
+    plan = plan_of(spark, "q18_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sessionize_single_exchange(spark):
+    # Both window passes and the final aggregate share the user_id
+    # hash partitioning: exactly one hash exchange over the events scan
+    # (the only other exchange is the output orderBy's range partition).
+    plan = plan_of(spark, "sessionize_gaps_islands")
+    assert plan.count("hashpartitioning") == 1, plan
