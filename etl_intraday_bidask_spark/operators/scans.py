@@ -285,3 +285,64 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("side")
     )
+
+
+@register(
+    "scan_schema_evolution",
+    oracle_sql="""
+        WITH unified AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderstatus = 'O'
+            UNION ALL
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT coalesce(o_orderpriority, 'LEGACY') AS pri,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total
+        FROM unified
+        GROUP BY pri
+        ORDER BY pri
+    """,
+    description="Schema evolution on read: two parquet drops written "
+    "with different schemas (a legacy writer without o_orderpriority, "
+    "a current writer with it) unified by mergeSchema=true — missing "
+    "columns surface as NULLs, the additive-column evolution every "
+    "long-lived lake accumulates. mergeSchema costs a footer read per "
+    "file (not a data scan), which is why production lakes pin the "
+    "merged schema in a catalog instead of re-merging per query; the "
+    "NULL-vs-'LEGACY' coalesce is the standard back-compat projection.",
+)
+def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    orders = load(spark, sf_dir, "orders")
+    lake = _tf.mkdtemp(prefix="schema_evo_")
+    # Legacy writer: no priority column yet.
+    (
+        orders.where(F.col("o_orderstatus") == "O")
+        .select("o_orderkey", "o_totalprice")
+        .write.mode("overwrite")
+        .parquet(f"{lake}/drop=legacy")
+    )
+    # Current writer: priority added.
+    (
+        orders.where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(f"{lake}/drop=current")
+    )
+    unified = spark.read.option("mergeSchema", "true").parquet(
+        f"{lake}/drop=legacy", f"{lake}/drop=current"
+    )
+    return (
+        unified.groupBy(
+            F.coalesce("o_orderpriority", F.lit("LEGACY")).alias("pri")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("o_totalprice", 100).alias("total"),
+        )
+        .orderBy("pri")
+    )

@@ -30,6 +30,9 @@ REGISTRY = load_all_operators()
 # already runs jobs, so they are exercised by test_parity instead.
 EXECUTES_ON_BUILD = {
     "sink_parquet_partitioned",
+    "scan_schema_evolution",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
     "scan_partition_pruned",
     "join_dynamic_partition_pruning",
     "source_csv_roundtrip",
