@@ -3,7 +3,7 @@ factor and prints ONE JSON line for the driver.
 
 Usage: ``python bench.py`` (env: ``SPARK_GRAFT_SF_DIR`` fixture dir,
 default /root/testdata/sf0.1; ``SPARK_GRAFT_CPUS`` local cores,
-default 32; ``SPARK_GRAFT_BENCH_RUNS`` timed runs per query, default 3).
+default 32; ``SPARK_GRAFT_BENCH_RUNS`` timed runs per query, default 5).
 
 The query set mirrors BASELINE.md (measured DuckDB 1.0.0 on the same
 machine/fixtures). Timing = full materialization (``collect()``), after
@@ -34,7 +34,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     # Infer sf from the directory name (e.g. ".../sf0.1" -> 0.1).
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
