@@ -45,6 +45,21 @@ AUDITED = [
     "bidask_effective_spread",
     "win_time_range_frame",
     "knn_ivf_kmeans",
+    # Round-2 wave-2 ops where partitioning could plausibly leak:
+    "sessionize_gaps_islands",
+    "join_asof_forward",
+    "anomaly_zscore",
+    "q5_local_supplier_volume",
+    "q18_large_volume_customer",
+    "win_cume_dist",
+    "win_range_frame_dist",
+    "text_unigram_logprob",
+    "embed_centroid_stats",
+    "dedup_connected_components",
+    "dedup_keep_canonical",
+    "sort_zorder_layout",
+    "rollup_time_hierarchy",
+    "udtf_mapinarrow",
 ]
 
 
