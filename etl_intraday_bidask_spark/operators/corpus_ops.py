@@ -203,3 +203,148 @@ def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "dedup_containment",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT DISTINCT doc_id, lang,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+            FROM tok a
+            JOIN tok b
+              ON a.token = b.token AND a.lang = b.lang
+             AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a AS contained_doc,
+               i.doc_b AS container_doc,
+               round(CAST(i.c AS DOUBLE) / sa.n, 4) AS containment
+        FROM inter i
+        JOIN sz sa ON i.doc_a = sa.doc_id
+        JOIN sz sb ON i.doc_b = sb.doc_id
+        WHERE CAST(i.c AS DOUBLE) / sa.n >= 0.95
+          AND sa.n < sb.n
+        ORDER BY contained_doc, container_doc
+    """,
+    description="Containment near-dup (Broder's asymmetric measure): "
+    "doc A is flagged against a strictly larger doc B when "
+    "|A∩B|/|A| ≥ 0.95 over distinct token sets — catches quotes, "
+    "excerpts, and wrapper pages that symmetric Jaccard misses "
+    "(a 30-token excerpt inside a 300-token page has Jaccard ≤ 0.1 "
+    "but containment 1.0). Same lang-blocked postings self-join "
+    "backbone as the Jaccard ops, so the scale ladder (df-ceiling, "
+    "MinHash banding) applies unchanged; the size predicate "
+    "orients each surviving pair.",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    contain = F.col("c").cast("double") / F.col("sa.n")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .where((contain >= 0.95) & (F.col("sa.n") < F.col("sb.n")))
+        .select(
+            F.col("doc_a").alias("contained_doc"),
+            F.col("doc_b").alias("container_doc"),
+            F.round(contain, 4).alias("containment"),
+        )
+        .orderBy("contained_doc", "container_doc")
+    )
+
+
+@register(
+    "sample_temperature_mix",
+    oracle_sql="""
+        WITH sizes AS (
+            SELECT source, count(*) AS n_src
+            FROM documents
+            GROUP BY source
+        ),
+        tot AS (SELECT sum(n_src) AS n_all FROM sizes),
+        -- T=2 temperature flattening: weight ∝ share^(1/2); keep-rate
+        -- per source normalized so the max-share source keeps ~1/2.
+        rates AS (
+            SELECT s.source,
+                   sqrt(CAST(s.n_src AS DOUBLE) / t.n_all)
+                       / (2 * sqrt((SELECT max(CAST(n_src AS DOUBLE) / t2.n_all)
+                                    FROM sizes, tot t2)))
+                       AS keep_rate
+            FROM sizes s, tot t
+        )
+        SELECT d.source,
+               count(*) AS n_kept,
+               round(max(r.keep_rate), 4) AS keep_rate
+        FROM documents d
+        JOIN rates r ON d.source = r.source
+        WHERE CAST((d.doc_id * 48271) % 2147483647 AS DOUBLE) / 2147483647.0
+              < r.keep_rate
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+    description="Temperature-scaled mix sampling (the pretraining "
+    "data-mixing pattern): per-source keep rates ∝ share^(1/T) with "
+    "T=2 flatten head sources and upweight the tail relative to "
+    "natural sampling; membership is the deterministic Lehmer-hash "
+    "uniform in [0,1) compared to the source's rate, so the sample is "
+    "replayable and partitioning-independent (same property as "
+    "sample_hash_bucket, per-stratum rates instead of a global one). "
+    "The rate table is O(sources) and broadcast; the filter itself is "
+    "narrow and shuffle-free.",
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sizes = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    tot = sizes.agg(F.sum("n_src").alias("n_all"))
+    shares = sizes.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (F.col("n_src").cast("double") / F.col("n_all")).alias("share"),
+    )
+    max_share = shares.agg(F.max("share").alias("max_share"))
+    rates = shares.crossJoin(F.broadcast(max_share)).select(
+        "source",
+        (
+            F.sqrt(F.col("share")) / (2 * F.sqrt(F.col("max_share")))
+        ).alias("keep_rate"),
+    )
+    u = (
+        ((F.col("doc_id") * 48271) % 2147483647).cast("double")
+        / 2147483647.0
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(u < F.col("keep_rate"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.max("keep_rate"), 4).alias("keep_rate"),
+        )
+        .orderBy("source")
+    )
