@@ -413,3 +413,39 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "agg_percentile_disc",
+    oracle_sql="""
+        SELECT c_mktsegment,
+               count(*) AS n,
+               quantile_disc(c_acctbal, 0.5) AS median_bal,
+               quantile_disc(c_acctbal, 0.9) AS p90_bal
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Discrete percentiles (percentile_disc / quantile_disc): "
+    "unlike the interpolating percentile_cont (agg_percentiles), the "
+    "discrete form returns an ACTUAL data value — no arithmetic is "
+    "performed, so results are exact for any value type and the two "
+    "engines agree bit-for-bit without scaling tricks. Sort-based "
+    "aggregate buffering per group; bounded group domain here, "
+    "approx_percentile at unbounded lake-scale cardinalities.",
+)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("median_bal"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY c_acctbal)"
+            ).alias("p90_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

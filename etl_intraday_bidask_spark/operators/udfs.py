@@ -324,3 +324,55 @@ def udtf_mapinarrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "udaf_grouped_arrow",
+    oracle_sql="""
+        SELECT user_id,
+               count(*) AS n,
+               CAST(max(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    - min(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS value_range
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="applyInArrow grouped transform: each user's rows "
+    "arrive as one pyarrow Table (no pandas conversion — the Arrow-"
+    "native sibling of applyInPandas) and are reduced with compute "
+    "kernels to (count, exact cent range). Completes the Arrow "
+    "boundary surface: scalar (udf_arrow_scalar), partition-wise "
+    "(udtf_mapinarrow), and grouped (this op). Same skew caveat as "
+    "every groupBy-apply: one group = one task's Arrow table.",
+)
+def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def value_range(table: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(table.column("value"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        lo = pc.min(cents).as_py()
+        hi = pc.max(cents).as_py()
+        return pa.table(
+            {
+                "user_id": pa.array(
+                    [table.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n": pa.array([len(table)], pa.int64()),
+                "value_range": pa.array([(hi - lo) / 100.0], pa.float64()),
+            }
+        )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    return (
+        ev.groupBy("user_id")
+        .applyInArrow(
+            value_range, "user_id bigint, n bigint, value_range double"
+        )
+        .orderBy("user_id")
+    )

@@ -314,3 +314,54 @@ def win_range_frame_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_near"))
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "win_lead_lag_ignorenulls",
+    oracle_sql="""
+        SELECT event_id,
+               user_id,
+               last_value(purchase_cents IGNORE NULLS) OVER (
+                   PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_purchase_cents
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END
+                       AS purchase_cents
+            FROM events
+        )
+        ORDER BY event_id
+    """,
+    description="IGNORE NULLS window navigation: for every event, the "
+    "user's most recent STRICTLY-PRIOR purchase amount, skipping the "
+    "non-purchase rows between — the gap-filling / last-observation-"
+    "carried-forward primitive (quote staleness, last-trade price). "
+    "Expressed as last_value(... ignore nulls) over an unbounded-to-"
+    "1-preceding frame: one user_id shuffle, linear per-user scan.",
+)
+def win_lead_lag_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    purchase_cents = F.when(
+        F.col("event_type") == "purchase", scaled_long("value", 100)
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        ev.select(
+            "event_id", "user_id", "ts", purchase_cents.alias("purchase_cents")
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.last("purchase_cents", ignorenulls=True)
+            .over(w)
+            .alias("prev_purchase_cents"),
+        )
+        .orderBy("event_id")
+    )
