@@ -55,3 +55,26 @@ def test_product_scale_covers_discounted_price(a, b):
     product_double = float(price) * (1 - float(disc))
     truth = int((price * (1 - disc)).scaleb(4))
     assert round(product_double * 10000) == truth
+
+
+signed_money = st.decimals(
+    min_value=Decimal("-9999999.99"),
+    max_value=Decimal("9999999.99"),
+    places=2,
+    allow_nan=False,
+    allow_infinity=False,
+)
+
+
+@given(st.lists(signed_money, min_size=1, max_size=100))
+def test_floor_half_equals_round_on_grid(vals):
+    """Claim 3 (round-2 scaled_long rewrite): on the exact-decimal grid,
+    ``floor(v*scale + 0.5)`` recovers the same integer as banker-
+    independent round — for EITHER sign — because v*scale is within
+    ulps of an integer n and floor(n ± ε + 0.5) = n. This is the
+    equivalence the BigDecimal→floor performance rewrite rests on."""
+    import math
+
+    for v in vals:
+        d = float(v)
+        assert math.floor(d * 100 + 0.5) == int(v.scaleb(2)), v
