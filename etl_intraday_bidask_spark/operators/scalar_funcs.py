@@ -327,3 +327,73 @@ def json_variant_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "scalar_try_funcs",
+    oracle_sql="""
+        SELECT event_id,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) = 0
+                    THEN NULL
+                    ELSE CAST(floor(value * 100 + 0.5) AS BIGINT)
+                         / CAST(json_extract_string(props, '$.k') AS BIGINT)
+               END AS cents_per_k,
+               TRY_CAST(event_type AS BIGINT) AS bad_cast,
+               TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS good_cast
+        FROM events
+        ORDER BY event_id
+    """,
+    description="Error-safe scalar surface (ANSI-mode survival kit): "
+    "try_divide yields NULL on a zero divisor and try_cast NULL on an "
+    "uncastable value instead of failing the job — at 100 TB a single "
+    "poisoned row must never kill a 6-hour pipeline, and NULL-routing "
+    "bad rows to a quarantine filter is the standard pattern. The "
+    "oracle mirrors try_divide with an explicit zero-guard CASE since "
+    "DuckDB division errors on zero integers too.",
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.parity import scaled_long
+
+    ev = load(spark, sf_dir, "events")
+    k = F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)")
+    return ev.select(
+        "event_id",
+        F.try_divide(scaled_long("value", 100), k).alias("cents_per_k"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+        k.alias("good_cast"),
+    ).orderBy("event_id")
+
+
+@register(
+    "array_explode_outer",
+    oracle_sql="""
+        WITH base AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN []::VARCHAR[]
+                        ELSE string_split(text, ' ')[1:3] END AS toks
+            FROM documents
+            WHERE doc_id < 100
+        )
+        SELECT doc_id, u.token
+        FROM base
+        LEFT JOIN LATERAL (SELECT unnest(toks) AS token) u ON TRUE
+        ORDER BY doc_id, token
+    """,
+    description="explode_outer null semantics: rows whose array is "
+    "empty survive the lateral expansion with a NULL element instead "
+    "of vanishing — the outer-unnest contract that keeps parent rows "
+    "(documents with no extracted entities, orders with no lines in a "
+    "denormalized feed) visible to downstream counts. Plain explode "
+    "would silently drop every 7th doc here.",
+)
+def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    toks = F.when(
+        F.col("doc_id") % 7 == 0, F.expr("cast(array() as array<string>)")
+    ).otherwise(F.slice(F.split("text", " "), 1, 3))
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", F.explode_outer("toks").alias("token"))
+        .orderBy("doc_id", "token")
+    )

@@ -703,3 +703,76 @@ def knn_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
     )
     return _rerank(emb, cand_ids)
+
+
+@register(
+    "etl_embeddings_pipeline",
+    oracle_sql=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cv
+            FROM embeddings WHERE vec_id < {N_CELLS}
+        ),
+        scored AS (
+            SELECT e.vec_id, e.label, c.cid,
+                   round(list_cosine_similarity(
+                       CAST(e.embedding AS DOUBLE[]),
+                       CAST(c.cv AS DOUBLE[])), 6) AS a
+            FROM embeddings e CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, label, cid, a
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY a DESC, cid) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT cid,
+               count(*) AS n_vecs,
+               count(DISTINCT label) AS n_labels,
+               round(avg(a), 4) AS avg_cell_cosine
+        FROM assign
+        GROUP BY cid
+        ORDER BY cid
+    """,
+    description="ANN index BUILD as an ETL job: assign every vector to "
+    "its argmax-cosine IVF cell (the same deterministic centroids and "
+    "6dp/tie-break assignment the knn_ivf_* search ops use) and emit "
+    "the per-cell index manifest — vector count, label diversity, mean "
+    "within-cell cosine (the balance/compactness stats that decide "
+    "whether to split or re-train cells). At 100 TB this job IS the "
+    "index: its output partitioning (cell id) is the layout the "
+    "search-side cell-equality join reads, so build and query share "
+    "one key. One broadcast of 8 centroids + one argmax window + one "
+    "aggregate — no all-pairs stage anywhere.",
+)
+def etl_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    cents = emb.where(F.col("vec_id") < N_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("a"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("a").desc(), F.col("cid"))
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "cid", "a")
+    )
+    return (
+        assign.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("label").alias("n_labels"),
+            F.round(F.avg("a"), 4).alias("avg_cell_cosine"),
+        )
+        .orderBy("cid")
+    )
