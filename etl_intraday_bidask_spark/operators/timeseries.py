@@ -433,3 +433,108 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_us", "hour_us")
     )
+
+
+@register(
+    "bidask_realized_vol",
+    oracle_sql="""
+        WITH ticks AS (
+            SELECT user_id,
+                   CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+                       AS day_s,
+                   ln(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                      / CAST(lag(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                             OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             AS DOUBLE)) AS r
+            FROM events
+            WHERE value > 0
+        )
+        SELECT user_id,
+               day_s,
+               count(r) AS n_returns,
+               round(sum(r * r), 4) AS realized_var
+        FROM ticks
+        WHERE r IS NOT NULL
+        GROUP BY user_id, day_s
+        ORDER BY user_id, day_s
+    """,
+    description="Realized variance per user per day: Σ of squared "
+    "tick-to-tick log returns (the market-microstructure volatility "
+    "estimator; here over the value stream, exactly the quote-stream "
+    "computation). Log returns are ln of a ratio of exact cent "
+    "integers, so both engines feed ln the identical rational; the "
+    "daily Σr² is round(4) (irrational policy). One user_id shuffle "
+    "for the lag window, then a (user, day) aggregate — the window's "
+    "partitioning prefix makes the second exchange a cheap sub-"
+    "partition.",
+)
+def bidask_realized_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.parity import scaled_long
+
+    ev = load(spark, sf_dir, "events").where(F.col("value") > 0)
+    cents = scaled_long("value", 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ticks = ev.select(
+        "user_id",
+        F.unix_seconds(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+        F.ln(cents / F.lag(cents).over(w).cast("double")).alias("r"),
+    )
+    return (
+        ticks.where(F.col("r").isNotNull())
+        .groupBy("user_id", "day_s")
+        .agg(
+            F.count("r").alias("n_returns"),
+            F.round(F.sum(F.col("r") * F.col("r")), 4).alias("realized_var"),
+        )
+        .orderBy("user_id", "day_s")
+    )
+
+
+@register(
+    "bidask_vwap_hourly",
+    oracle_sql="""
+        SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us,
+               event_type,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                        * CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS DOUBLE)
+                   / sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                   / 100.0 AS vwap,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS total_size
+        FROM events
+        WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 0
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="Hourly VWAP per event_type: Σ(price × size)/Σ(size) "
+    "with price as exact cents and the JSON k property as size — both "
+    "sums are exact BIGINTs, so the volume-weighted average is two "
+    "IEEE divisions of identical integers (no rounding needed). The "
+    "canonical intraday execution-quality metric; a single two-phase "
+    "hash aggregate, trivially incremental (additive numerator/"
+    "denominator — the same partials the high-water refresh merges).",
+)
+def bidask_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.parity import scaled_long
+
+    ev = load(spark, sf_dir, "events")
+    size = F.get_json_object("props", "$.k").cast("long")
+    cents = scaled_long("value", 100)
+    return (
+        ev.where(size > 0)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            (
+                F.sum(cents * size).cast("double") / F.sum(size) / 100.0
+            ).alias("vwap"),
+            F.sum(size).alias("total_size"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "vwap",
+            "total_size",
+        )
+        .orderBy("bucket_us", "event_type")
+    )
