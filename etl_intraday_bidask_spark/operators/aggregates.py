@@ -382,3 +382,43 @@ def sql_api_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "agg_filter_clause",
+    oracle_sql="""
+        SELECT o_orderpriority,
+               count(*) AS n_all,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+               count(*) FILTER (WHERE o_totalprice > 1000) AS n_large,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0
+                   AS open_total
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Multi-FILTER aggregation: several differently-"
+    "conditioned metrics (finished count, large-order count, open-"
+    "order total) in ONE scan and one two-phase aggregate — the "
+    "dashboard-metrics pattern that replaces N self-joined subqueries "
+    "with N filtered aggregates; at 100 TB that is one pass over the "
+    "fact instead of N.",
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = scaled_long("o_totalprice", 100)
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_all"),
+            F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+            F.count_if(F.col("o_totalprice") > 1000).alias("n_large"),
+            (
+                F.sum(F.when(F.col("o_orderstatus") == "O", cents))
+                .cast("double")
+                / 100.0
+            ).alias("open_total"),
+        )
+        .orderBy("o_orderpriority")
+    )
