@@ -12,6 +12,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     projection,
     relational_ext,
     relational_ext2,
+    relational_ext3,
     scalar_funcs,
     scans,
     setops,

@@ -60,6 +60,9 @@ AUDITED = [
     "sort_zorder_layout",
     "rollup_time_hierarchy",
     "udtf_mapinarrow",
+    # Round-2 wave-3 ops with top-k tie-breaks / outer-join classification:
+    "q10_returned_items",
+    "cdc_snapshot_diff",
 ]
 
 
