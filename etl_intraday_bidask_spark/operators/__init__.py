@@ -4,6 +4,7 @@ operator into :mod:`etl_intraday_bidask_spark.registry`."""
 from etl_intraday_bidask_spark.operators import (  # noqa: F401
     aggregates,
     corpus_ops,
+    corpus_ops2,
     dedup_advanced,
     etl_ext,
     joins,
@@ -13,6 +14,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     relational_ext,
     relational_ext2,
     relational_ext3,
+    relational_ext4,
     scalar_funcs,
     scans,
     setops,

@@ -1,0 +1,232 @@
+"""Second wave of corpus-level training-data operators (SURVEY.md
+§2.22): int8 embedding quantization, fixed-size token chunking, and
+contiguous token-stream sequence packing — the storage-compression and
+sequence-assembly steps of a pretraining data pipeline.
+
+Scale notes: quantization is a narrow per-row transform (higher-order
+functions over the embedding array, no shuffle before the small label
+aggregate) — at 100 TB it runs scan-local and writes int8 payloads at
+4× compression; chunking is a per-row generator (posexplode over an
+arithmetic sequence), narrow and shuffle-free; packing needs one
+running sum per language partition (the canonical concat-then-chunk
+pretraining layout), a single window shuffle on lang — at 100 TB the
+partition key becomes (lang, shard) with per-shard offsets merged by a
+second tiny prefix-sum pass over shard totals (documented in SCALE.md),
+keeping every partition's scan linear and independent.
+
+Parity notes: all element arithmetic is upcast to DOUBLE on both
+engines before any division (float32 → float64 is exact, and the
+subsequent IEEE ops are bit-identical); quantized codes and token
+counts are BIGINT on both sides; aggregates over them are exact
+integer sums; every result carries a total-order ORDER BY.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "embed_quantize_int8",
+    oracle_sql="""
+        WITH dv AS (
+            SELECT label,
+                   list_transform(embedding, v -> CAST(v AS DOUBLE)) AS e
+            FROM embeddings
+        ), mm AS (
+            SELECT label, e,
+                   list_min(e) AS vmin,
+                   list_max(e) AS vmax
+            FROM dv
+        ), q AS (
+            SELECT label,
+                   list_transform(
+                       e,
+                       v -> CAST(floor((v - vmin) / (vmax - vmin) * 255.0
+                                       + 0.5) AS BIGINT) - 128
+                   ) AS qv
+            FROM mm
+            WHERE vmax > vmin
+        )
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(sum(CAST(list_sum(qv) AS BIGINT)) AS BIGINT) AS q_sum,
+               CAST(min(list_min(qv)) AS BIGINT) AS q_min,
+               CAST(max(list_max(qv)) AS BIGINT) AS q_max
+        FROM q
+        GROUP BY label
+        ORDER BY label
+    """,
+    description="Per-vector int8 scalar quantization (min/max affine "
+    "grid, codes in [-128, 127]) of the embedding column — the 4× "
+    "storage compression step an embedding lake applies before ANN "
+    "indexing — summarized per label as exact integer code statistics. "
+    "Elements are upcast float32→float64 (exact) so the affine map is "
+    "the same IEEE arithmetic on both engines; all aggregates are "
+    "exact BIGINT sums/extrema. Narrow higher-order transforms, one "
+    "10-group aggregate shuffle, no UDF.",
+)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    dv = emb.select(
+        "label",
+        F.transform("embedding", lambda v: v.cast("double")).alias("e"),
+    )
+    mm = dv.select(
+        "label",
+        "e",
+        F.array_min("e").alias("vmin"),
+        F.array_max("e").alias("vmax"),
+    ).filter(F.col("vmax") > F.col("vmin"))
+    q = mm.select(
+        "label",
+        F.transform(
+            "e",
+            lambda v: F.floor(
+                (v - F.col("vmin")) / (F.col("vmax") - F.col("vmin")) * 255.0
+                + 0.5
+            ).cast("long")
+            - 128,
+        ).alias("qv"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                F.aggregate(
+                    "qv", F.lit(0).cast("long"), lambda acc, x: acc + x
+                )
+            ).alias("q_sum"),
+            F.min(F.array_min("qv")).alias("q_min"),
+            F.max(F.array_max("qv")).alias("q_max"),
+        )
+        .orderBy("label")
+    )
+
+
+@register(
+    "text_chunk_fixed_tokens",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS t,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(unnest(generate_series(0, (n + 31) // 32 - 1))
+                    AS BIGINT) AS chunk_id,
+               CAST(least(32, n - 32 * unnest(generate_series(
+                    0, (n + 31) // 32 - 1))) AS BIGINT) AS chunk_tokens,
+               t[32 * unnest(generate_series(0, (n + 31) // 32 - 1)) + 1]
+                   AS first_tok
+        FROM toks
+        ORDER BY doc_id, chunk_id
+    """,
+    description="Fixed-size token chunking: every document split into "
+    "32-token chunks (the context-window slicing step before sequence "
+    "packing), emitting the chunk id, its token count (last chunk "
+    "ragged), and its first token. A narrow per-row generator — "
+    "posexplode over an arithmetic sequence, no shuffle; positions and "
+    "counts BIGINT on both engines.",
+)
+def text_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("t"),
+        F.size(F.split("text", " ")).cast("long").alias("n"),
+    )
+    chunks = toks.select(
+        "doc_id",
+        "t",
+        "n",
+        F.posexplode(
+            F.sequence(F.lit(0).cast("long"), F.expr("(n + 31) div 32") - 1)
+        ).alias("pos", "chunk_id"),
+    )
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.least(F.lit(32).cast("long"), F.col("n") - 32 * F.col("chunk_id"))
+            .cast("long")
+            .alias("chunk_tokens"),
+            F.element_at("t", (32 * F.col("chunk_id") + 1).cast("int")).alias(
+                "first_tok"
+            ),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+@register(
+    "pack_token_sequences",
+    oracle_sql="""
+        WITH sized AS (
+            SELECT doc_id, lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ), offsets AS (
+            SELECT lang, n_tokens,
+                   sum(n_tokens) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_off
+            FROM sized
+        )
+        SELECT lang,
+               CAST(start_off // 2048 AS BIGINT) AS seq_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+        FROM offsets
+        GROUP BY lang, seq_id
+        ORDER BY lang, seq_id
+    """,
+    description="Contiguous token-stream sequence packing: documents "
+    "are concatenated per language in doc_id order and cut into "
+    "2048-token training sequences — the concat-then-chunk layout "
+    "pretraining loaders use. Each doc's start offset is a per-lang "
+    "running sum (one window shuffle on lang); the sequence id is an "
+    "exact integer division of the offset. Emits docs-per-sequence and "
+    "token counts per (lang, sequence). At 100 TB the partition key "
+    "becomes (lang, shard) with shard totals merged by a tiny second "
+    "prefix-sum pass (SCALE.md).",
+)
+def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = sized.select(
+        "lang",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        offsets.select(
+            "lang",
+            "n_tokens",
+            F.expr("start_off div 2048").alias("seq_id"),
+        )
+        .groupBy("lang", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("lang", "seq_id")
+    )

@@ -63,6 +63,11 @@ AUDITED = [
     # Round-2 wave-3 ops with top-k tie-breaks / outer-join classification:
     "q10_returned_items",
     "cdc_snapshot_diff",
+    # Round-2 wave-4 ops: scalar-threshold compare, window cumsum packing,
+    # float affine quantization — all must be partitioning-invariant:
+    "q22_dormant_high_balance",
+    "pack_token_sequences",
+    "embed_quantize_int8",
 ]
 
 
