@@ -7,6 +7,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     corpus_ops2,
     dedup_advanced,
     etl_ext,
+    etl_ext2,
     joins,
     llm_ops,
     multimodal,

@@ -110,6 +110,77 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_gram_matrix",
+    oracle_sql="""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)
+                   ) AS qv
+            FROM embeddings
+        ), a AS (
+            SELECT vec_id, qv,
+                   unnest(generate_series(1, len(qv))) AS i
+            FROM q
+        ), b AS (
+            SELECT a.vec_id,
+                   a.i, a.qv[a.i] AS qi,
+                   unnest(generate_series(1, len(a.qv))) AS j,
+                   a.qv
+            FROM a
+        )
+        SELECT CAST(i - 1 AS BIGINT) AS i,
+               CAST(j - 1 AS BIGINT) AS j,
+               CAST(sum(qi * qv[j]) AS BIGINT) AS gram,
+               count(*) AS n_vecs
+        FROM b
+        WHERE j >= i
+        GROUP BY i, j
+        ORDER BY i, j
+    """,
+    description="Exact distributed Gram matrix of the embedding "
+    "corpus: X^T X over components quantized to the 1e-4 integer grid "
+    "(float32 fixtures are exact there), upper triangle as (i, j, "
+    "sum) cells — the covariance/PCA/whitening building block. The "
+    "plan is two chained narrow generators (posexplode of the "
+    "quantized vector, then of its pair component) followed by a "
+    "4096-group two-phase exact-integer aggregate: no self-join, no "
+    "shuffle proportional to the corpus — partial outer-product sums "
+    "combine map-side, so at 100 TB the shuffle carries only "
+    "num_partitions × dim² rows.",
+)
+def embed_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        # F.round (not the floor-half grid shortcut): embedding floats are
+        # NOT on a decimal grid, so parity.py's policy requires the
+        # BigDecimal round paired with DuckDB's round — the pairing proven
+        # by embed_centroid_stats.
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 10000.0).cast("long"),
+        ).alias("qv"),
+    )
+    a = q.select("vec_id", "qv", F.posexplode("qv").alias("i", "qi"))
+    b = a.select(
+        "vec_id", "i", "qi", F.posexplode("qv").alias("j", "qj")
+    ).filter(F.col("j") >= F.col("i"))
+    return (
+        b.groupBy(
+            F.col("i").cast("long").alias("i"),
+            F.col("j").cast("long").alias("j"),
+        )
+        .agg(
+            F.sum(F.col("qi") * F.col("qj")).alias("gram"),
+            F.count(F.lit(1)).alias("n_vecs"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+@register(
     "text_chunk_fixed_tokens",
     oracle_sql="""
         WITH toks AS (

@@ -1,0 +1,91 @@
+"""Second wave of extended ETL operators (SURVEY.md §2.23): dynamic
+partition overwrite — the lake backfill primitive.
+
+Unlike ``sink_parquet_partitioned`` (rows-only: layout side-effect),
+this op's FINAL TABLE STATE is fully derivable from the source table,
+so the sink round-trip is hash-checked against a pure-SQL oracle — a
+sink with hard verification.
+
+Scale notes: dynamic partition overwrite
+(``partitionOverwriteMode=dynamic``) replaces only the partitions
+present in the incoming DataFrame and leaves every other partition's
+files untouched — the idempotent backfill pattern for a partitioned
+lake, where static overwrite mode would truncate the whole table. The
+rewrite cost is proportional to the corrected slice, not the table;
+at 100 TB a daily backfill rewrites one day's partitions. The final
+read-back aggregate prunes nothing here (it reads all partitions) but
+groups on the partition column, so partition-local partial aggregation
+applies.
+
+Parity notes: value sums use the exact scaled-integer policy; the
+oracle reconstructs the post-overwrite state as (all rows of other
+partitions) UNION ALL (the replacement slice of the overwritten
+partition).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.registry import register
+from etl_intraday_bidask_spark.tables import load
+
+
+@register(
+    "sink_partition_overwrite_dynamic",
+    oracle_sql="""
+        WITH final_state AS (
+            SELECT event_type, value FROM events
+            WHERE event_type <> 'purchase'
+            UNION ALL
+            SELECT event_type, value FROM events
+            WHERE event_type = 'purchase' AND value >= 100.0
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_value
+        FROM final_state
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Dynamic partition overwrite (lake backfill): events "
+    "written partitioned by event_type, then ONLY the 'purchase' "
+    "partition is overwritten with its high-value slice via "
+    "partitionOverwriteMode=dynamic — every other partition's files "
+    "stay untouched, the idempotent backfill primitive. The read-back "
+    "per-partition counts and exact-cents sums are hash-checked "
+    "against a pure-SQL reconstruction of the final state, making "
+    "this a sink with hard oracle verification.",
+)
+def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="sink_dyn_overwrite_"), "events_by_type"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    backfill = ev.filter(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 100.0)
+    )
+    (
+        backfill.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(scaled_long("value", 100)).cast("double") / 100.0).alias(
+                "sum_value"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -30,6 +30,7 @@ REGISTRY = load_all_operators()
 # already runs jobs, so they are exercised by test_parity instead.
 EXECUTES_ON_BUILD = {
     "sink_parquet_partitioned",
+    "sink_partition_overwrite_dynamic",
     "scan_schema_evolution",
     "dedup_connected_components",
     "dedup_keep_canonical",
