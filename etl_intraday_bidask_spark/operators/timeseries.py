@@ -222,6 +222,62 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_tumbling_append_closed",
+    oracle_sql="""
+        WITH m AS (
+            SELECT max(ts) AS mx FROM events
+        ), w AS (
+            SELECT date_trunc('hour', ts) AS ws,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events
+            GROUP BY ws, event_type
+        )
+        SELECT epoch_us(ws) AS bucket_us, event_type, n, sum_value
+        FROM w, m
+        WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        ORDER BY bucket_us, event_type
+    """,
+    description="TRUE streaming tumbling aggregate in APPEND mode: a "
+    "readStream replay with a 1-hour event-time watermark emits a "
+    "window only once the watermark closes it, which is what lets the "
+    "state store EVICT the window — the production pattern for "
+    "unbounded streams (complete mode would retain all windows "
+    "forever). On a finite availableNow replay the final watermark is "
+    "max(ts) - 1h, so the emitted set is exactly the windows with "
+    "end <= max(ts) - 1h — deterministic regardless of micro-batch "
+    "boundaries (verified identical at sf0.001/0.01/0.1), which makes "
+    "this hash-gradable: the oracle reconstructs the closed-window "
+    "set. The two trailing open windows per type are withheld by "
+    "design — that is the append-mode semantics under test.",
+)
+def stream_tumbling_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Lazy import: replay helpers stage a temp dir; keep module import thin.
+    from etl_intraday_bidask_spark.streaming.replay import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append").orderBy("bucket_us", "event_type")
+
+
+@register(
     "bidask_effective_spread",
     oracle_sql="""
         WITH matched AS (

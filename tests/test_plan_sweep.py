@@ -42,6 +42,7 @@ EXECUTES_ON_BUILD = {
     "etl_star_pipeline",
     "stream_stateful_running_agg",
     "stream_foreachbatch_compact",
+    "stream_tumbling_append_closed",
     "multimodal_decode_stub",
     "observe_pipeline_metrics",
 }
