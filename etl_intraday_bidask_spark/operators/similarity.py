@@ -776,3 +776,53 @@ def etl_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall report — composes the exact baseline and the LSH scale path
+# registered above into a first-class graded metric. Import order is
+# guaranteed by operators/__init__ (llm_ops before similarity), so both
+# specs exist in REGISTRY at decoration time.
+
+from etl_intraday_bidask_spark.registry import REGISTRY as _REGISTRY
+
+_EXACT_TOPK_SQL = _REGISTRY["knn_cosine_topk"].oracle_sql
+_LSH_TOPK_SQL = _REGISTRY["knn_lsh_bucketed"].oracle_sql
+
+
+@register(
+    "ann_recall_report",
+    oracle_sql=f"""
+        WITH exact_k AS (
+            {_EXACT_TOPK_SQL}
+        ), approx_k AS (
+            {_LSH_TOPK_SQL}
+        )
+        SELECT count(*) AS hits,
+               CAST(10 AS BIGINT) AS k,
+               CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+        FROM exact_k e
+        JOIN approx_k a USING (vec_id)
+    """,
+    description="Recall@10 of the LSH-bucketed ANN path against the "
+    "exact cosine top-k baseline, as a first-class graded metric — "
+    "the honest-measurement loop every ANN deployment needs (SCALE.md "
+    "records the same number narratively; this op pins it into the "
+    "oracle-checked contract). Composes the two registered plans and "
+    "semi-joins their vec_id sets; both inputs are deterministic, so "
+    "the metric is too. At scale the same shape runs as a sampled "
+    "audit (recall on a query sample), never the full corpus.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = (
+        _REGISTRY["knn_cosine_topk"].spark_fn(spark, sf_dir).select("vec_id")
+    )
+    approx = (
+        _REGISTRY["knn_lsh_bucketed"].spark_fn(spark, sf_dir).select("vec_id")
+    )
+    hits = exact.join(approx, "vec_id")
+    return hits.agg(
+        F.count(F.lit(1)).alias("hits"),
+        F.lit(10).cast("long").alias("k"),
+        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10"),
+    )

@@ -222,6 +222,66 @@ def stream_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cep_funnel_pattern",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY epoch_us(ts), event_id) AS s
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(s) AS BIGINT) AS n_events,
+               CAST(len(regexp_extract_all(s, 'vcp')) AS BIGINT) AS n_funnels
+        FROM seq
+        WHERE len(regexp_extract_all(s, 'vcp')) >= 1
+        ORDER BY user_id
+    """,
+    description="Complex-event-processing pattern detection: each "
+    "user's event history is ordered into a symbol string (first "
+    "letter of event_type; the five fixture types have distinct "
+    "initials) and scanned for the contiguous view→click→purchase "
+    "motif — MATCH_RECOGNIZE semantics expressed as collect-sort-"
+    "regex, the sequence-mining shape session funnels and fraud "
+    "rules share. Ordering is (µs epoch, event_id) on BOTH engines "
+    "(raw ns timestamps are never compared), and the literal pattern "
+    "has identical non-overlapping scan semantics in Java regex and "
+    "RE2. One user_id shuffle; per-user state is the event string — "
+    "at 100 TB sessions would be windowed first so strings stay "
+    "bounded (SCALE.md).",
+)
+def cep_funnel_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.unix_micros("ts").alias("us"),
+                            F.col("event_id").alias("eid"),
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda x: x["ch"],
+            ),
+        ).alias("s")
+    )
+    return (
+        seq.select(
+            "user_id",
+            F.length("s").cast("long").alias("n_events"),
+            F.regexp_count("s", F.lit("vcp")).cast("long").alias("n_funnels"),
+        )
+        .filter(F.col("n_funnels") >= 1)
+        .orderBy("user_id")
+    )
+
+
+@register(
     "stream_tumbling_append_closed",
     oracle_sql="""
         WITH m AS (
