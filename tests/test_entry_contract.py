@@ -56,3 +56,27 @@ def test_rotation_is_deterministic_and_total():
     o2 = entry.rotation_order(list(reversed(list(registry))), history)
     assert o1 == o2
     assert sorted(o1) == sorted(registry)
+
+
+def test_round3_window_would_cover_never_graded_ops():
+    """Simulated round-3 state: r01 graded its 50, r02 will grade the
+    hand-built window; every operator added since (never graded) must
+    lead the rotated order, followed by the least-recently-graded."""
+    registry = load_all_operators()
+    with open(os.path.join(REPO, "CORRECTNESS_r01.json")) as f:
+        r01 = list(json.load(f))
+    r02 = entry._GRADING_PRIORITY[:50]
+    history: dict[str, list[int]] = {}
+    for k in r01:
+        history.setdefault(k, []).append(1)
+    for k in r02:
+        history.setdefault(k, []).append(2)
+    order = entry.rotation_order(list(registry), history)
+    never_graded = [k for k in registry if k not in history]
+    window = order[: max(50, len(never_graded))]
+    assert set(never_graded) <= set(window)
+    # Within the window, never-graded ops come before any regraded op.
+    first_graded_pos = min(
+        (order.index(k) for k in order if k in history), default=len(order)
+    )
+    assert all(order.index(k) < first_graded_pos for k in never_graded)
