@@ -21,6 +21,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     setops,
     similarity,
     sorts,
+    sql_surface,
     text_analysis,
     timeseries,
     quality,
