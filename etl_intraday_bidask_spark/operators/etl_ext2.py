@@ -37,6 +37,61 @@ from etl_intraday_bidask_spark.tables import load
 
 
 @register(
+    "xml_parse_roundtrip",
+    oracle_sql="""
+        SELECT o_orderstatus,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
+        FROM orders
+        WHERE o_orderkey <= 1000
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+    description="XML ingest leg (Spark 4 built-in from_xml): each order "
+    "serialized to an XML fragment, then parsed back to a typed struct "
+    "with from_xml and aggregated — the message-feed decode shape for "
+    "XML payloads (FIX/FpML-style feeds in the bid/ask domain). The "
+    "oracle aggregates the raw columns directly: round-trip identity "
+    "is the property under test (DuckDB has no XML type). Cents "
+    "recovered on the exact grid AFTER parse, so the XML string only "
+    "ever carries the raw decimal text. Narrow per-row parse, "
+    "whole-stage codegen, no UDF.",
+)
+def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    xml = orders.select(
+        F.concat(
+            F.lit("<order><k>"),
+            F.col("o_orderkey"),
+            F.lit("</k><st>"),
+            F.col("o_orderstatus"),
+            F.lit("</st><tp>"),
+            F.col("o_totalprice"),
+            F.lit("</tp></order>"),
+        ).alias("payload")
+    )
+    parsed = xml.select(
+        F.from_xml(
+            "payload", "k BIGINT, st STRING, tp DOUBLE"
+        ).alias("o")
+    ).select(
+        F.col("o.st").alias("o_orderstatus"),
+        F.col("o.tp").alias("o_totalprice"),
+    )
+    return (
+        parsed.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(scaled_long("o_totalprice", 100)).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "sink_partition_overwrite_dynamic",
     oracle_sql="""
         WITH final_state AS (

@@ -161,3 +161,56 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_price": 1000.0,
         },
     )
+
+
+@register(
+    "str_collation_group",
+    oracle_sql="""
+        WITH cased AS (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END AS seg,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT lower(seg) AS segment,
+               count(*) AS n,
+               CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_bal
+        FROM cased
+        GROUP BY lower(seg)
+        ORDER BY segment
+    """,
+    description="Collation-aware grouping (Spark 4 COLLATE): market "
+    "segments are deliberately case-mangled per row, then grouped "
+    "under UTF8_LCASE collation so 'AUTOMOBILE' and 'automobile' land "
+    "in one group without any explicit lower() in the grouping key — "
+    "the locale/case-insensitive semantics Spark 4 moved into the "
+    "type system (the oracle mirrors with lower(), which is exactly "
+    "the rewrite collations subsume). The emitted key is lowercased "
+    "on both sides so the VALUE (not just the equivalence class) "
+    "matches. Narrow projection + one 5-group aggregate.",
+)
+def str_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView(
+        "customer_coll_v"
+    )
+    return spark.sql(
+        """
+        WITH cased AS (
+            SELECT CASE WHEN c_custkey % 2 = 0
+                        THEN upper(c_mktsegment)
+                        ELSE lower(c_mktsegment) END
+                       COLLATE UTF8_LCASE AS seg,
+                   c_acctbal
+            FROM customer_coll_v
+        )
+        SELECT CAST(lower(seg) AS STRING COLLATE UTF8_BINARY) AS segment,
+               count(*) AS n,
+               CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_bal
+        FROM cased
+        GROUP BY seg
+        ORDER BY segment
+        """
+    )
