@@ -8,6 +8,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     dedup_advanced,
     etl_ext,
     etl_ext2,
+    graph_ops,
     joins,
     llm_ops,
     multimodal,

@@ -68,6 +68,8 @@ AUDITED = [
     "q22_dormant_high_balance",
     "pack_token_sequences",
     "embed_quantize_int8",
+    # Iterative fixed-point graph numeric — must be partitioning-invariant:
+    "graph_pagerank_fixedpoint",
 ]
 
 
