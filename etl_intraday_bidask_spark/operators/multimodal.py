@@ -238,3 +238,58 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@register(
+    "multimodal_patch_tokens",
+    oracle_sql="""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)]
+                       AS media_type,
+                   n_chars % 640 + 16 AS width,
+                   n_chars * 7 % 480 + 16 AS height
+            FROM documents
+        ), patched AS (
+            SELECT media_type,
+                   (width + 15) // 16 AS px,
+                   (height + 15) // 16 AS py
+            FROM media
+        )
+        SELECT media_type,
+               count(*) AS n_media,
+               CAST(sum(px * py + 1) AS BIGINT) AS total_tokens,
+               CAST(max(px * py) AS BIGINT) AS max_patches,
+               CAST(min(px * py) AS BIGINT) AS min_patches
+        FROM patched
+        GROUP BY media_type
+        ORDER BY media_type
+    """,
+    description="ViT-style patch tokenization budget: each media item's "
+    "(width, height) metadata maps to a ceil(w/16)×ceil(h/16) patch "
+    "grid plus one CLS token — the vision-token accounting a "
+    "multimodal training pipeline runs BEFORE packing image tokens "
+    "into sequences (budget decides batch shapes and cost). Pure "
+    "integer arithmetic on the metadata columns — the payload bytes "
+    "are never touched, so the scan prunes the binary column away "
+    "entirely (the point at 100 TB: token budgeting reads metadata "
+    "only). Narrow projection + 3-group aggregate.",
+)
+def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_table(spark, sf_dir)
+    patched = media.select(
+        "media_type",
+        F.expr("(width + 15) div 16").alias("px"),
+        F.expr("(height + 15) div 16").alias("py"),
+    )
+    n_patches = F.col("px") * F.col("py")
+    return (
+        patched.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum(n_patches + 1).cast("long").alias("total_tokens"),
+            F.max(n_patches).cast("long").alias("max_patches"),
+            F.min(n_patches).cast("long").alias("min_patches"),
+        )
+        .orderBy("media_type")
+    )
