@@ -288,6 +288,54 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_python_stream_datasource",
+    oracle_sql="""
+        WITH ticks AS (
+            SELECT i AS tick_id,
+                   (i * 1103515245 + 12345) % 2147483648 % 10000 AS px_cents,
+                   CASE WHEN i % 2 = 0 THEN 'bid' ELSE 'ask' END AS side
+            FROM generate_series(0, 9999) AS t(i)
+        )
+        SELECT side,
+               count(*) AS n,
+               CAST(sum(px_cents) AS BIGINT) AS sum_px_cents,
+               min(px_cents) AS min_px,
+               max(px_cents) AS max_px
+        FROM ticks
+        GROUP BY side
+        ORDER BY side
+    """,
+    description="STREAMING custom Python Data Source (Spark 4 "
+    "DataSourceStreamReader): the same deterministic tick feed read "
+    "through readStream — offsets are global row indices, each "
+    "micro-batch range splits into executor partitions, and the "
+    "finite latestOffset makes the availableNow replay consume "
+    "exactly the batch reader's row set, so the streaming ingest is "
+    "hash-graded against the identical generate_series oracle. This "
+    "is the connector contract for streaming systems Spark has no "
+    "built-in source for (internal feeds, queues, REST cursors); at "
+    "scale reader parallelism = the per-batch partition count and "
+    "offset commits give exactly-once replay.",
+)
+def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.sources.tick_source import TickDataSource
+    from etl_intraday_bidask_spark.streaming.replay import _run_to_memory
+
+    spark.dataSource.register(TickDataSource)
+    ticks = spark.readStream.format("synthetic_ticks").load()
+    agg = (
+        ticks.groupBy("side")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("px_cents").alias("sum_px_cents"),
+            F.min("px_cents").alias("min_px"),
+            F.max("px_cents").alias("max_px"),
+        )
+    )
+    return _run_to_memory(agg, "complete").orderBy("side")
+
+
+@register(
     "scan_schema_evolution",
     oracle_sql="""
         WITH unified AS (

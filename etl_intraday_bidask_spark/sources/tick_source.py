@@ -18,7 +18,12 @@ against a DuckDB ``generate_series`` oracle (operators/scans.py:
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 TICKS_PER_SHARD = 2500
 SHARDS = 4
@@ -46,6 +51,44 @@ class TickReader(DataSourceReader):
             yield tick_row(i)
 
 
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class TickStreamReader(DataSourceStreamReader):
+    """Streaming side of the tick feed (Spark 4 DataSourceStreamReader):
+    offsets are global row indices; each micro-batch's [start, end)
+    range is split into SHARDS executor partitions. The feed is finite
+    (latestOffset pins at SHARDS × TICKS_PER_SHARD), so an availableNow
+    replay reads the identical row set as the batch reader — same LCG
+    arithmetic, same hash-gradable oracle."""
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def latestOffset(self) -> dict:
+        return {"i": SHARDS * TICKS_PER_SHARD}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start["i"], end["i"]
+        if hi <= lo:
+            return [_RangePartition(lo, lo)]
+        step = max(1, (hi - lo + SHARDS - 1) // SHARDS)
+        return [
+            _RangePartition(s, min(s + step, hi))
+            for s in range(lo, hi, step)
+        ]
+
+    def read(self, partition):
+        for i in range(partition.start, partition.end):
+            yield tick_row(i)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class TickDataSource(DataSource):
     """spark.read.format("synthetic_ticks") after registration."""
 
@@ -58,3 +101,6 @@ class TickDataSource(DataSource):
 
     def reader(self, schema) -> TickReader:
         return TickReader()
+
+    def streamReader(self, schema) -> TickStreamReader:
+        return TickStreamReader()

@@ -43,6 +43,7 @@ EXECUTES_ON_BUILD = {
     "stream_stateful_running_agg",
     "stream_foreachbatch_compact",
     "stream_tumbling_append_closed",
+    "source_python_stream_datasource",
     "multimodal_decode_stub",
     "observe_pipeline_metrics",
 }
