@@ -365,3 +365,51 @@ def win_lead_lag_ignorenulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "win_count_distinct_trick",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   dense_rank() OVER (
+                       PARTITION BY user_id ORDER BY event_type
+                   ) AS dr
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(max(dr) AS BIGINT) AS n_distinct_types,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+        FROM ranked
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="COUNT(DISTINCT) over a window via the dense_rank "
+    "emulation: window functions accept no DISTINCT, so the classic "
+    "rewrite ranks each key's distinct values (dense_rank ordered by "
+    "the value) and takes the per-partition max — giving a per-row "
+    "distinct count without collapsing the rows, here folded to one "
+    "row per user alongside exact event totals. One user_id exchange "
+    "serves both the window and the final aggregate; no "
+    "two-level distinct shuffle.",
+)
+def win_count_distinct_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_type")
+    ranked = ev.select(
+        "user_id",
+        "event_id",
+        scaled_long("value", 100).alias("cents"),
+        F.dense_rank().over(w).alias("dr"),
+    )
+    return (
+        ranked.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("dr").cast("long").alias("n_distinct_types"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("user_id")
+    )
