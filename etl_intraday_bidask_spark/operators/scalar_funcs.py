@@ -13,6 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -397,3 +398,131 @@ def array_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode_outer("toks").alias("token"))
         .orderBy("doc_id", "token")
     )
+
+
+@register(
+    "date_interval_funcs",
+    oracle_sql="""
+        SELECT o_orderkey,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)
+                   AS plus_3m,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE)
+                   AS month_end,
+               CAST(date_diff('month', TIMESTAMP '1995-01-01', o_orderdate)
+                    AS BIGINT) AS whole_months_since,
+               CAST(date_part('dayofyear', o_orderdate) AS BIGINT) AS doy,
+               CAST(date_part('week', o_orderdate) AS BIGINT) AS iso_week
+        FROM orders
+        WHERE o_orderkey <= 500
+        ORDER BY o_orderkey
+    """,
+    description="Interval/calendar arithmetic surface: add_months, "
+    "last_day, whole-month difference, day-of-year, and ISO week "
+    "number — the calendar kit ETL date-spine and "
+    "fiscal-rollup logic is built from. Narrow projection; the "
+    "month-difference is floor-truncated identically on both engines "
+    "(Spark months_between with roundOff folded to integer via "
+    "floor; DuckDB date_diff('month')).",
+)
+def date_interval_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus_3m"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("month_end"),
+        F.floor(
+            F.months_between(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            )
+        )
+        .cast("long")
+        .alias("whole_months_since"),
+        F.dayofyear("o_orderdate").cast("long").alias("doy"),
+        F.weekofyear("o_orderdate").cast("long").alias("iso_week"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "scalar_null_funcs",
+    oracle_sql="""
+        SELECT c_custkey,
+               COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER')
+                   AS seg_or_other,
+               CASE WHEN c_acctbal < 0 THEN NULL
+                    ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+               END AS pos_cents,
+               COALESCE(CASE WHEN c_acctbal < 0 THEN NULL
+                             ELSE CAST(round(c_acctbal * 100) AS BIGINT)
+                        END, -1) AS pos_cents_filled,
+               CAST(c_acctbal >= 0 AS BOOLEAN) IS NOT NULL AS has_balance
+        FROM customer
+        ORDER BY c_custkey
+    """,
+    description="Null-handling scalar surface: NULLIF demotion, "
+    "COALESCE fallback chains, CASE-to-NULL promotion and refill — "
+    "the defensive projection kit every silver-layer cleanup job is "
+    "made of. Exact-cents integers for the numeric legs; narrow, "
+    "codegen'd, no shuffle before the output sort.",
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    pos_cents = F.when(
+        F.col("c_acctbal") < 0, F.lit(None)
+    ).otherwise(scaled_long("c_acctbal", 100))
+    return customer.select(
+        "c_custkey",
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+        pos_cents.alias("pos_cents"),
+        F.coalesce(pos_cents, F.lit(-1)).alias("pos_cents_filled"),
+        (F.col("c_acctbal") >= 0).isNotNull().alias("has_balance"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "agg_map_group",
+    oracle_sql="""
+        WITH counts AS (
+            SELECT user_id, event_type, count(*) AS n
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY event_type) AS type_keys,
+               string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type)
+                   AS type_counts,
+               count(*) AS n_types
+        FROM counts
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Map-typed aggregation: per-user event_type→count "
+    "built as a real MapType column (map_from_entries over the "
+    "key-sorted entry array — deterministic iteration order), then "
+    "emitted as parallel key/value CSV columns so the map CONTENT is "
+    "hash-graded, not just its cardinality. The map-building shape "
+    "feature stores use for per-entity feature bags; two-phase "
+    "(user, type) count then per-user fold, both map-side combining.",
+)
+def agg_map_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    entries = counts.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("event_type"), F.col("n")))
+        ).alias("ents")
+    )
+    as_map = entries.select(
+        "user_id", F.map_from_entries("ents").alias("m")
+    )
+    return as_map.select(
+        "user_id",
+        F.concat_ws(",", F.map_keys("m")).alias("type_keys"),
+        F.concat_ws(
+            ",", F.transform(F.map_values("m"), lambda v: v.cast("string"))
+        ).alias("type_counts"),
+        F.size(F.map_keys("m")).cast("long").alias("n_types"),
+    ).orderBy("user_id")
