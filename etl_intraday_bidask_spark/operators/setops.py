@@ -12,6 +12,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -90,4 +91,56 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
         .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "set_union_by_name_evolved",
+    oracle_sql="""
+        WITH legacy AS (
+            SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), current AS (
+            SELECT o_orderkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 3 <> 0
+        ), unified AS (
+            SELECT * FROM legacy UNION ALL SELECT * FROM current
+        )
+        SELECT coalesce(o_orderpriority, 'UNKNOWN') AS pri,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
+        FROM unified
+        GROUP BY pri
+        ORDER BY pri
+    """,
+    description="Schema-evolution union on the DataFrame surface: "
+    "unionByName(allowMissingColumns=True) aligns two frames by COLUMN "
+    "NAME (not position) and null-fills columns one side lacks — the "
+    "API-level twin of mergeSchema reads (scan_schema_evolution), used "
+    "when the old and new extracts are already DataFrames. The legacy "
+    "slice deliberately drops o_orderpriority; the union restores it "
+    "as NULL and the rollup coalesces to 'UNKNOWN'. Narrow union, one "
+    "aggregate shuffle.",
+)
+def set_union_by_name_evolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    legacy = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    current = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    unified = legacy.unionByName(current, allowMissingColumns=True)
+    return (
+        unified.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("UNKNOWN")).alias("pri")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(scaled_long("o_totalprice", 100)).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("pri")
     )

@@ -413,3 +413,77 @@ def win_count_distinct_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "win_regression_slope_exact",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT user_id,
+                   epoch_us(ts) // 1000000
+                       - min(epoch_us(ts) // 1000000)
+                             OVER (PARTITION BY user_id) AS x,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ), sums AS (
+            SELECT user_id,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts
+            GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_s
+        FROM sums
+        WHERE n * sxx - sx * sx <> 0
+        ORDER BY user_id
+    """,
+    description="Per-user least-squares trend (cents per second) from "
+    "EXACT integer sums: x is the epoch second relative to the user's "
+    "first event (keeps every product and sum within the 2^53-exact "
+    "double range and BIGINT bounds), y the exact cents; slope = "
+    "(n·Σxy − Σx·Σy)/(n·Σxx − Σx²) computed as ONE IEEE division of "
+    "two exact BIGINTs — bit-identical on any engine and partitioning. "
+    "The builtin regr_slope is deliberately NOT used: its merging "
+    "float accumulators are summation-order-dependent, exactly the "
+    "nondeterminism the repo's parity policy forbids. One user_id "
+    "exchange serves the window min and both aggregates.",
+)
+def win_regression_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    pts = ev.select(
+        "user_id",
+        (
+            F.unix_micros("ts") / F.lit(1000000)
+        ).cast("long").alias("abs_s"),
+        scaled_long("value", 100).alias("y"),
+    ).select(
+        "user_id",
+        (F.col("abs_s") - F.min("abs_s").over(w)).alias("x"),
+        "y",
+    )
+    sums = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    numer = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter(denom != 0)
+        .select(
+            "user_id",
+            "n",
+            (numer.cast("double") / denom.cast("double")).alias(
+                "slope_cents_per_s"
+            ),
+        )
+        .orderBy("user_id")
+    )

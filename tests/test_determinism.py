@@ -70,6 +70,9 @@ AUDITED = [
     "embed_quantize_int8",
     # Iterative fixed-point graph numeric — must be partitioning-invariant:
     "graph_pagerank_fixedpoint",
+    # Exact-integer regression slope — the op exists precisely because the
+    # builtin regr_slope is NOT partitioning-invariant:
+    "win_regression_slope_exact",
 ]
 
 
