@@ -430,3 +430,82 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.max("grp_n").alias("grp_n"))
         .orderBy("o_orderstatus")
     )
+
+
+def _bloom_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-demonstration plan; caller must hold the bloom confs."""
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    joined = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        (F.sum(scaled_long("l_extendedprice", 100)).cast("double") / 100.0).alias(
+            "sum_price"
+        ),
+    )
+
+
+class _bloom_confs:
+    """Temporarily hold the SQLConfs that make runtime-bloom injection
+    eligible at fixture scale: broadcast off (InjectRuntimeFilter skips
+    broadcastable creation sides) and the 10 GB application-side floor
+    dropped. Restored on exit so NOTHING leaks into other operators'
+    plans in a shared grading session."""
+
+    _CONFS = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+
+    def __enter__(self):
+        self.saved = {
+            k: self.spark.conf.get(k, None) for k in self._CONFS
+        }
+        for k, v in self._CONFS.items():
+            self.spark.conf.set(k, v)
+
+    def __exit__(self, *exc):
+        for k, v in self.saved.items():
+            if v is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, v)
+
+
+@register(
+    "join_bloom_runtime_filter",
+    oracle_sql="""
+        SELECT o_orderpriority,
+               count(*) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = \'1-URGENT\'
+        GROUP BY o_orderpriority
+    """,
+    description="Runtime Bloom-filter join: the selective dim-side "
+    "filter (1-URGENT ~ 20% of orders) builds a Bloom filter at "
+    "runtime that is pushed into the FACT scan as "
+    "might_contain(xxhash64(l_orderkey)) — semi-join reduction for "
+    "non-partition join keys, where dynamic partition pruning cannot "
+    "apply: non-joining fact rows die before the shuffle. Injection "
+    "is only eligible for shuffle joins, so broadcast is disabled "
+    "inside a conf guard and the aggregate is eagerly materialized "
+    "(localCheckpoint) UNDER those confs — then every conf is "
+    "restored, so nothing leaks into other plans in a shared grading "
+    "session. tests/test_plans.py asserts might_contain in the plan. "
+    "Same result as the plain join oracle.",
+)
+def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    with _bloom_confs(spark):
+        # Eager: the join executes NOW, with the bloom filter injected;
+        # the returned frame replays the materialized partitions.
+        return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)

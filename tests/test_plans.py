@@ -173,3 +173,26 @@ def test_sessionize_single_exchange(spark):
     # (the only other exchange is the output orderBy's range partition).
     plan = plan_of(spark, "sessionize_gaps_islands")
     assert plan.count("hashpartitioning") == 1, plan
+
+
+def test_bloom_runtime_filter_injected(spark):
+    """join_bloom_runtime_filter: under the op's conf guard, the selective
+    dim filter must inject a runtime Bloom filter (might_contain over the
+    join-key hash) into the fact side of a non-broadcast join."""
+    from etl_intraday_bidask_spark.operators.joins import (
+        _bloom_confs,
+        _bloom_join_frame,
+    )
+    from tests.conftest import SF_SMALL
+
+    with _bloom_confs(spark):
+        df = _bloom_join_frame(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+    assert "might_contain" in plan, "runtime bloom filter not injected"
+    assert "SortMergeJoin" in plan
+    # And the guard must restore the broadcast threshold afterwards.
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
