@@ -301,3 +301,89 @@ def pack_token_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "seq_id")
     )
+
+
+@register(
+    "corpus_decontaminate_ngram",
+    oracle_sql="""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3
+        ), g AS (
+            SELECT DISTINCT doc_id, lang,
+                   toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS gram
+            FROM t, unnest(generate_series(1, len(toks) - 2)) AS u(i)
+        ), ev AS (
+            SELECT * FROM g WHERE doc_id % 50 = 0
+        ), tr_d AS (
+            SELECT DISTINCT lang, gram FROM g WHERE doc_id % 50 <> 0
+        ), totals AS (
+            SELECT doc_id, count(*) AS total
+            FROM g WHERE doc_id % 50 = 0
+            GROUP BY doc_id
+        ), hits AS (
+            SELECT e.doc_id, count(*) AS shared
+            FROM ev e
+            JOIN tr_d t ON e.gram = t.gram AND e.lang = t.lang
+            GROUP BY e.doc_id
+        )
+        SELECT totals.doc_id AS eval_id,
+               CAST(COALESCE(hits.shared, 0) AS BIGINT) AS shared_trigrams,
+               CAST(totals.total AS BIGINT) AS total_trigrams,
+               CAST(COALESCE(hits.shared, 0) AS DOUBLE)
+                   / CAST(totals.total AS DOUBLE) AS contamination
+        FROM totals
+        LEFT JOIN hits ON totals.doc_id = hits.doc_id
+        ORDER BY eval_id
+    """,
+    description="Benchmark decontamination: every held-out eval "
+    "document (deterministic doc_id slice) is scored by the fraction "
+    "of its distinct trigram shingles that also occur anywhere in the "
+    "training split — the n-gram-overlap contamination check run "
+    "before training on scraped corpora (eval answers leaking into "
+    "the train set inflate benchmarks). Lang-blocked postings join "
+    "against the DEDUPLICATED train shingle set, so the join is "
+    "|eval shingles| × matches, never corpus-quadratic; contamination "
+    "is one IEEE division of exact counts. At 100 TB the train "
+    "shingle set shuffles once on (lang, gram) and the tiny eval side "
+    "broadcasts.",
+)
+def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    ).where(F.size("toks") >= 3)
+    g = t.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3), "
+                "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    ev = g.where(F.col("doc_id") % 50 == 0)
+    tr_d = g.where(F.col("doc_id") % 50 != 0).select("lang", "gram").distinct()
+    totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    hits = (
+        ev.join(tr_d, ["lang", "gram"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            F.coalesce(F.col("shared"), F.lit(0)).cast("long").alias(
+                "shared_trigrams"
+            ),
+            F.col("total").cast("long").alias("total_trigrams"),
+            (
+                F.coalesce(F.col("shared"), F.lit(0)).cast("double")
+                / F.col("total").cast("double")
+            ).alias("contamination"),
+        )
+        .orderBy("eval_id")
+    )
