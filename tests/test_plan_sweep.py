@@ -44,6 +44,7 @@ EXECUTES_ON_BUILD = {
     "stream_foreachbatch_compact",
     "stream_tumbling_append_closed",
     "source_python_stream_datasource",
+    "stream_session_append_closed",
     "multimodal_decode_stub",
     "observe_pipeline_metrics",
 }
