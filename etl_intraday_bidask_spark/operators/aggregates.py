@@ -422,3 +422,74 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "agg_weighted_median",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(l_quantity AS BIGINT) AS wt
+            FROM lineitem
+        ), cum AS (
+            SELECT l_returnflag, price_c, wt,
+                   sum(wt) OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY price_c, wt
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+                   sum(wt) OVER (PARTITION BY l_returnflag) AS tw
+            FROM pts
+        )
+        SELECT l_returnflag,
+               CAST(min(CASE WHEN 2 * cw >= tw THEN price_c END) AS DOUBLE)
+                   / 100.0 AS weighted_median_price,
+               CAST(max(tw) AS BIGINT) AS total_weight
+        FROM cum
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    description="Exact weighted median: the price at which the "
+    "quantity-weighted cumulative mass first reaches half the group "
+    "total — computed as a running integer-weight sum over the "
+    "price-ordered partition and a min-over-crossing aggregate; all "
+    "comparisons are exact BIGINT arithmetic (2·cw ≥ tw avoids any "
+    "division), so the answer is partitioning-independent. The "
+    "inventory-valuation / fair-price statistic plain median ignores "
+    "weights for. One shuffle on the group key serves the window and "
+    "the aggregate.",
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    pts = li.select(
+        "l_returnflag",
+        scaled_long("l_extendedprice", 100).alias("price_c"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wc = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price_c", "wt")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("l_returnflag")
+    cum = pts.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(wc).alias("cw"),
+        F.sum("wt").over(wt).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            (
+                F.min(
+                    F.when(2 * F.col("cw") >= F.col("tw"), F.col("price_c"))
+                ).cast("double")
+                / 100.0
+            ).alias("weighted_median_price"),
+            F.max("tw").alias("total_weight"),
+        )
+        .orderBy("l_returnflag")
+    )

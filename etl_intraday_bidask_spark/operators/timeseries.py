@@ -19,7 +19,11 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum
+from etl_intraday_bidask_spark.functions.parity import (
+    exact_avg,
+    exact_sum,
+    scaled_long,
+)
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -722,4 +726,118 @@ def bidask_vwap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_size",
         )
         .orderBy("bucket_us", "event_type")
+    )
+
+
+@register(
+    "densify_interpolate_linear",
+    oracle_sql="""
+        WITH spine AS (
+            SELECT CAST(unnest(generate_series(
+                       DATE '2024-01-01', DATE '2024-01-30',
+                       INTERVAL 1 DAY)) AS DATE) AS day
+        ), daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events
+            WHERE event_type = 'purchase' AND user_id % 7 = 0
+            GROUP BY day
+        ), grid AS (
+            SELECT s.day, d.cents,
+                   CAST(s.day - DATE '2024-01-01' AS BIGINT) AS x
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+        ), fenced AS (
+            SELECT day, cents, x,
+                   max(CASE WHEN cents IS NOT NULL THEN x END) OVER (
+                       ORDER BY x ROWS UNBOUNDED PRECEDING) AS px,
+                   min(CASE WHEN cents IS NOT NULL THEN x END) OVER (
+                       ORDER BY x ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nx,
+                   last_value(cents IGNORE NULLS) OVER (
+                       ORDER BY x ROWS UNBOUNDED PRECEDING) AS pv,
+                   first_value(cents IGNORE NULLS) OVER (
+                       ORDER BY x ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS nv
+            FROM grid
+        )
+        SELECT day,
+               CAST(cents IS NOT NULL AS BOOLEAN) AS observed,
+               CASE
+                   WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE) / 100.0
+                   WHEN pv IS NULL OR nv IS NULL THEN NULL
+                   WHEN nx = px THEN CAST(pv AS DOUBLE) / 100.0
+                   ELSE (CAST(pv AS DOUBLE)
+                         + CAST((x - px) * (nv - pv) AS DOUBLE)
+                           / CAST(nx - px AS DOUBLE)) / 100.0
+               END AS value_filled
+        FROM fenced
+        ORDER BY day
+    """,
+    description="Time-series gap imputation: a sparse daily series "
+    "(purchases of a 1-in-7 user cohort) densified onto the calendar "
+    "spine and LINEARLY INTERPOLATED between the nearest observed "
+    "neighbors — the imputation step feature pipelines run before "
+    "modeling. Prev/next observation via last/first_value IGNORE "
+    "NULLS windows; the interpolation is arithmetic on exact cent "
+    "and day integers with two IEEE divisions, bit-identical "
+    "cross-engine. Leading/trailing gaps stay NULL (documented "
+    "semantics). Single-series frame here; at scale the windows "
+    "partition by series key.",
+)
+def densify_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    daily = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
+        )
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.sum(scaled_long("value", 100)).alias("cents"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+            )
+        ).alias("day")
+    )
+    grid = spine.join(daily, "day", "left").select(
+        "day",
+        "cents",
+        F.datediff("day", F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    )
+    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("x").rowsBetween(0, Window.unboundedFollowing)
+    x_obs = F.when(F.col("cents").isNotNull(), F.col("x"))
+    fenced = grid.select(
+        "day",
+        "cents",
+        "x",
+        F.max(x_obs).over(wb).alias("px"),
+        F.min(x_obs).over(wf).alias("nx"),
+        F.last("cents", ignorenulls=True).over(wb).alias("pv"),
+        F.first("cents", ignorenulls=True).over(wf).alias("nv"),
+    )
+    interp = (
+        F.col("pv").cast("double")
+        + ((F.col("x") - F.col("px")) * (F.col("nv") - F.col("pv"))).cast(
+            "double"
+        )
+        / (F.col("nx") - F.col("px")).cast("double")
+    ) / 100.0
+    return (
+        fenced.select(
+            "day",
+            F.col("cents").isNotNull().alias("observed"),
+            F.when(
+                F.col("cents").isNotNull(), F.col("cents").cast("double") / 100.0
+            )
+            .when(F.col("pv").isNull() | F.col("nv").isNull(), F.lit(None))
+            .when(F.col("nx") == F.col("px"), F.col("pv").cast("double") / 100.0)
+            .otherwise(interp)
+            .alias("value_filled"),
+        )
+        .orderBy("day")
     )

@@ -73,6 +73,9 @@ AUDITED = [
     # Exact-integer regression slope — the op exists precisely because the
     # builtin regr_slope is NOT partitioning-invariant:
     "win_regression_slope_exact",
+    # Running-sum crossing statistic — invariance argued in the op docstring,
+    # asserted here:
+    "agg_weighted_median",
 ]
 
 
