@@ -612,3 +612,88 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle_sql=f"""
+        WITH {UNIGRAM_PAIRS_CTES}
+        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        FROM uscored
+        ORDER BY doc_lo, doc_hi
+    """,
+    description="PPJoin-style prefix-filtered similarity join: instead "
+    "of indexing EVERY token (the dedup_near_jaccard postings join), "
+    "each document indexes only its n − ceil(0.9·n) + 1 globally "
+    "rarest tokens — the prefix-filtering theorem guarantees any pair "
+    "with Jaccard ≥ 0.9 still shares an indexed token, so candidate "
+    "generation shrinks ~8× while staying complete. Candidates are "
+    "then exact-verified on full token sets. The oracle is the NAIVE "
+    "full postings join: the hash match is a machine-checked proof "
+    "that the optimization loses no pairs on this corpus. At 100 TB "
+    "prefix filtering is the difference between indexing the corpus "
+    "and indexing ~a tenth of it, with the same answer.",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    )
+    dfreq = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("dfreq")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("dfreq", "token")
+    wn = Window.partitionBy("doc_id")
+    ranked = tok.join(dfreq, ["lang", "token"]).select(
+        "doc_id",
+        "lang",
+        "token",
+        F.row_number().over(wd).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n") - F.expr("(9 * n + 9) div 10") + 1
+    ).select("doc_id", "lang", "token")
+    pa = prefix.alias("pa")
+    pb = prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.token") == F.col("pb.token"))
+            & (F.col("pa.lang") == F.col("pb.lang"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id")),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_lo"),
+            F.col("pb.doc_id").alias("doc_hi"),
+        )
+        .distinct()
+    )
+    ta = tok.alias("ta")
+    tb = tok.alias("tb")
+    inter = (
+        cand.join(ta, F.col("doc_lo") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("doc_hi") == F.col("tb.doc_id"))
+            & (F.col("ta.token") == F.col("tb.token"))
+            & (F.col("ta.lang") == F.col("tb.lang")),
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sz.alias("sa")
+    sb = sz.alias("sb")
+    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .orderBy("doc_lo", "doc_hi")
+    )
