@@ -387,3 +387,47 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_id")
     )
+
+
+@register(
+    "sample_weighted_ares",
+    oracle_sql="""
+        WITH keyed AS (
+            SELECT doc_id, lang, n_chars,
+                   ln(((doc_id * 2654435761) % 2147483648 + 0.5)
+                      / 2147483648.0)
+                       / CAST(n_chars AS DOUBLE) AS k
+            FROM documents
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed
+        ORDER BY k DESC, doc_id
+        LIMIT 20
+    """,
+    description="Weighted sampling without replacement (Efraimidis-"
+    "Spirakis A-Res): each doc draws priority u^(1/w) — compared in "
+    "log space as ln(u)/w — from a deterministic Knuth-hash uniform "
+    "and its length weight, and the global top-20 priorities are the "
+    "exact-k weighted sample. Replayable on any partitioning (the "
+    "hash replaces the RNG) and distributed as a TakeOrderedAndProject "
+    "per-partition heap merge — the standard cluster-scale weighted "
+    "reservoir. Deterministic doc_id tie-break; ln over identical "
+    "doubles on both engines (same precedent as the LM logprob ops).",
+)
+def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(2147483648)
+        + F.lit(0.5)
+    ) / F.lit(2147483648.0)
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        (F.log(u) / F.col("n_chars").cast("double")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.col("k").desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "lang", "n_chars")
+    )
