@@ -80,3 +80,28 @@ def test_round3_window_would_cover_never_graded_ops():
         (order.index(k) for k in order if k in history), default=len(order)
     )
     assert all(order.index(k) < first_graded_pos for k in never_graded)
+
+
+def test_survey_inventory_count_matches_registry():
+    """SURVEY.md §2 is the binding contract; its declared inventory count
+    must equal the executable registry so the table and code cannot
+    drift silently."""
+    import re
+
+    registry = load_all_operators()
+    with open(os.path.join(REPO, "SURVEY.md")) as f:
+        survey = f.read()
+    m = re.search(r"\*\*Inventory size: (\d+) declared operators\*\*", survey)
+    assert m, "SURVEY.md inventory line missing"
+    declared = int(m.group(1))
+    assert declared == len(registry), (
+        f"SURVEY declares {declared} operators but the registry has "
+        f"{len(registry)} — update the SURVEY §2 inventory line"
+    )
+    m2 = re.search(r"\((\d+) hash-checked, (\d+) rows-only", survey)
+    assert m2, "SURVEY.md hash/rows split missing"
+    hash_checked = sum(
+        1 for s in registry.values() if s.oracle_sql is not None
+    )
+    assert int(m2.group(1)) == hash_checked
+    assert int(m2.group(2)) == len(registry) - hash_checked
