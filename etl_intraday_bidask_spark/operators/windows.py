@@ -487,3 +487,81 @@ def win_regression_slope_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "win_ewma_dyadic",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT user_id, event_id,
+                   epoch_us(ts) AS e_us,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+            WHERE event_type = 'purchase'
+        ), lagged AS (
+            SELECT user_id, event_id, e_us, cents,
+                   lag(cents, 1) OVER w AS c1,
+                   lag(cents, 2) OVER w AS c2,
+                   lag(cents, 3) OVER w AS c3
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY e_us, event_id)
+        )
+        SELECT user_id, event_id,
+               CAST(8 * cents + 4 * COALESCE(c1, 0) + 2 * COALESCE(c2, 0)
+                    + COALESCE(c3, 0) AS DOUBLE)
+                   / (8 + CASE WHEN c1 IS NULL THEN 0 ELSE 4 END
+                        + CASE WHEN c2 IS NULL THEN 0 ELSE 2 END
+                        + CASE WHEN c3 IS NULL THEN 0 ELSE 1 END)
+                   / 100.0 AS ewma_value
+        FROM lagged
+        ORDER BY user_id, event_id
+    """,
+    description="Exact EWMA (α = 1/2, trailing 4 observations): the "
+    "exponentially weighted purchase average per user, computed with "
+    "DYADIC weights 8/4/2/1 over exact cents — numerator and "
+    "denominator are exact BIGINTs and the result is one IEEE "
+    "division, so the classic order-sensitive recursive smoother "
+    "becomes partitioning-independent and hash-gradable (a truncated "
+    "float-α EWMA cannot be either). Ragged starts renormalize by "
+    "dropping absent weights. One user_id exchange, linear per-user "
+    "scan via lag frames.",
+)
+def win_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("e_us"),
+        scaled_long("value", 100).alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("e_us", "event_id")
+    lagged = pts.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.lag("cents", 1).over(w).alias("c1"),
+        F.lag("cents", 2).over(w).alias("c2"),
+        F.lag("cents", 3).over(w).alias("c3"),
+    )
+    num = (
+        8 * F.col("cents")
+        + 4 * F.coalesce(F.col("c1"), F.lit(0))
+        + 2 * F.coalesce(F.col("c2"), F.lit(0))
+        + F.coalesce(F.col("c3"), F.lit(0))
+    )
+    den = (
+        F.lit(8)
+        + F.when(F.col("c1").isNull(), 0).otherwise(4)
+        + F.when(F.col("c2").isNull(), 0).otherwise(2)
+        + F.when(F.col("c3").isNull(), 0).otherwise(1)
+    )
+    return (
+        lagged.select(
+            "user_id",
+            "event_id",
+            (num.cast("double") / den / 100.0).alias("ewma_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
