@@ -509,3 +509,98 @@ def join_bloom_runtime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         # Eager: the join executes NOW, with the bloom filter injected;
         # the returned frame replays the materialized partitions.
         return _bloom_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+
+
+@register(
+    "join_spatial_grid",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT event_id,
+                   CAST(round(value * 100) AS BIGINT) % 1000 AS x,
+                   (user_id * 37) % 1000 AS y
+            FROM events
+            WHERE event_type = 'click'
+        ), boxes AS (
+            SELECT p_partkey AS box_id,
+                   (p_partkey * 131) % 900 AS x_lo,
+                   (p_partkey * 131) % 900 + 60 + p_size AS x_hi,
+                   (p_partkey * 173) % 900 AS y_lo,
+                   (p_partkey * 173) % 900 + 40 + p_size AS y_hi
+            FROM part
+            WHERE p_partkey % 37 = 0
+        )
+        SELECT b.box_id,
+               count(*) AS n_points,
+               CAST(sum(p.x) AS BIGINT) AS sum_x,
+               CAST(sum(p.y) AS BIGINT) AS sum_y
+        FROM boxes b
+        JOIN pts p
+          ON p.x BETWEEN b.x_lo AND b.x_hi
+         AND p.y BETWEEN b.y_lo AND b.y_hi
+        GROUP BY b.box_id
+        ORDER BY b.box_id
+    """,
+    description="Grid-bucketed spatial containment join: synthetic 2-D "
+    "points (derived deterministically from events) against query "
+    "boxes (derived from part), matched point-in-box. The Spark plan "
+    "does NOT evaluate the box predicate against every point: each "
+    "box explodes into the 100-unit grid cells it overlaps, each "
+    "point maps to its one cell, and the containment test runs only "
+    "inside cell-equal pairs — the standard distributed spatial-join "
+    "decomposition (quadkey/S2/H3 bucketing) that replaces an O(n·m) "
+    "cross product with an equi shuffle plus local refinement. The "
+    "oracle is the naive containment join, so the hash match proves "
+    "the grid decomposition loses nothing. All coordinates exact "
+    "BIGINTs.",
+)
+def join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    CELL = 100
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    pts = ev.select(
+        "event_id",
+        (scaled_long("value", 100) % 1000).alias("x"),
+        ((F.col("user_id") * 37) % 1000).alias("y"),
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 37 == 0)
+    boxes = part.select(
+        F.col("p_partkey").alias("box_id"),
+        ((F.col("p_partkey") * 131) % 900).alias("x_lo"),
+        ((F.col("p_partkey") * 131) % 900 + 60 + F.col("p_size")).alias("x_hi"),
+        ((F.col("p_partkey") * 173) % 900).alias("y_lo"),
+        ((F.col("p_partkey") * 173) % 900 + 40 + F.col("p_size")).alias("y_hi"),
+    )
+    box_cells = boxes.select(
+        "box_id",
+        "x_lo",
+        "x_hi",
+        "y_lo",
+        "y_hi",
+        F.explode(
+            F.expr(f"sequence(x_lo div {CELL}, x_hi div {CELL})")
+        ).alias("cx"),
+    ).select(
+        "*",
+        F.explode(
+            F.expr(f"sequence(y_lo div {CELL}, y_hi div {CELL})")
+        ).alias("cy"),
+    )
+    pt_cells = pts.select(
+        "event_id",
+        "x",
+        "y",
+        F.expr(f"x div {CELL}").alias("cx"),
+        F.expr(f"y div {CELL}").alias("cy"),
+    )
+    matched = pt_cells.join(F.broadcast(box_cells), ["cx", "cy"]).filter(
+        F.col("x").between(F.col("x_lo"), F.col("x_hi"))
+        & F.col("y").between(F.col("y_lo"), F.col("y_hi"))
+    )
+    return (
+        matched.groupBy("box_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("x").alias("sum_x"),
+            F.sum("y").alias("sum_y"),
+        )
+        .orderBy("box_id")
+    )
