@@ -343,3 +343,78 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "skyline_pareto_2d",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                   CAST(p_size AS BIGINT) AS size
+            FROM part
+        ), fenced AS (
+            SELECT p_partkey, price_c, size,
+                   max(size) OVER (
+                       ORDER BY price_c
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_cheaper,
+                   max(size) OVER (
+                       PARTITION BY price_c
+                   ) AS best_same_price
+            FROM pts
+        )
+        SELECT p_partkey, CAST(price_c AS DOUBLE) / 100.0 AS price, size
+        FROM fenced
+        WHERE (best_cheaper IS NULL OR size > best_cheaper)
+          AND size = best_same_price
+        ORDER BY price_c, p_partkey
+    """,
+    description="2-D skyline (Pareto front): the parts not dominated "
+    "on (price low, size high) — kept iff no strictly cheaper part "
+    "has size ≥ theirs and no equal-priced part beats their size. "
+    "The preference-query operator family (SKYLINE OF), expressed "
+    "with one RANGE frame: running max size over strictly-cheaper "
+    "rows (RANGE ... 1 PRECEDING excludes price ties exactly) plus a "
+    "per-price max — one sort, no self-join, no quadratic dominance "
+    "test. Global 1-D ordering here; at scale the standard "
+    "decomposition computes per-partition skylines (each a superset "
+    "filter) and merges the ~tiny fronts — the same two-pass shape "
+    "as the documented global-range-frame rewrite.",
+)
+def skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    part = load(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        scaled_long("p_retailprice", 100).alias("price_c"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same = Window.partitionBy("price_c")
+    fenced = pts.select(
+        "p_partkey",
+        "price_c",
+        "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_same).alias("best_same_price"),
+    )
+    return (
+        fenced.filter(
+            (
+                F.col("best_cheaper").isNull()
+                | (F.col("size") > F.col("best_cheaper"))
+            )
+            & (F.col("size") == F.col("best_same_price"))
+        )
+        .select(
+            "p_partkey",
+            (F.col("price_c").cast("double") / 100.0).alias("price"),
+            "size",
+        )
+        .orderBy("price_c", "p_partkey")
+    )
