@@ -493,3 +493,42 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "agg_conditional_distinct",
+    oracle_sql="""
+        SELECT c_mktsegment,
+               count(DISTINCT c_nationkey) AS nations_all,
+               count(DISTINCT c_nationkey)
+                   FILTER (WHERE c_acctbal > 5000.0) AS nations_rich,
+               count(DISTINCT c_nationkey)
+                   FILTER (WHERE c_acctbal < 0.0) AS nations_debt,
+               count(*) AS n_customers
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    description="Conditional DISTINCT aggregation: per segment, the "
+    "distinct nation count overall and under two different balance "
+    "conditions, in ONE aggregate — each conditioned distinct becomes "
+    "count(DISTINCT CASE WHEN cond THEN key END) so Catalyst plans a "
+    "single Expand + two-level aggregate instead of three self-joined "
+    "scans. The multi-metric distinct dashboard shape; the Expand "
+    "multiplies rows ×(distinct-column count) BEFORE the shuffle but "
+    "partial aggregation collapses each branch map-side.",
+)
+def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    rich = F.when(F.col("c_acctbal") > 5000.0, F.col("c_nationkey"))
+    debt = F.when(F.col("c_acctbal") < 0.0, F.col("c_nationkey"))
+    return (
+        customer.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("nations_all"),
+            F.countDistinct(rich).alias("nations_rich"),
+            F.countDistinct(debt).alias("nations_debt"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )

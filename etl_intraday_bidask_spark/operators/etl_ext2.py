@@ -144,3 +144,90 @@ def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "etl_quarantine_route",
+    oracle_sql="""
+        WITH corrupted AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 43 = 0 THEN -o_totalprice
+                        ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 47 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus
+            FROM orders
+        ), classified AS (
+            SELECT *,
+                   CASE
+                       WHEN o_totalprice <= 0 THEN 'nonpositive_price'
+                       WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                           THEN 'bad_status'
+                       ELSE 'ok'
+                   END AS route
+            FROM corrupted
+        )
+        SELECT route,
+               count(*) AS n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
+        FROM classified
+        GROUP BY route
+        ORDER BY route
+    """,
+    description="DQ quarantine routing: a deterministically corrupted "
+    "feed (modular slices get negated prices / invalid status — the "
+    "fixtures themselves are clean) is classified by the FIRST failed "
+    "rule or 'ok', bad rows are physically written to a quarantine "
+    "parquet dir partitioned by rule and good rows to the clean dir — "
+    "the split-on-validity landing pattern silver layers use (dq_checks "
+    "reports; this op ROUTES). The returned per-route counts are "
+    "re-read from the WRITTEN files, so the hash match verifies the "
+    "sink contents, not just the in-memory classification. One narrow "
+    "classification pass + two writes; at scale the quarantine "
+    "partitioning makes rule-wise reprocessing a partition scan.",
+)
+def etl_quarantine_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 43 == 0, -F.col("o_totalprice")
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 47 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+    )
+    route = (
+        F.when(F.col("o_totalprice") <= 0, "nonpositive_price")
+        .when(~F.col("o_orderstatus").isin("O", "F", "P"), "bad_status")
+        .otherwise("ok")
+    )
+    classified = orders.withColumn("route", route)
+    base = tempfile.mkdtemp(prefix="quarantine_route_")
+    clean_dir = os.path.join(base, "clean")
+    quarantine_dir = os.path.join(base, "quarantine")
+    classified.filter(F.col("route") == "ok").write.mode("overwrite").parquet(
+        clean_dir
+    )
+    (
+        classified.filter(F.col("route") != "ok")
+        .write.mode("overwrite")
+        .partitionBy("route")
+        .parquet(quarantine_dir)
+    )
+    clean = spark.read.parquet(clean_dir)
+    quarantined = spark.read.parquet(quarantine_dir)
+    landed = clean.select("route", "o_totalprice").unionByName(
+        quarantined.select("route", "o_totalprice")
+    )
+    return (
+        landed.groupBy("route")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(scaled_long("o_totalprice", 100)).cast("double") / 100.0).alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("route")
+    )
