@@ -431,3 +431,91 @@ def sample_weighted_ares(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@register(
+    "text_pmi_cooccurrence",
+    oracle_sql="""
+        WITH dt AS (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), n_docs AS (
+            SELECT count(DISTINCT doc_id) AS nd FROM dt
+        ), df AS (
+            SELECT tok, count(*) AS c FROM dt GROUP BY tok
+            HAVING count(*) >= 20
+        ), keep AS (
+            SELECT dt.doc_id, dt.tok, df.c
+            FROM dt JOIN df ON dt.tok = df.tok
+        ), pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   count(*) AS c_ab,
+                   max(a.c) AS c_a,
+                   max(b.c) AS c_b
+            FROM keep a
+            JOIN keep b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT tok_a, tok_b, c_ab,
+               round(ln(CAST(c_ab AS DOUBLE) * nd
+                        / (CAST(c_a AS DOUBLE) * c_b)), 4) AS pmi
+        FROM pairs, n_docs
+        ORDER BY c_ab DESC, tok_a, tok_b
+        LIMIT 50
+    """,
+    description="Pointwise mutual information over document-level "
+    "token co-occurrence: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) from exact "
+    "doc-frequency counts, for the 50 most co-occurring pairs of "
+    "frequent tokens (df ≥ 20 bounds the pair space — the vocabulary "
+    "pruning that keeps the self-join O(Σ df²) on frequent terms, not "
+    "corpus-quadratic). The association-matrix statistic distribution "
+    "semantics (collocations, PMI-SVD embeddings) build on; counts "
+    "are exact integers, the single ln-of-ratio is applied once per "
+    "output row and rounded 4dp (irrational-output policy). At 100 TB "
+    "the doc-token postings shuffle once on doc_id for the pair join "
+    "and once on the pair key for the count.",
+)
+def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    dt = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    nd_df = dt.agg(F.countDistinct("doc_id").alias("nd"))
+    df = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 20)
+    )
+    keep = dt.join(F.broadcast(df), "tok")
+    a = keep.alias("a")
+    b = keep.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(
+            F.col("a.tok").alias("tok_a"), F.col("b.tok").alias("tok_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("c_ab"),
+            F.max(F.col("a.c")).alias("c_a"),
+            F.max(F.col("b.c")).alias("c_b"),
+        )
+    )
+    pmi = F.round(
+        F.log(
+            F.col("c_ab").cast("double")
+            * F.col("nd").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        ),
+        4,
+    )
+    return (
+        pairs.crossJoin(F.broadcast(nd_df))
+        .select("tok_a", "tok_b", "c_ab", pmi.alias("pmi"))
+        .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
+        .limit(50)
+    )
