@@ -519,3 +519,53 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("c_ab").desc(), "tok_a", "tok_b")
         .limit(50)
     )
+
+
+@register(
+    "sample_stratified_split",
+    oracle_sql="""
+        WITH keyed AS (
+            SELECT lang,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   (doc_id * 2654435761) % 100 AS bucket
+            FROM documents
+        )
+        SELECT lang,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM keyed
+        GROUP BY lang, split
+        ORDER BY lang, split
+    """,
+    description="Stratified train/val/test split (80/10/10): every "
+    "document lands in a split via a deterministic Knuth-hash bucket "
+    "of its id — membership is a pure row function, so the split is "
+    "replayable on any partitioning, any engine, any day (the property "
+    "random_split cannot give), and per-language doc/token counts "
+    "audit the stratification. The canonical ML dataset-split op; a "
+    "narrow stateless projection plus one (lang, split) aggregate — "
+    "at 100 TB the split column is typically materialized as a "
+    "partition key so each split is a partition scan.",
+)
+def sample_stratified_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    bucket = (F.col("doc_id") * F.lit(2654435761)) % 100
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+            split.alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("lang", "split")
+    )
