@@ -114,16 +114,59 @@ def _grading_history() -> dict[str, list[int]]:
     return history
 
 
-def rotation_order(keys: list[str], history: dict[str, list[int]]) -> list[str]:
-    """Least-recently-graded-first ordering: never-graded keys lead, then
-    ascending (times graded, last round graded); ties break on the round-2
-    priority list position, then name — fully deterministic. Each round the
-    driver grades the first 50 keys, so this rotates stale keys into the
-    window automatically as CORRECTNESS files accumulate."""
+def _latest_failures() -> set[str]:
+    """Keys whose MOST RECENT driver grade was a failure (an error or any
+    rows/schema/hash mismatch). These are regressions that must re-prove
+    themselves: the rotation prepends them to the 50-key window instead of
+    treating the failed grade as a completed one (which would bench them
+    for two rounds — VERDICT.md round 3, item 4)."""
+    import glob
+    import json
+    import os
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        try:
+            with open(path) as f:
+                graded = json.load(f)
+        except (OSError, ValueError):
+            continue
+        rnd = int(m.group(1))
+        for key, v in graded.items():
+            failed = isinstance(v, dict) and (
+                v.get("err") not in (None, "no_oracle")
+                or any(
+                    v.get(f) is False
+                    for f in ("rows_match", "schema_match", "hash_match")
+                )
+            )
+            prev = latest.get(key)
+            if prev is None or rnd >= prev[0]:
+                latest[key] = (rnd, failed)
+    return {k for k, (_, failed) in latest.items() if failed}
+
+
+def rotation_order(
+    keys: list[str],
+    history: dict[str, list[int]],
+    failed: frozenset[str] | set[str] = frozenset(),
+) -> list[str]:
+    """Least-recently-graded-first ordering: keys whose latest grade FAILED
+    lead (regressions re-prove themselves next round), then never-graded
+    keys, then ascending (times graded, last round graded); ties break on
+    the round-2 priority list position, then name — fully deterministic.
+    Each round the driver grades the first 50 keys, so this rotates stale
+    keys into the window automatically as CORRECTNESS files accumulate."""
     prio = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
     return sorted(
         keys,
         key=lambda k: (
+            0 if k in failed else 1,
             len(history.get(k, ())),
             max(history.get(k, ()), default=0),
             prio.get(k, len(prio)),
@@ -138,8 +181,8 @@ def _ordered_registry():
     assert not missing, f"priority list names unknown operators: {missing}"
     history = _grading_history()
     if max((r for rs in history.values() for r in rs), default=0) >= 2:
-        # Round 3+: rotate by grading history.
-        order = rotation_order(list(registry), history)
+        # Round 3+: rotate by grading history; latest-failed keys first.
+        order = rotation_order(list(registry), history, _latest_failures())
     else:
         # Round 2: the hand-built window (47 ungraded hash-checkable ops,
         # the fixed dedup_simhash, 2 ungraded rows-only ops = slots 1-50).

@@ -86,7 +86,11 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_linenumber,
                CAST(round(l_extendedprice * (1 - l_discount) * 10000)
                     AS BIGINT) AS net_e4,
-               CAST(round(net_e4 * (1 + l_tax)) AS BIGINT) AS gross_e4,
+               -- exact-integer half-up: net_e4*(1+tax) as
+               -- (net_e4*(100+tax_e2)+50)//100 — no double product, so
+               -- both engines compute the identical integer.
+               CAST((net_e4 * (100 + CAST(round(l_tax * 100) AS BIGINT))
+                     + 50) // 100 AS BIGINT) AS gross_e4,
                gross_e4 - CAST(round(l_extendedprice * 10000) AS BIGINT)
                    AS delta_e4
         FROM lineitem
@@ -109,7 +113,13 @@ def sql_lateral_alias_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_linenumber,
                CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
                     AS BIGINT) AS net_e4,
-               CAST(floor(net_e4 * (1 + l_tax) + 0.5) AS BIGINT) AS gross_e4,
+               -- net_e4*(1+tax) in EXACT integers: tax has 2 decimals, so
+               -- (net_e4*(100+tax_e2)+50) DIV 100 is half-up rounding with
+               -- no double product — the floor(x+0.5) shortcut is only
+               -- sound when x sits on a representable grid, which a
+               -- bigint×double product does not (ADVICE.md round 2).
+               (net_e4 * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))
+                + 50) DIV 100 AS gross_e4,
                gross_e4 - CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)
                    AS delta_e4
         FROM lineitem_v

@@ -348,9 +348,12 @@ def stream_tumbling_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame
             SELECT max(ts) AS mx FROM events
         ), pts AS (
             SELECT user_id, ts,
+                   -- >= not >: Spark session_window is half-open
+                   -- [t, t+gap), so an event landing exactly at the
+                   -- previous session's end starts a NEW session.
                    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
-                            > 1800000000
+                            >= 1800000000
                          OR lag(ts) OVER (
                             PARTITION BY user_id ORDER BY ts, event_id)
                             IS NULL

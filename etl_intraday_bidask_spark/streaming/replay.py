@@ -25,7 +25,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum
-from etl_intraday_bidask_spark.tables import ensure_session_confs
+from etl_intraday_bidask_spark.tables import (
+    ensure_session_confs,
+    normalize_event_time,
+)
 
 
 _STAGE_DIRS: dict[str, str] = {}
@@ -46,10 +49,12 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream with ts normalized to µs."""
     ensure_session_confs(spark)
     # Streaming sources need an explicit schema; take it from the batch
-    # reader (ts arrives as long nanos under nanosAsLong).
+    # reader, then normalize ts from whatever physical shape the fixture
+    # currently has (long nanos / NTZ µs / tz µs) — same canonicalization
+    # as tables.load, derived from the actual schema, not assumed.
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = spark.readStream.schema(batch_schema).parquet(_stage_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_event_time(raw, "ts")
 
 
 def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:

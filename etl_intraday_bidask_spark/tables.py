@@ -54,6 +54,33 @@ _LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 )
 
 
+def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Normalize an event-time column to the engine's canonical
+    ``TimestampType`` regardless of the parquet physical shape.
+
+    The fixtures have shipped the same instant data three ways already:
+    TIMESTAMP(NANOS) (read as LongType nanos under ``nanosAsLong``),
+    TIMESTAMP(MICROS) ``isAdjustedToUTC=true`` (``TimestampType``), and
+    TIMESTAMP(MICROS) ``isAdjustedToUTC=false`` (``TimestampNTZType``).
+    Every downstream call site (``unix_micros``, ``withWatermark``,
+    ``window``) requires ``TimestampType``, so the engine canonicalizes
+    at the load boundary instead of assuming one physical type.
+
+    Both conversions are value-preserving: the session timezone is
+    pinned UTC (``ensure_session_confs``), so NTZ→Timestamp reinterprets
+    the wall-clock as UTC — epoch-µs bit-identical to DuckDB's
+    ``epoch_us`` on the same file. Long-nanos uses integer ``div`` (not
+    ``/``): double division loses precision at epoch-nanos magnitudes
+    (> 2^53).
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    if isinstance(dt, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLE_NAMES:
@@ -63,13 +90,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return memo[(sf_dir, name)]
     ensure_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # TIMESTAMP(NANOS) parquet read as long nanos (see session.py);
-        # convert to µs TimestampType — lossless, the fixture values have
-        # no sub-µs component (FIXTURES.md).
-        # Integer `div`, not `/`: double division would lose precision on
-        # epoch-nanos magnitudes (> 2^53).
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        df = normalize_event_time(df, "ts")
     memo[(sf_dir, name)] = df
     return df
 

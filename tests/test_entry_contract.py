@@ -82,6 +82,122 @@ def test_round3_window_would_cover_never_graded_ops():
     assert all(order.index(k) < first_graded_pos for k in never_graded)
 
 
+# Canonical post-load dtypes for the ten fixture tables. One fixture
+# regeneration (round 3: TIMESTAMP(NANOS) → µs NTZ) silently flipped 17
+# operators from green to AnalysisException with zero code change; this
+# contract turns the next such drift into a 1-second failure naming the
+# exact column. events.ts is pinned STRICTLY to 'timestamp' — that is
+# what tables.load's normalization guarantees, so this test fails if the
+# normalization is removed. o_orderdate/l_shipdate are deliberately NOT
+# normalized (driver grades from round 3 pinned their NTZ schema —
+# ADVICE.md round 3), so any timestamp/date shape is accepted there.
+_FLEX_DATE = {"timestamp", "timestamp_ntz", "date"}
+_CANONICAL_DTYPES = {
+    "region": [("r_regionkey", "int"), ("r_name", "string")],
+    "nation": [
+        ("n_nationkey", "int"),
+        ("n_name", "string"),
+        ("n_regionkey", "int"),
+    ],
+    "customer": [
+        ("c_custkey", "bigint"),
+        ("c_name", "string"),
+        ("c_nationkey", "int"),
+        ("c_acctbal", "double"),
+        ("c_mktsegment", "string"),
+    ],
+    "supplier": [
+        ("s_suppkey", "bigint"),
+        ("s_name", "string"),
+        ("s_nationkey", "int"),
+        ("s_acctbal", "double"),
+    ],
+    "part": [
+        ("p_partkey", "bigint"),
+        ("p_name", "string"),
+        ("p_brand", "string"),
+        ("p_type", "string"),
+        ("p_size", "int"),
+        ("p_retailprice", "double"),
+    ],
+    "orders": [
+        ("o_orderkey", "bigint"),
+        ("o_custkey", "bigint"),
+        ("o_orderstatus", "string"),
+        ("o_totalprice", "double"),
+        ("o_orderdate", _FLEX_DATE),
+        ("o_orderpriority", "string"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "bigint"),
+        ("l_partkey", "bigint"),
+        ("l_suppkey", "bigint"),
+        ("l_linenumber", "int"),
+        ("l_quantity", "double"),
+        ("l_extendedprice", "double"),
+        ("l_discount", "double"),
+        ("l_tax", "double"),
+        ("l_returnflag", "string"),
+        ("l_linestatus", "string"),
+        ("l_shipdate", _FLEX_DATE),
+    ],
+    "events": [
+        ("event_id", "bigint"),
+        ("ts", "timestamp"),
+        ("user_id", "bigint"),
+        ("event_type", "string"),
+        ("value", "double"),
+        ("props", "string"),
+    ],
+    "documents": [
+        ("doc_id", "bigint"),
+        ("text", "string"),
+        ("lang", "string"),
+        ("source", "string"),
+        ("n_chars", "bigint"),
+    ],
+    "embeddings": [
+        ("vec_id", "bigint"),
+        ("embedding", "array<float>"),
+        ("label", "int"),
+    ],
+}
+
+
+def test_fixture_schema_contract(spark):
+    """Every loaded table's dtypes must match the canonical contract;
+    in particular events.ts must come out of tables.load as TimestampType
+    no matter the parquet physical type the fixtures currently use."""
+    from etl_intraday_bidask_spark.tables import load
+
+    import tests.conftest as cf
+
+    problems = []
+    for name, expected in _CANONICAL_DTYPES.items():
+        actual = load(spark, cf.SF_SMALL, name).dtypes
+        if len(actual) != len(expected):
+            problems.append(f"{name}: {len(actual)} cols != {len(expected)}")
+            continue
+        for (acol, adt), (ecol, edt) in zip(actual, expected):
+            ok = acol == ecol and (
+                adt in edt if isinstance(edt, set) else adt == edt
+            )
+            if not ok:
+                problems.append(f"{name}.{acol}: {adt!r} != {ecol}:{edt!r}")
+    assert not problems, "fixture schema drift:\n" + "\n".join(problems)
+
+
+def test_streaming_replay_ts_normalized(spark):
+    """The streaming replay reader must apply the same event-time
+    canonicalization as the batch loader (round-3 NTZ break hit both)."""
+    from etl_intraday_bidask_spark.streaming.replay import _read_events_stream
+
+    import tests.conftest as cf
+
+    stream = _read_events_stream(spark, cf.SF_SMALL)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+
+
 def test_survey_inventory_count_matches_registry():
     """SURVEY.md §2 is the binding contract; its declared inventory count
     must equal the executable registry so the table and code cannot
