@@ -28,6 +28,33 @@ from etl_intraday_bidask_spark.tables import load
 
 JACCARD_THRESHOLD = 0.9  # validated on sf0.01: ≈2.5k pairs (fixtures §FIXTURES.md)
 COSINE_THRESHOLD = 0.35  # validated on sf0.01: same-label cosines top out ≈0.55
+KNN_TOP_K = 10  # k for the exact baseline; ANN variants match it (similarity.py)
+
+# Module-level so similarity.ann_recall_report can compose the exact
+# baseline by plain import (no registry lookup at import time).
+KNN_COSINE_TOPK_SQL = f"""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
+        dots AS (
+            SELECT e.vec_id, e.label,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e JOIN q ON e.i = q.i
+            WHERE e.vec_id <> 0
+            GROUP BY 1, 2
+        )
+        SELECT vec_id, label,
+               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
+        FROM dots
+        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
+        LIMIT {KNN_TOP_K}
+    """
 
 
 @register(
@@ -254,32 +281,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_topk",
-    oracle_sql="""
-        WITH exp AS (
-            SELECT vec_id, label,
-                   generate_subscripts(embedding, 1) AS i,
-                   CAST(unnest(embedding) AS DOUBLE) AS x
-            FROM embeddings
-        ),
-        q AS (SELECT i, x AS y FROM exp WHERE vec_id = 0),
-        dots AS (
-            SELECT e.vec_id, e.label,
-                   sum(e.x * q.y) AS dot,
-                   sum(e.x * e.x) AS na2,
-                   sum(q.y * q.y) AS nb2
-            FROM exp e JOIN q ON e.i = q.i
-            WHERE e.vec_id <> 0
-            GROUP BY 1, 2
-        )
-        SELECT vec_id, label,
-               round(dot / (sqrt(na2) * sqrt(nb2)), 4) AS cosine_sim
-        FROM dots
-        ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
-        LIMIT 10
-    """,
-    description="Exact top-10 cosine neighbors of vec_id=0 (self "
-    "excluded): broadcast the query vector, map-only higher-order-fn "
-    "cosine, TakeOrderedAndProject top-k. Baseline for ANN variants.",
+    oracle_sql=KNN_COSINE_TOPK_SQL,
+    description=f"Exact top-{KNN_TOP_K} cosine neighbors of vec_id=0 "
+    "(self excluded): broadcast the query vector, map-only "
+    "higher-order-fn cosine, TakeOrderedAndProject top-k. Baseline for "
+    "ANN variants.",
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
@@ -297,7 +303,7 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sim.alias("_raw_sim"),
         )
         .orderBy(F.col("_raw_sim").desc(), F.col("vec_id"))
-        .limit(10)
+        .limit(KNN_TOP_K)
         .drop("_raw_sim")
     )
 

@@ -373,48 +373,70 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="2-D skyline (Pareto front): the parts not dominated "
     "on (price low, size high) — kept iff no strictly cheaper part "
     "has size ≥ theirs and no equal-priced part beats their size. "
-    "The preference-query operator family (SKYLINE OF), expressed "
-    "with one RANGE frame: running max size over strictly-cheaper "
-    "rows (RANGE ... 1 PRECEDING excludes price ties exactly) plus a "
-    "per-price max — one sort, no self-join, no quadratic dominance "
-    "test. Global 1-D ordering here; at scale the standard "
-    "decomposition computes per-partition skylines (each a superset "
-    "filter) and merges the ~tiny fronts — the same two-pass shape "
-    "as the documented global-range-frame rewrite.",
+    "Executed as the standard distributed decomposition: phase 1 "
+    "hash-buckets the points and computes each bucket's LOCAL skyline "
+    "with bucket-partitioned windows (running max size over "
+    "strictly-cheaper rows via RANGE ... 1 PRECEDING, plus a per-"
+    "(bucket, price) max) — dominance is transitive, so every global "
+    "skyline point survives its bucket and the union of local fronts "
+    "is a superset of the answer; phase 2 merges the fronts (expected "
+    "O(buckets × log n) rows for anti-correlated-or-random data) with "
+    "a broadcast anti-join dominance test. No global un-partitioned "
+    "window anywhere: both window passes are bucket-partitioned and "
+    "the quadratic merge touches only the tiny candidate set. The "
+    "oracle keeps the single-sort global-window formulation — same "
+    "set either way.",
 )
 def skyline_pareto_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     part = load(spark, sf_dir, "part")
+    n_buckets = 32
     pts = part.select(
         "p_partkey",
         scaled_long("p_retailprice", 100).alias("price_c"),
         F.col("p_size").cast("long").alias("size"),
+        F.pmod(F.hash("p_partkey"), F.lit(n_buckets)).alias("b"),
     )
     w_cheaper = (
-        Window.orderBy("price_c")
+        Window.partitionBy("b")
+        .orderBy("price_c")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
-    w_same = Window.partitionBy("price_c")
-    fenced = pts.select(
-        "p_partkey",
-        "price_c",
-        "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_same).alias("best_same_price"),
-    )
-    return (
-        fenced.filter(
+    w_same = Window.partitionBy("b", "price_c")
+    local_front = (
+        pts.select(
+            "p_partkey",
+            "price_c",
+            "size",
+            F.max("size").over(w_cheaper).alias("best_cheaper"),
+            F.max("size").over(w_same).alias("best_same_price"),
+        )
+        .filter(
             (
                 F.col("best_cheaper").isNull()
                 | (F.col("size") > F.col("best_cheaper"))
             )
             & (F.col("size") == F.col("best_same_price"))
         )
+        .select("p_partkey", "price_c", "size")
+    )
+    dom = local_front.select(
+        F.col("price_c").alias("d_price"), F.col("size").alias("d_size")
+    )
+    dominates = (
+        (F.col("d_price") < F.col("price_c"))
+        & (F.col("d_size") >= F.col("size"))
+    ) | (
+        (F.col("d_price") == F.col("price_c"))
+        & (F.col("d_size") > F.col("size"))
+    )
+    return (
+        local_front.join(F.broadcast(dom), dominates, "left_anti")
         .select(
             "p_partkey",
             (F.col("price_c").cast("double") / 100.0).alias("price"),
             "size",
         )
-        .orderBy("price_c", "p_partkey")
+        .orderBy("price", "p_partkey")
     )

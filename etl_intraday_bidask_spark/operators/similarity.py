@@ -42,9 +42,8 @@ def _sign_expr(i_col: F.Column, j_col: F.Column) -> F.Column:
     return 2 * ((s / 65536).cast("long") % 2) - 1
 
 
-@register(
-    "knn_lsh_bucketed",
-    oracle_sql=f"""
+# Module-level so ann_recall_report composes it by plain reference.
+LSH_TOPK_SQL = f"""
         WITH exp AS (
             SELECT vec_id, label,
                    generate_subscripts(embedding, 1) - 1 AS i,
@@ -90,7 +89,12 @@ def _sign_expr(i_col: F.Column, j_col: F.Column) -> F.Column:
         FROM dots
         ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, vec_id
         LIMIT {TOP_K}
-    """,
+    """
+
+
+@register(
+    "knn_lsh_bucketed",
+    oracle_sql=LSH_TOPK_SQL,
     description="ANN top-10 neighbors of vec_id=0 via random-hyperplane "
     "LSH: 4 deterministic ±1 hyperplanes → 16 buckets (plane count "
     "measured, see SCALE.md); candidates are the query's bucket only, "
@@ -779,33 +783,37 @@ def etl_embeddings_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ANN recall report — composes the exact baseline and the LSH scale path
-# registered above into a first-class graded metric. Import order is
-# guaranteed by operators/__init__ (llm_ops before similarity), so both
-# specs exist in REGISTRY at decoration time.
+# ANN recall report — composes the exact baseline (llm_ops) and the LSH
+# scale path above into a first-class graded metric. Both the SQL and the
+# spark fn are referenced by plain import, not registry lookup, so there
+# is no import-order coupling; k is derived from the shared constants
+# (the assert keeps the two modules' k in lockstep).
 
-from etl_intraday_bidask_spark.registry import REGISTRY as _REGISTRY
+from etl_intraday_bidask_spark.operators.llm_ops import (
+    KNN_COSINE_TOPK_SQL,
+    KNN_TOP_K,
+    knn_cosine_topk,
+)
 
-_EXACT_TOPK_SQL = _REGISTRY["knn_cosine_topk"].oracle_sql
-_LSH_TOPK_SQL = _REGISTRY["knn_lsh_bucketed"].oracle_sql
+assert KNN_TOP_K == TOP_K, "exact baseline and ANN paths must share k"
 
 
 @register(
     "ann_recall_report",
     oracle_sql=f"""
         WITH exact_k AS (
-            {_EXACT_TOPK_SQL}
+            {KNN_COSINE_TOPK_SQL}
         ), approx_k AS (
-            {_LSH_TOPK_SQL}
+            {LSH_TOPK_SQL}
         )
         SELECT count(*) AS hits,
-               CAST(10 AS BIGINT) AS k,
-               CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+               CAST({TOP_K} AS BIGINT) AS k,
+               CAST(count(*) AS DOUBLE) / {TOP_K}.0 AS recall_at_k
         FROM exact_k e
         JOIN approx_k a USING (vec_id)
     """,
-    description="Recall@10 of the LSH-bucketed ANN path against the "
-    "exact cosine top-k baseline, as a first-class graded metric — "
+    description=f"Recall@{TOP_K} of the LSH-bucketed ANN path against "
+    "the exact cosine top-k baseline, as a first-class graded metric — "
     "the honest-measurement loop every ANN deployment needs (SCALE.md "
     "records the same number narratively; this op pins it into the "
     "oracle-checked contract). Composes the two registered plans and "
@@ -814,17 +822,15 @@ _LSH_TOPK_SQL = _REGISTRY["knn_lsh_bucketed"].oracle_sql
     "audit (recall on a query sample), never the full corpus.",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    exact = (
-        _REGISTRY["knn_cosine_topk"].spark_fn(spark, sf_dir).select("vec_id")
-    )
-    approx = (
-        _REGISTRY["knn_lsh_bucketed"].spark_fn(spark, sf_dir).select("vec_id")
-    )
+    exact = knn_cosine_topk(spark, sf_dir).select("vec_id")
+    approx = knn_lsh_bucketed(spark, sf_dir).select("vec_id")
     hits = exact.join(approx, "vec_id")
     return hits.agg(
         F.count(F.lit(1)).alias("hits"),
-        F.lit(10).cast("long").alias("k"),
-        (F.count(F.lit(1)).cast("double") / 10.0).alias("recall_at_10"),
+        F.lit(TOP_K).cast("long").alias("k"),
+        (F.count(F.lit(1)).cast("double") / float(TOP_K)).alias(
+            "recall_at_k"
+        ),
     )
 
 

@@ -196,3 +196,25 @@ def test_bloom_runtime_filter_injected(spark):
     assert "SortMergeJoin" in plan
     # And the guard must restore the broadcast threshold afterwards.
     assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
+def test_skyline_has_no_global_window(spark):
+    """skyline_pareto_2d runs the documented two-phase decomposition:
+    bucket-partitioned local-skyline windows + broadcast anti-join merge.
+    A global un-partitioned window would show as Exchange SinglePartition
+    (the round-2/3 VERDICT scale-killer)."""
+    plan = plan_of(spark, "skyline_pareto_2d")
+    assert "SinglePartition" not in plan, plan
+    assert "Window" in plan  # local pass still uses windows, partitioned
+
+
+def test_range_frame_twins_agree(spark):
+    """win_range_frame (global-window semantic anchor) and
+    win_range_frame_dist (bucket-join scale path) must produce identical
+    rows — the equality that justifies shipping the dist form at scale."""
+    from tests.conftest import SF_MEDIUM
+
+    reg = load_all_operators()
+    a = sorted(map(tuple, reg["win_range_frame"].spark_fn(spark, SF_MEDIUM).collect()))
+    b = sorted(map(tuple, reg["win_range_frame_dist"].spark_fn(spark, SF_MEDIUM).collect()))
+    assert a == b
