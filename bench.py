@@ -29,6 +29,9 @@ HEADLINE = [
     "array_explode_tokens",
     "knn_cosine_topk",
     "join_asof_bidask",
+    # LLM-pipeline heavy representative: explode→two-level agg→window
+    # top-k over the documents table (DuckDB anchor in BASELINE.md).
+    "text_tfidf_topk",
 ]
 
 

@@ -299,7 +299,9 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'MACHINERY')
           AND c_acctbal > threshold
           AND NOT EXISTS (
-              SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '2000-01-01'
           )
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment
@@ -307,11 +309,14 @@ def q4_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="TPC-H Q22-style dormant high-balance customers: "
     "customers in three market segments whose balance exceeds the "
     "exact average positive balance (the fixture customer table has no "
-    "phone column; mktsegment plays the country-code role) and who "
-    "have placed no orders. The scalar average is an exact-integer "
-    "sum divided once (1-row broadcast), the no-orders condition a "
-    "left-anti join shuffling on custkey, then a 3-row segment "
-    "aggregate of exact cents.",
+    "phone column; mktsegment plays the country-code role) and whose "
+    "last order predates 2000 (every fixture customer has SOME order, "
+    "so the classic no-orders-ever predicate is vacuously empty — "
+    "'dormant' means no RECENT order, which also pushes a date filter "
+    "into the anti-join's build side). The scalar average is an "
+    "exact-integer sum divided once (1-row broadcast), the dormancy "
+    "condition a left-anti join shuffling on custkey, then a 3-row "
+    "segment aggregate of exact cents.",
 )
 def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
@@ -330,8 +335,11 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(threshold))
         .filter(F.col("c_acctbal") > F.col("threshold"))
     )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     dormant = candidates.join(
-        orders, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
+        recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti"
     )
     return (
         dormant.groupBy("c_mktsegment")

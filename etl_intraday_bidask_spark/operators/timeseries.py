@@ -805,14 +805,26 @@ def densify_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day")
     )
     grid = spine.join(daily, "day", "left").select(
+        # Series key: one cohort series here, but the windows partition
+        # on it so the same plan distributes when the pipeline densifies
+        # many series (per-symbol, per-user) — no global window.
+        F.lit("cohort7").alias("sk"),
         "day",
         "cents",
         F.datediff("day", F.lit("2024-01-01").cast("date"))
         .cast("long")
         .alias("x"),
     )
-    wb = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
-    wf = Window.orderBy("x").rowsBetween(0, Window.unboundedFollowing)
+    wb = (
+        Window.partitionBy("sk")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("sk")
+        .orderBy("x")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
     x_obs = F.when(F.col("cents").isNotNull(), F.col("x"))
     fenced = grid.select(
         "day",
