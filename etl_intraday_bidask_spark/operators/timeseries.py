@@ -793,7 +793,11 @@ def densify_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(
             (F.col("event_type") == "purchase") & (F.col("user_id") % 7 == 0)
         )
-        .groupBy(F.to_date("ts").alias("day"))
+        # event_type is the series key: constant 'purchase' after the
+        # filter (so the grouping is unchanged), but a real column — a
+        # literal key would be constant-folded out of the window spec by
+        # Catalyst, silently reverting to a global window.
+        .groupBy(F.to_date("ts").alias("day"), F.col("event_type").alias("sk"))
         .agg(F.sum(scaled_long("value", 100)).alias("cents"))
     )
     spine = spark.range(1).select(
@@ -805,10 +809,12 @@ def densify_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("day")
     )
     grid = spine.join(daily, "day", "left").select(
-        # Series key: one cohort series here, but the windows partition
-        # on it so the same plan distributes when the pipeline densifies
-        # many series (per-symbol, per-user) — no global window.
-        F.lit("cohort7").alias("sk"),
+        # Spine days with no observation get a NULL sk from the left
+        # join; coalesce onto the single series so every grid row lands
+        # in the same partition-key group. One series here, but the
+        # windows partition on sk so the same plan distributes when the
+        # pipeline densifies many series (per-symbol, per-user).
+        F.coalesce(F.col("sk"), F.lit("purchase")).alias("sk"),
         "day",
         "cents",
         F.datediff("day", F.lit("2024-01-01").cast("date"))
