@@ -90,6 +90,25 @@ _GRADING_PRIORITY = [
 ]
 
 
+# Operators added DURING round 4, after the round-4 window was planned.
+# Never-graded keys tie on (grade count 0) with the 46 pre-existing
+# never-graded ops and would interleave alphabetically, displacing some
+# of them from the 50-slot window; deferring the new ones keeps the
+# planned round-4 window intact — they grade in round 5 instead.
+_DEFER_NEW_R4 = [
+    "q7_nation_pair_volume",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q17_small_quantity_revenue",
+    "q21_sole_late_supplier",
+    "win_yoy_nation_revenue",
+    "agg_median_abs_deviation",
+    "knn_range_search",
+    "text_chunk_overlap_stride",
+    "sample_negative_pairs",
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -163,13 +182,15 @@ def rotation_order(
     Each round the driver grades the first 50 keys, so this rotates stale
     keys into the window automatically as CORRECTNESS files accumulate."""
     prio = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
+    deferred = {n: i for i, n in enumerate(_DEFER_NEW_R4)}
     return sorted(
         keys,
         key=lambda k: (
             0 if k in failed else 1,
             len(history.get(k, ())),
             max(history.get(k, ()), default=0),
-            prio.get(k, len(prio)),
+            # mid-round additions sort after all other never-graded keys
+            prio.get(k, len(prio) + 1 + deferred.get(k, -1)),
             k,
         ),
     )

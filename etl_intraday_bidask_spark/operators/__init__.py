@@ -5,6 +5,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     aggregates,
     corpus_ops,
     corpus_ops2,
+    corpus_ops3,
     dedup_advanced,
     etl_ext,
     etl_ext2,
@@ -17,6 +18,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     relational_ext2,
     relational_ext3,
     relational_ext4,
+    relational_ext5,
     scalar_funcs,
     scans,
     setops,
