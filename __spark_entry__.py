@@ -106,6 +106,9 @@ _DEFER_NEW_R4 = [
     "knn_range_search",
     "text_chunk_overlap_stride",
     "sample_negative_pairs",
+    "q15_top_supplier",
+    "q9_profit_by_nation_year",
+    "stream_sliding_append_closed",
 ]
 
 

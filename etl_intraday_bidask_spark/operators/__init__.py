@@ -35,3 +35,9 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
 # These operators live outside operators/ but register like any other.
 from etl_intraday_bidask_spark.plans import pipeline  # noqa: E402,F401
 from etl_intraday_bidask_spark.streaming import stateful  # noqa: E402,F401
+
+# NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
+# applyInPandasWithState) was attempted and reverted: its driver-side
+# state server requires google.protobuf, which is not functional in this
+# container and cannot be installed. The legacy applyInPandasWithState
+# path (streaming/stateful.py) covers the custom-stateful surface.

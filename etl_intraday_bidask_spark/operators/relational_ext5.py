@@ -418,6 +418,119 @@ def win_yoy_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q15_top_supplier",
+    oracle_sql="""
+        WITH rev AS (
+            SELECT l_suppkey AS sk,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS rev_e4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        ), mx AS (
+            SELECT max(rev_e4) AS top FROM rev
+        )
+        SELECT s_suppkey, s_name,
+               CAST(rev_e4 AS DOUBLE) / 10000.0 AS total_revenue
+        FROM supplier JOIN rev ON s_suppkey = sk, mx
+        WHERE rev_e4 = top
+        ORDER BY s_suppkey
+    """,
+    description="TPC-H Q15-style top supplier: the supplier(s) with "
+    "maximum revenue in 1996 Q1 (ties kept — the revenue comparison "
+    "is on exact scaled integers, so 'equal to the max' is "
+    "well-defined cross-engine, which a float revenue would not be). "
+    "The quarter filter pushes to the lineitem scan; the rollup is "
+    "one suppkey shuffle; the max is a 1-row broadcast joined back — "
+    "the view+scalar-subquery shape of Q15 without recomputing the "
+    "rollup twice.",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("sk")).agg(
+        F.sum(
+            scaled_long(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+            )
+        ).alias("rev_e4")
+    )
+    mx = rev.agg(F.max("rev_e4").alias("top"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("rev_e4") == F.col("top"))
+        .join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_e4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle_sql="""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                    - 0.6 * p_retailprice * l_quantity)
+                                   * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000.0 AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    description="TPC-H Q9-style product-type profit by nation and "
+    "year (the fixture has no partsupp.ps_supplycost; cost is proxied "
+    "as 60% of p_retailprice per unit, keeping Q9's "
+    "revenue-minus-cost aggregate shape and its LIKE part filter — '%gear%' on the fixture's color-noun names). "
+    "Per-line profit sits on the exact 1e-4 grid (prices 2dp × "
+    "discount/0.6 2dp/1dp × integer quantity), so the signed amounts "
+    "aggregate as exact BIGINTs. Part/supplier/nation broadcast; one "
+    "orderkey exchange; the LIKE filter prunes the broadcast side "
+    "before the join.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = scaled_long(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity"),
+        10000,
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit).cast("double") / 10000.0).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@register(
     "agg_median_abs_deviation",
     oracle_sql="""
         WITH cents AS (

@@ -342,6 +342,65 @@ def stream_tumbling_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_sliding_append_closed",
+    oracle_sql="""
+        WITH m AS (
+            SELECT max(ts) AS mx FROM events
+        ), w AS (
+            SELECT (epoch_us(ts) // 900000000 - k.k) * 900000000
+                       AS win_start_us,
+                   event_type,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                       / 100.0 AS sum_value
+            FROM events
+            CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(k)
+            GROUP BY 1, 2
+        )
+        SELECT win_start_us, event_type, n, sum_value
+        FROM w, m
+        WHERE win_start_us + 3600000000 <= epoch_us(mx) - 3600000000
+        ORDER BY win_start_us, event_type
+    """,
+    description="TRUE streaming sliding windows in APPEND mode: "
+    "window(ts, '1 hour', '15 minutes') under a 1-hour watermark on a "
+    "readStream availableNow replay — each of the 4 overlapping "
+    "windows an event lands in is emitted exactly once, when the "
+    "watermark passes its end, which is what lets the state store "
+    "evict it (complete mode retains every window forever). The final "
+    "watermark of the finite replay is max(ts) − 1h, so the emitted "
+    "set is exactly the windows with end ≤ max(ts) − 1h — "
+    "deterministic across micro-batch boundaries, making the "
+    "append-mode lifecycle itself hash-gradable; the ~4 trailing open "
+    "windows per type are withheld by design.",
+)
+def stream_sliding_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.streaming.replay import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            exact_sum("value", 100).alias("sum_value"),
+        )
+        .select(
+            F.unix_micros("w.start").alias("win_start_us"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    return _run_to_memory(agg, "append").orderBy("win_start_us", "event_type")
+
+
+@register(
     "stream_session_append_closed",
     oracle_sql="""
         WITH m AS (
