@@ -109,6 +109,10 @@ _DEFER_NEW_R4 = [
     "q15_top_supplier",
     "q9_profit_by_nation_year",
     "stream_sliding_append_closed",
+    "join_asof_tolerance",
+    "win_drawdown_max",
+    "win_streak_longest",
+    "agg_hll_partial_merge",
 ]
 
 

@@ -532,3 +532,43 @@ def agg_conditional_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "agg_hll_partial_merge",
+    oracle_sql=None,
+    description="Mergeable HLL sketch aggregation (Apache DataSketches, "
+    "Spark 4 built-ins): per-event_type HLL sketches of distinct "
+    "user_ids built as PARTIAL sketches on an artificially "
+    "repartitioned frame, merged with hll_union_agg, then estimated — "
+    "the additive-state pattern that makes distinct counting "
+    "incremental at lake scale (per-partition/per-day sketches union "
+    "in O(sketch size), unlike exact COUNT DISTINCT which must "
+    "re-shuffle raw keys). The two-stage build proves merge "
+    "associativity on a real partition boundary, not just within one "
+    "aggregate. Rows-only by nature: DuckDB cannot reproduce the "
+    "DataSketches estimator; the companion exact op "
+    "(agg_count_distinct) is the accuracy oracle, and the estimate's "
+    "relative error is bounded by the lgConfigK=12 standard error "
+    "(~1.6%), asserted in tests/test_parity.py.",
+)
+def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    # Partial sketches across an explicit 8-way partition boundary:
+    # the shape a per-day/per-file incremental pipeline produces.
+    partials = (
+        ev.repartition(8, "user_id")
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("event_type", "pid")
+        .agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("sketch"))
+    )
+    return (
+        partials.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_union_agg("sketch", F.lit(False))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_partials"),
+        )
+        .orderBy("event_type")
+    )

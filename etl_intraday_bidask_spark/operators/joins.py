@@ -274,6 +274,78 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_asof_tolerance",
+    oracle_sql="""
+        SELECT p.event_id,
+               p.user_id,
+               p.value AS purchase_value,
+               CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 300000000
+                    THEN v.value END AS recent_view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        ORDER BY p.event_id
+    """,
+    description="As-of join with a staleness tolerance: the latest view "
+    "at-or-before each purchase, but only if it is at most 5 minutes "
+    "old — the quote-matching rule real tick pipelines use (a quote "
+    "from hours ago must not price a trade). Same union + ordered-"
+    "window shape as join_asof_bidask (one user_id shuffle, linear "
+    "per-user scan, no range-join blowup); the tolerance is a null-out "
+    "mask on the carried view timestamp, not a second join. DuckDB "
+    "oracle: ASOF join + the same staleness CASE.",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tol_us = 300_000_000  # 5 minutes
+    ev = load(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(None).cast("double").alias("purchase_value"),
+        F.col("value").alias("view_value"),
+        F.unix_micros("ts").alias("view_us"),
+        F.lit(0).alias("side"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("value").alias("purchase_value"),
+        F.lit(None).cast("double").alias("view_value"),
+        F.lit(None).cast("long").alias("view_us"),
+        F.lit(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fresh = (
+        F.unix_micros("ts") - F.col("prior_view_us") <= F.lit(tol_us)
+    )
+    return (
+        views.unionByName(purchases)
+        .withColumn(
+            "prior_view_value", F.last("view_value", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "prior_view_us", F.last("view_us", ignorenulls=True).over(w)
+        )
+        .where(F.col("side") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "purchase_value",
+            F.when(fresh, F.col("prior_view_value")).alias(
+                "recent_view_value"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+@register(
     "join_skew_salted",
     oracle_sql="""
         WITH dim AS (

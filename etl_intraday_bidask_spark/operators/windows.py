@@ -565,3 +565,114 @@ def win_ewma_dyadic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@register(
+    "win_drawdown_max",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ), dd AS (
+            SELECT user_id,
+                   max(cents) OVER w - cents AS drawdown_c
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        )
+        SELECT user_id,
+               CAST(max(drawdown_c) AS DOUBLE) / 100.0 AS max_drawdown
+        FROM dd
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Maximum drawdown per user over the purchase-value "
+    "series — the peak-to-trough risk statistic every intraday P&L "
+    "report carries: running max of exact cents minus current value, "
+    "then the per-user maximum. One user_id shuffle shared by the "
+    "window and the aggregate; all arithmetic on exact integers, the "
+    "single division happens once at the end.",
+)
+def win_drawdown_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    pts = ev.select(
+        "user_id", "ts", "event_id", scaled_long("value", 100).alias("cents")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = pts.select(
+        "user_id", (F.max("cents").over(w) - F.col("cents")).alias("drawdown_c")
+    )
+    return (
+        dd.groupBy("user_id")
+        .agg((F.max("drawdown_c").cast("double") / 100.0).alias("max_drawdown"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "win_streak_longest",
+    oracle_sql="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events
+        ), marked AS (
+            SELECT user_id, d,
+                   CASE WHEN lag(d) OVER w IS NULL
+                         OR d - lag(d) OVER w > 1
+                        THEN 1 ELSE 0 END AS brk
+            FROM days
+            WINDOW w AS (PARTITION BY user_id ORDER BY d)
+        ), isl AS (
+            SELECT user_id, d,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY d
+                                  ROWS UNBOUNDED PRECEDING) AS island
+            FROM marked
+        )
+        SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak
+        FROM (
+            SELECT user_id, island, count(*) AS len
+            FROM isl GROUP BY user_id, island
+        )
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Longest consecutive-day activity streak per user — "
+    "the retention/engagement statistic — as gaps-and-islands over the "
+    "DISTINCT active-day set: break flag on day gaps > 1, running-sum "
+    "island ids, island lengths, per-user max. The distinct, both "
+    "windows, and both aggregates all share ONE user_id hash "
+    "partitioning; day arithmetic is exact integer date subtraction.",
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wo = Window.partitionBy("user_id").orderBy("d")
+    wr = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = days.select(
+        "user_id",
+        "d",
+        F.when(
+            F.lag("d").over(wo).isNull()
+            | (F.datediff("d", F.lag("d").over(wo)) > 1),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+    )
+    isl = marked.select(
+        "user_id", "d", F.sum("brk").over(wr).alias("island")
+    )
+    return (
+        isl.groupBy("user_id", "island")
+        .agg(F.count(F.lit(1)).alias("len"))
+        .groupBy("user_id")
+        .agg(F.max("len").cast("long").alias("longest_streak"))
+        .orderBy("user_id")
+    )

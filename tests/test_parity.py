@@ -134,3 +134,21 @@ def test_rows_only_runs(spark, name):
     rows, cols, _ = run_spark(spark, name, SF_SMALL)
     assert cols, f"{name}: no columns"
     assert len(rows) >= 0
+
+
+def test_hll_partial_merge_accuracy(spark, duck_small):
+    """agg_hll_partial_merge is rows-only (DuckDB cannot reproduce the
+    DataSketches estimator), so its accuracy is asserted here against
+    the exact distinct counts: within the lgConfigK=12 standard-error
+    envelope (~1.6%; 5% asserted for slack)."""
+    rows, _, _ = run_spark(spark, "agg_hll_partial_merge", SF_SMALL)
+    exact = dict(
+        duck_small.execute(
+            "SELECT event_type, count(DISTINCT user_id) "
+            "FROM events GROUP BY 1"
+        ).fetchall()
+    )
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
+        assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
