@@ -113,6 +113,8 @@ _DEFER_NEW_R4 = [
     "win_drawdown_max",
     "win_streak_longest",
     "agg_hll_partial_merge",
+    "agg_kll_quantile_merge",
+    "agg_theta_audience_overlap",
 ]
 
 

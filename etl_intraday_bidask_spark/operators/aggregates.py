@@ -572,3 +572,88 @@ def agg_hll_partial_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "agg_kll_quantile_merge",
+    oracle_sql=None,
+    description="Mergeable KLL quantile sketches (DataSketches): "
+    "per-event_type value sketches built as TWO partials over a "
+    "user-parity split, merged with the pairwise kll_sketch_merge, "
+    "then queried for p50/p95 — the streaming/incremental quantile "
+    "pattern (per-day partial sketches fold into month-to-date "
+    "percentiles without re-reading raw data; exact percentiles need "
+    "the full value multiset every time). Rows-only: the KLL "
+    "estimator is not reproducible in SQL; rank accuracy vs the exact "
+    "percentile companion is asserted in tests/test_parity.py.",
+)
+def agg_kll_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    partials = (
+        ev.groupBy("event_type", (F.col("user_id") % 2).alias("parity"))
+        .agg(F.kll_sketch_agg_double("value", F.lit(200)).alias("sk"))
+    )
+    merged = (
+        partials.groupBy("event_type")
+        .agg(
+            F.min_by("sk", "parity").alias("sk0"),
+            F.max_by("sk", "parity").alias("sk1"),
+        )
+        .select(
+            "event_type",
+            F.kll_sketch_merge_double("sk0", "sk1").alias("sk"),
+        )
+    )
+    return (
+        merged.select(
+            "event_type",
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+            F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+            F.kll_sketch_get_n_double("sk").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "agg_theta_audience_overlap",
+    oracle_sql=None,
+    description="Theta-sketch audience set algebra (DataSketches): "
+    "distinct-user sketches per event_type (partials union-merged via "
+    "theta_union_agg across an 8-way repartition boundary), then the "
+    "click/purchase audiences combined with theta_union, "
+    "theta_intersection, and theta_difference — the approximate "
+    "set-overlap capability (campaign reach, retargeting audiences) "
+    "that exact COUNT DISTINCT pairs cannot deliver without an "
+    "O(n²) self-join of raw key sets. At lake scale the sketches are "
+    "KiB-sized mergeable state per segment. Rows-only: estimator not "
+    "SQL-reproducible; accuracy vs exact set ops asserted in "
+    "tests/test_parity.py.",
+)
+def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "user_id")
+    partials = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .repartition(8, "user_id")
+        .groupBy("event_type", F.spark_partition_id().alias("pid"))
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+    )
+    per_type = partials.groupBy("event_type").agg(
+        F.theta_union_agg("sk").alias("sk")
+    )
+    wide = per_type.groupBy().pivot(
+        "event_type", ["click", "purchase"]
+    ).agg(F.first("sk"))
+    return wide.select(
+        F.theta_sketch_estimate(
+            F.theta_union("click", "purchase")
+        ).alias("either"),
+        F.theta_sketch_estimate(
+            F.theta_intersection("click", "purchase")
+        ).alias("both"),
+        F.theta_sketch_estimate(
+            F.theta_difference("click", "purchase")
+        ).alias("click_only"),
+    )

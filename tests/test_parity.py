@@ -152,3 +152,43 @@ def test_hll_partial_merge_accuracy(spark, duck_small):
     for r in rows:
         rel_err = abs(r.approx_users - exact[r.event_type]) / exact[r.event_type]
         assert rel_err < 0.05, (r.event_type, r.approx_users, exact[r.event_type])
+
+
+def test_kll_quantile_merge_accuracy(spark, duck_small):
+    """agg_kll_quantile_merge is rows-only; assert the merged-sketch
+    quantiles sit within the KLL k=200 rank-error envelope (~1.65%)
+    of the exact quantiles — 5 rank-percent slack asserted."""
+    rows, _, _ = run_spark(spark, "agg_kll_quantile_merge", SF_SMALL)
+    for r in rows:
+        lo50, hi50, lo95, hi95 = duck_small.execute(
+            "SELECT quantile_cont(value, 0.45), quantile_cont(value, 0.55),"
+            "       quantile_cont(value, 0.90), quantile_cont(value, 1.00) "
+            "FROM events WHERE event_type = ?",
+            [r.event_type],
+        ).fetchone()
+        assert lo50 <= r.p50 <= hi50, (r.event_type, r.p50, lo50, hi50)
+        assert lo95 <= r.p95 <= hi95, (r.event_type, r.p95, lo95, hi95)
+
+
+def test_theta_audience_overlap_accuracy(spark, duck_small):
+    """agg_theta_audience_overlap is rows-only; assert the set-algebra
+    estimates are within 5% of the exact overlap counts."""
+    rows, _, _ = run_spark(spark, "agg_theta_audience_overlap", SF_SMALL)
+    (r,) = rows
+    either, both, click_only = duck_small.execute(
+        """
+        SELECT (SELECT count(DISTINCT user_id) FROM events
+                WHERE event_type IN ('click', 'purchase')),
+               (SELECT count(*) FROM
+                 (SELECT user_id FROM events WHERE event_type = 'click'
+                  INTERSECT
+                  SELECT user_id FROM events WHERE event_type = 'purchase')),
+               (SELECT count(*) FROM
+                 (SELECT user_id FROM events WHERE event_type = 'click'
+                  EXCEPT
+                  SELECT user_id FROM events WHERE event_type = 'purchase'))
+        """
+    ).fetchone()
+    for est, exact in ((r.either, either), (r.both, both),
+                       (r.click_only, click_only)):
+        assert abs(est - exact) <= max(1, 0.05 * max(exact, 1)), (est, exact)
