@@ -115,6 +115,7 @@ _DEFER_NEW_R4 = [
     "agg_hll_partial_merge",
     "agg_kll_quantile_merge",
     "agg_theta_audience_overlap",
+    "stream_interval_join_outer",
 ]
 
 

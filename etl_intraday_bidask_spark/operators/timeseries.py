@@ -642,6 +642,93 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_interval_join_outer",
+    oracle_sql="""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS cts
+            FROM events WHERE event_type = 'click'
+        ), p AS (
+            SELECT event_id AS purchase_id, user_id AS user_b, ts AS pts
+            FROM events WHERE event_type = 'purchase'
+        ), w AS (
+            SELECT least((SELECT max(cts) FROM c),
+                         (SELECT max(pts) FROM p))
+                   - INTERVAL 1 HOUR AS wm
+        ), matches AS (
+            SELECT click_id, purchase_id, c.user_id
+            FROM c JOIN p
+              ON c.user_id = p.user_b
+             AND pts >= cts AND pts <= cts + INTERVAL 30 MINUTE
+        ), unmatched AS (
+            SELECT click_id, NULL AS purchase_id, user_id
+            FROM c, w
+            WHERE cts + INTERVAL 30 MINUTE <= wm
+              AND NOT EXISTS (
+                  SELECT 1 FROM p
+                  WHERE p.user_b = c.user_id
+                    AND p.pts >= c.cts
+                    AND p.pts <= c.cts + INTERVAL 30 MINUTE)
+        )
+        SELECT click_id, purchase_id, user_id FROM matches
+        UNION ALL
+        SELECT click_id, purchase_id, user_id FROM unmatched
+        ORDER BY click_id, purchase_id
+    """,
+    description="Stream-stream LEFT OUTER interval join: clicks joined "
+    "to purchases within 30 minutes, and a click with NO purchase is "
+    "emitted with NULLs only once the watermark proves no match can "
+    "still arrive — the state-eviction semantics that make outer "
+    "stream joins possible at all (matches emit immediately; unmatched "
+    "rows emit exactly when their join window closes under the "
+    "watermark, which is also the moment their state is dropped). On "
+    "the finite availableNow replay the final watermark is "
+    "min(max cts, max pts) − 1h, so the emitted set is matches plus "
+    "the unmatched clicks whose 30-minute window closed — "
+    "deterministic across micro-batching (verified identical across "
+    "runs), which lets the oracle reconstruct it and hash-grade the "
+    "eviction behavior itself.",
+)
+def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.streaming.replay import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("user_b"),
+            F.col("ts").alias("pts"),
+        )
+        .withWatermark("pts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        F.expr(
+            "user_id = user_b AND pts >= cts "
+            "AND pts <= cts + interval 30 minutes"
+        ),
+        "left_outer",
+    )
+    out = _run_to_memory(
+        j.select("click_id", "purchase_id", "user_id"), "append"
+    )
+    return out.orderBy("click_id", "purchase_id")
+
+
+@register(
     "rollup_time_hierarchy",
     oracle_sql="""
         SELECT coalesce(epoch_us(date_trunc('day', ts)), -1) AS day_us,

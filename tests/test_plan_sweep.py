@@ -45,6 +45,8 @@ EXECUTES_ON_BUILD = {
     "stream_tumbling_append_closed",
     "source_python_stream_datasource",
     "stream_session_append_closed",
+    "stream_sliding_append_closed",
+    "stream_interval_join_outer",
     "etl_quarantine_route",
     "multimodal_decode_stub",
     "observe_pipeline_metrics",
