@@ -116,6 +116,7 @@ _DEFER_NEW_R4 = [
     "agg_kll_quantile_merge",
     "agg_theta_audience_overlap",
     "stream_interval_join_outer",
+    "embed_power_iteration",
 ]
 
 

@@ -207,3 +207,106 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "neg_rank")
     )
+
+
+# Power iteration constants: v scaled to a 1e3 integer grid per round
+# (keeps w = G·v inside int64 at sf0.1 gram magnitudes; ANSI mode
+# throws loudly rather than wrapping if a larger corpus overflows).
+PI_ROUNDS = 3
+PI_VSCALE = 1000
+
+
+@register(
+    "embed_power_iteration",
+    oracle_sql=f"""
+        WITH q AS (
+            SELECT vec_id,
+                   list_transform(
+                       embedding,
+                       v -> CAST(round(CAST(v AS DOUBLE) * 10000) AS BIGINT)
+                   ) AS qv
+            FROM embeddings
+        ), a AS (
+            SELECT vec_id, qv,
+                   unnest(generate_series(1, len(qv))) AS i
+            FROM q
+        ), b AS (
+            SELECT a.i, a.qv[a.i] AS qi,
+                   unnest(generate_series(1, len(a.qv))) AS j,
+                   a.qv
+            FROM a
+        ), g AS (
+            SELECT CAST(i - 1 AS BIGINT) AS gi,
+                   CAST(j - 1 AS BIGINT) AS gj,
+                   CAST(sum(qi * qv[j]) AS BIGINT) AS gram
+            FROM b GROUP BY 1, 2
+        ), v0 AS (
+            SELECT CAST(unnest(generate_series(0, 63)) AS BIGINT) AS i,
+                   CAST({PI_VSCALE} AS BIGINT) AS v
+        ),
+        w1 AS (SELECT gi AS i, sum(gram * v) AS w
+               FROM g JOIN v0 ON gj = v0.i GROUP BY gi),
+        v1 AS (SELECT i, w // greatest((SELECT max(abs(w)) FROM w1)
+                                       // {PI_VSCALE}, 1) AS v FROM w1),
+        w2 AS (SELECT gi AS i, sum(gram * v) AS w
+               FROM g JOIN v1 ON gj = v1.i GROUP BY gi),
+        v2 AS (SELECT i, w // greatest((SELECT max(abs(w)) FROM w2)
+                                       // {PI_VSCALE}, 1) AS v FROM w2),
+        w3 AS (SELECT gi AS i, sum(gram * v) AS w
+               FROM g JOIN v2 ON gj = v2.i GROUP BY gi),
+        v3 AS (SELECT i, w // greatest((SELECT max(abs(w)) FROM w3)
+                                       // {PI_VSCALE}, 1) AS v FROM w3)
+        SELECT i, CAST(v AS BIGINT) AS component
+        FROM v3
+        ORDER BY i
+    """,
+    description=f"Top-principal-direction power iteration over the "
+    f"exact-integer Gram matrix ({PI_ROUNDS} unrolled rounds): "
+    "v ← G·v with v re-normalized to a 1e3 integer grid by "
+    "max-component truncating division each round — the PCA/whitening "
+    "building block (embed_gram_matrix supplies G) expressed as "
+    "iterative DataFrame joins, the Pregel-as-DataFrame pattern "
+    "graph_pagerank_fixedpoint uses for graphs applied to linear "
+    "algebra. ALL arithmetic is int64 (quantized components, integer "
+    "matvec, truncating-div normalization — Spark DIV and DuckDB // "
+    "both truncate toward zero), so the iterative numeric result is "
+    "bit-identical across engines and partitionings. At scale the "
+    "matvec is a dim²-row broadcast join per round against a G that "
+    "was reduced map-side — the corpus is touched once, by the Gram "
+    "build.",
+)
+def embed_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * 10000.0).cast("long"),
+        ).alias("qv")
+    )
+    a = q.select("qv", F.posexplode("qv").alias("i", "qi"))
+    b = a.select("i", "qi", F.posexplode("qv").alias("j", "qj"))
+    g = (
+        b.groupBy(
+            F.col("i").cast("long").alias("gi"),
+            F.col("j").cast("long").alias("gj"),
+        )
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("gram"))
+    )
+    v = spark.range(64).select(
+        F.col("id").alias("i"), F.lit(PI_VSCALE).cast("long").alias("v")
+    )
+    for _ in range(PI_ROUNDS):
+        w = (
+            g.join(F.broadcast(v), g.gj == v.i)
+            .groupBy(F.col("gi").alias("i"))
+            .agg(F.sum(F.col("gram") * F.col("v")).alias("w"))
+        )
+        m = w.agg(
+            F.greatest(
+                F.expr(f"max(abs(w)) div {PI_VSCALE}"), F.lit(1).cast("long")
+            ).alias("m")
+        )
+        v = w.crossJoin(F.broadcast(m)).select(
+            "i", F.expr("w div m").cast("long").alias("v")
+        )
+    return v.select("i", F.col("v").alias("component")).orderBy("i")
