@@ -117,6 +117,7 @@ _DEFER_NEW_R4 = [
     "agg_theta_audience_overlap",
     "stream_interval_join_outer",
     "embed_power_iteration",
+    "bidask_twa_quote",
 ]
 
 
@@ -211,6 +212,10 @@ def _ordered_registry():
     registry = load_all_operators()
     missing = [n for n in _GRADING_PRIORITY if n not in registry]
     assert not missing, f"priority list names unknown operators: {missing}"
+    missing_defer = [n for n in _DEFER_NEW_R4 if n not in registry]
+    assert not missing_defer, (
+        f"defer list names unknown operators: {missing_defer}"
+    )
     history = _grading_history()
     if max((r for rs in history.values() for r in rs), default=0) >= 2:
         # Round 3+: rotate by grading history; latest-failed keys first.

@@ -473,6 +473,63 @@ def stream_session_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bidask_twa_quote",
+    oracle_sql="""
+        WITH quotes AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents,
+                   epoch_us(ts) AS e,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS ne
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT user_id,
+               count(*) AS n_intervals,
+               CAST(sum(cents * (ne - e)) AS DOUBLE)
+                   / sum(ne - e) / 100.0 AS twa_quote
+        FROM quotes
+        WHERE ne IS NOT NULL
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    description="Time-weighted average quote per user — the "
+    "microstructure statistic that corrects simple averages for "
+    "irregular quote arrival (a quote standing for an hour must weigh "
+    "more than one replaced after a second): each view's exact cent "
+    "value weighted by its lifetime until the next view (lead), the "
+    "final open-ended quote excluded. One user_id shuffle serves the "
+    "lead window and the aggregate; the weighted sum is an exact "
+    "cents×µs BIGINT accumulation with two fixed-order divisions at "
+    "the end, bit-identical cross-engine (int64 headroom to ~sf1; "
+    "larger corpora re-scale the duration unit).",
+)
+def bidask_twa_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    quotes = ev.select(
+        "user_id",
+        scaled_long("value", 100).alias("cents"),
+        F.unix_micros("ts").alias("e"),
+        F.lead(F.unix_micros("ts")).over(w).alias("ne"),
+    ).where(F.col("ne").isNotNull())
+    return (
+        quotes.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            (
+                F.sum(F.col("cents") * (F.col("ne") - F.col("e"))).cast(
+                    "double"
+                )
+                / F.sum(F.col("ne") - F.col("e"))
+                / 100.0
+            ).alias("twa_quote"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
     "bidask_effective_spread",
     oracle_sql="""
         WITH matched AS (
