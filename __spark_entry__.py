@@ -118,6 +118,8 @@ _DEFER_NEW_R4 = [
     "stream_interval_join_outer",
     "embed_power_iteration",
     "bidask_twa_quote",
+    "sql_identifier_groupby_all",
+    "scan_csv_permissive_corrupt",
 ]
 
 

@@ -30,6 +30,7 @@ import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import register
@@ -230,4 +231,70 @@ def etl_quarantine_route(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("route")
+    )
+
+
+@register(
+    "scan_csv_permissive_corrupt",
+    oracle_sql="""
+        SELECT count(*) FILTER (WHERE c_custkey % 11 <> 0) AS n_good,
+               count(*) FILTER (WHERE c_custkey % 11 = 0) AS n_corrupt,
+               CAST(sum(CASE WHEN c_custkey % 11 <> 0
+                             THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                        END) AS DOUBLE) / 100.0 AS sum_good_bal
+        FROM customer
+    """,
+    description="PERMISSIVE CSV parsing with corrupt-record capture: "
+    "customer balances serialized to CSV with every 11th key "
+    "deterministically malformed ('N/A' in a DOUBLE field), read back "
+    "under mode=PERMISSIVE with columnNameOfCorruptRecord — bad rows "
+    "surface as NULL-field rows carrying the raw line instead of "
+    "failing the job, the ingest-robustness contract raw-file ETL "
+    "needs (FAILFAST is the other documented mode; DROPMALFORMED "
+    "silently loses data and is not used). The corruption is "
+    "arithmetic on the key, so the oracle reconstructs the good/bad "
+    "split and the exact good-balance sum without seeing the CSV — "
+    "the parser behavior itself is what's hash-graded.",
+)
+def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    out = os.path.join(
+        tempfile.mkdtemp(prefix="csv_permissive_"), "cust_csv"
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("c_custkey").cast("string"),
+        F.when(F.col("c_custkey") % 11 == 0, F.lit("N/A")).otherwise(
+            F.format_string("%.2f", F.col("c_acctbal"))
+        ),
+    )
+    customer.select(line.alias("value")).write.mode("overwrite").text(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    # Corrupt-record capture requires materializing the raw column
+    # (Spark disallows filtering on _corrupt_record alone pre-cache).
+    back = back.cache()
+    return back.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        (
+            F.sum(
+                F.when(
+                    F.col("_corrupt_record").isNull(),
+                    scaled_long("c_acctbal", 100),
+                )
+            ).cast("double")
+            / 100.0
+        ).alias("sum_good_bal"),
     )

@@ -224,3 +224,42 @@ def str_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment
         """
     )
+
+
+@register(
+    "sql_identifier_groupby_all",
+    oracle_sql="""
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS sum_price
+        FROM orders
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+    """,
+    description="Spark 4 SQL surface pair: the IDENTIFIER() clause "
+    "binds the table name as a typed parameter (injection-safe dynamic "
+    "SQL over table/column names — string interpolation is the classic "
+    "SQL-injection vector in templated jobs), and GROUP BY ALL infers "
+    "the grouping set from the non-aggregate select list (the "
+    "dashboard-authoring affordance). Binding and inference are both "
+    "analysis-time only: the optimized plan equals the explicit "
+    "GROUP BY, so the scan/aggregate shape is unchanged. DuckDB "
+    "supports GROUP BY ALL natively; the identifier arrives inlined.",
+)
+def sql_identifier_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_idq")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               o_orderpriority,
+               count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price
+        FROM IDENTIFIER(:tbl)
+        GROUP BY ALL
+        ORDER BY o_orderstatus, o_orderpriority
+        """,
+        args={"tbl": "orders_idq"},
+    )

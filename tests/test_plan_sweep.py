@@ -47,6 +47,7 @@ EXECUTES_ON_BUILD = {
     "stream_session_append_closed",
     "stream_sliding_append_closed",
     "stream_interval_join_outer",
+    "scan_csv_permissive_corrupt",
     "etl_quarantine_route",
     "multimodal_decode_stub",
     "observe_pipeline_metrics",
