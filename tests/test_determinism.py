@@ -76,6 +76,22 @@ AUDITED = [
     # Running-sum crossing statistic — invariance argued in the op docstring,
     # asserted here:
     "agg_weighted_median",
+    # Round-4 additions where partitioning could plausibly leak: bucketed
+    # local-front skyline, flag-aggregate Q21, ordered windows (drawdown,
+    # streaks, TWA, YoY, tolerance as-of), interpolated medians, exact-max
+    # ties, iterative integer matvec, float-threshold range search:
+    "skyline_pareto_2d",
+    "q21_sole_late_supplier",
+    "win_drawdown_max",
+    "win_streak_longest",
+    "bidask_twa_quote",
+    "win_yoy_nation_revenue",
+    "join_asof_tolerance",
+    "agg_median_abs_deviation",
+    "q15_top_supplier",
+    "q13_order_count_distribution",
+    "embed_power_iteration",
+    "knn_range_search",
 ]
 
 
