@@ -49,6 +49,44 @@ def test_rotation_prefers_least_recently_graded():
     assert order == ["c", "b", "d", "a"]
 
 
+def test_rotation_puts_failed_keys_first():
+    """A key whose latest grade FAILED must lead the window — even ahead
+    of never-graded keys — so regressions re-prove themselves next round
+    (VERDICT round 3, item 4)."""
+    keys = ["a", "b", "c", "d"]
+    history = {"a": [1, 2], "b": [1], "d": [2]}
+    order = entry.rotation_order(keys, history, failed={"a"})
+    assert order == ["a", "c", "b", "d"]
+
+
+def test_latest_failures_reads_most_recent_grade():
+    """_latest_failures: an op that ERRed in its most recent grade is
+    failed; one that failed earlier but passed later is not. Verified
+    against the real CORRECTNESS history: the two round-3 ERRs must be
+    flagged (until a later round re-grades them green)."""
+    fails = entry._latest_failures()
+    import json
+
+    latest_grade: dict[str, tuple[int, dict]] = {}
+    import glob
+    import re
+
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as f:
+            for k, v in json.load(f).items():
+                latest_grade[k] = max(
+                    latest_grade.get(k, (0, {})), (rnd, v),
+                    key=lambda t: t[0],
+                )
+    for k in fails:
+        _, v = latest_grade[k]
+        assert v.get("err") not in (None, "no_oracle") or any(
+            v.get(f) is False
+            for f in ("rows_match", "schema_match", "hash_match")
+        ), f"{k} flagged failed but latest grade is green"
+
+
 def test_rotation_is_deterministic_and_total():
     registry = load_all_operators()
     history = entry._grading_history()
