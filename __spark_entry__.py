@@ -120,6 +120,8 @@ _DEFER_NEW_R4 = [
     "bidask_twa_quote",
     "sql_identifier_groupby_all",
     "scan_csv_permissive_corrupt",
+    "stream_dedup_within_watermark",
+    "udtf_dynamic_analyze",
 ]
 
 

@@ -376,3 +376,60 @@ def udaf_grouped_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "udtf_dynamic_analyze",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t
+            FROM documents
+        )
+        SELECT doc_id,
+               t[1] AS tok0,
+               t[2] AS tok1,
+               t[3] AS tok2,
+               t[4] AS tok3
+        FROM toks
+        ORDER BY doc_id
+    """,
+    description="Python UDTF with a dynamic analyze() (Spark 4 "
+    "polymorphic table function): the OUTPUT SCHEMA is computed at "
+    "analysis time from the constant k argument (k columns tok0..tok_"
+    "{k-1}), the capability fixed-schema UDTFs (udtf_python_ngrams) "
+    "cannot express — one registered function serves any width, the "
+    "schema contract every downstream operator sees is still fully "
+    "resolved at plan time. Rows stream through Arrow batches; the "
+    "oracle indexes the split list (out-of-range → NULL on both "
+    "engines).",
+)
+def udtf_dynamic_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class PrefixCols:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            return AnalyzeResult(
+                StructType(
+                    [StructField(f"tok{i}", StringType()) for i in range(n)]
+                )
+            )
+
+        def eval(self, text, k):
+            toks = (text or "").split(" ")
+            yield tuple(
+                toks[i] if i < len(toks) else None for i in range(int(k))
+            )
+
+    spark.udtf.register("prefix_cols_dyn", udtf(PrefixCols))
+    load(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf_v")
+    return spark.sql(
+        """
+        SELECT d.doc_id, p.*
+        FROM docs_udtf_v d, LATERAL prefix_cols_dyn(d.text, 4) p
+        ORDER BY d.doc_id
+        """
+    )

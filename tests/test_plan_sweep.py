@@ -47,6 +47,7 @@ EXECUTES_ON_BUILD = {
     "stream_session_append_closed",
     "stream_sliding_append_closed",
     "stream_interval_join_outer",
+    "stream_dedup_within_watermark",
     "scan_csv_permissive_corrupt",
     "etl_quarantine_route",
     "multimodal_decode_stub",
@@ -61,6 +62,7 @@ PYTHON_ALLOWED = {
     "udaf_grouped_pandas",
     "udaf_cogrouped_pandas",
     "udtf_python_ngrams",
+    "udtf_dynamic_analyze",
     "multimodal_frame_sample",
     "multimodal_meta_extract",
     "multimodal_resize_stub",
