@@ -122,6 +122,7 @@ _DEFER_NEW_R4 = [
     "scan_csv_permissive_corrupt",
     "stream_dedup_within_watermark",
     "udtf_dynamic_analyze",
+    "join_lateral_topn_per_key",
 ]
 
 

@@ -263,3 +263,50 @@ def sql_identifier_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders_idq"},
     )
+
+
+@register(
+    "join_lateral_topn_per_key",
+    oracle_sql="""
+        SELECT c_custkey, o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM customer,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, price_c DESC, o_orderkey
+    """,
+    description="Correlated LATERAL subquery join with ORDER BY/LIMIT "
+    "(Spark 4): the top-2 highest-value orders per BUILDING customer "
+    "expressed as a per-row dependent subquery — the SQL-standard "
+    "top-N-per-key formulation BI tools emit. Catalyst decorrelates "
+    "it into the window/rank shape (win_topk_per_group is the "
+    "DataFrame twin), so the executed plan is one custkey exchange + "
+    "rank filter, NOT a per-customer re-scan — the decorrelation "
+    "itself is the capability under test. Exact-cent output with a "
+    "full tie-break; DuckDB runs the identical LATERAL.",
+)
+def join_lateral_topn_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "customer").createOrReplaceTempView("cust_lat_v")
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat_v")
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+        FROM cust_lat_v,
+        LATERAL (
+            SELECT o_orderkey, o_totalprice
+            FROM ord_lat_v
+            WHERE o_custkey = c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey
+            LIMIT 2
+        ) o
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY c_custkey, price_c DESC, o_orderkey
+        """
+    )
