@@ -123,6 +123,8 @@ _DEFER_NEW_R4 = [
     "stream_dedup_within_watermark",
     "udtf_dynamic_analyze",
     "join_lateral_topn_per_key",
+    "win_interval_range_frame",
+    "agg_histogram_width_bucket",
 ]
 
 

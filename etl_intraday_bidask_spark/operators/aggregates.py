@@ -657,3 +657,46 @@ def agg_theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.theta_difference("click", "purchase")
         ).alias("click_only"),
     )
+
+
+@register(
+    "agg_histogram_width_bucket",
+    oracle_sql="""
+        WITH b AS (
+            SELECT CASE WHEN value < 0.0 THEN 0
+                        WHEN value >= 512.0 THEN 9
+                        ELSE CAST(floor((value - 0.0) * 8.0 / 512.0)
+                                  AS BIGINT) + 1
+                   END AS bucket,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT bucket,
+               count(*) AS n,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS sum_value
+        FROM b
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+    description="Equi-width histogram via width_bucket: event values "
+    "binned into 8 buckets over [0, 512) with under/overflow buckets "
+    "0 and 9 (width_bucket's SQL-standard semantics), counts + exact "
+    "sums per bin — the numeric-distribution profiling step DQ "
+    "dashboards run. Bucket width 64 is a power of two, so every "
+    "edge computation is EXACT in doubles and DuckDB's arithmetic "
+    "emulation (no native width_bucket) lands in identical bins — a "
+    "non-dyadic width would risk boundary flips. Map-side combine "
+    "collapses to ≤10 groups before the shuffle.",
+)
+def agg_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bucket = F.expr("width_bucket(value, 0.0D, 512.0D, 8)").cast("long")
+    return (
+        ev.select(bucket.alias("bucket"), scaled_long("value", 100).alias("cents"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100.0).alias("sum_value"),
+        )
+        .orderBy("bucket")
+    )

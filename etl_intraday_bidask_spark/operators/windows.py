@@ -676,3 +676,49 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("len").cast("long").alias("longest_streak"))
         .orderBy("user_id")
     )
+
+
+@register(
+    "win_interval_range_frame",
+    oracle_sql="""
+        SELECT event_id,
+               event_type,
+               count(*) OVER w AS n_1h,
+               CAST(CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w
+                         AS BIGINT) AS DOUBLE) / 100.0 AS sum_value_1h
+        FROM events
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+    """,
+    description="INTERVAL-typed RANGE frame on native timestamp "
+    "ordering: trailing 1-hour count and exact sum per event type, "
+    "with the frame bound declared as INTERVAL '1' HOUR directly on "
+    "the TimestampType order key — the SQL-standard form of "
+    "win_time_range_frame's epoch-seconds workaround (that op proves "
+    "the arithmetic path; this one proves the calendar-interval frame "
+    "the parser/planner must resolve against event time). Rows "
+    "sharing a timestamp are RANGE peers on both engines; one "
+    "event_type exchange serves the window.",
+)
+def win_interval_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "events").createOrReplaceTempView("events_ivf_v")
+    return spark.sql(
+        """
+        SELECT event_id,
+               event_type,
+               count(*) OVER w AS n_1h,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / 100.0 AS sum_value_1h
+        FROM events_ivf_v
+        WINDOW w AS (
+            PARTITION BY event_type
+            ORDER BY ts
+            RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW
+        )
+        ORDER BY event_id
+        """
+    )
