@@ -282,7 +282,11 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN epoch_us(p.ts) - epoch_us(v.ts) <= 300000000
                     THEN v.value END AS recent_view_value
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ) v
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.event_id
     """,
@@ -292,20 +296,34 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
     "from hours ago must not price a trade). Same union + ordered-"
     "window shape as join_asof_bidask (one user_id shuffle, linear "
     "per-user scan, no range-join blowup); the tolerance is a null-out "
-    "mask on the carried view timestamp, not a second join. DuckDB "
-    "oracle: ASOF join + the same staleness CASE.",
+    "mask on the carried view timestamp, not a second join. Views are "
+    "pre-deduped to the max-event_id row per (user_id, ts) on BOTH "
+    "sides — DuckDB's ASOF has no defined tie-break for duplicate "
+    "timestamps, so parity must not depend on the fixture having none. "
+    "DuckDB oracle: arg_max pre-dedup + ASOF join + the staleness "
+    "CASE.",
 )
 def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tol_us = 300_000_000  # 5 minutes
     ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(None).cast("double").alias("purchase_value"),
-        F.col("value").alias("view_value"),
-        F.unix_micros("ts").alias("view_us"),
-        F.lit(0).alias("side"),
+    views = (
+        ev.where(F.col("event_type") == "view")
+        # Deterministic under duplicate (user_id, ts) view rows: keep the
+        # max-event_id row, mirroring the oracle's arg_max pre-dedup.
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max_by("value", "event_id").alias("view_value"),
+            F.max("event_id").alias("event_id"),
+        )
+        .select(
+            F.col("event_id"),
+            F.col("user_id"),
+            F.col("ts"),
+            F.lit(None).cast("double").alias("purchase_value"),
+            F.col("view_value"),
+            F.unix_micros("ts").alias("view_us"),
+            F.lit(0).alias("side"),
+        )
     )
     purchases = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id"),

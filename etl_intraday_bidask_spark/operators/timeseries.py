@@ -702,8 +702,9 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_dedup_within_watermark",
     oracle_sql="""
         SELECT event_type,
+               count(*) AS n_rows,
                count(DISTINCT event_id) AS n_unique
-        FROM events
+        FROM (SELECT DISTINCT event_id, event_type FROM events)
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -717,7 +718,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streams. The synthesized duplicates share their original's "
     "timestamp, so every duplicate lands inside the watermark window "
     "and the emitted set is exactly the distinct events — hash-graded "
-    "against the batch DISTINCT count per type.",
+    "against the batch DISTINCT per type on BOTH count(*) and "
+    "count(DISTINCT): a duplicate emission (the failure "
+    "dropDuplicatesWithinWatermark exists to prevent) inflates "
+    "n_rows and breaks the hash, a dropped event deflates both.",
 )
 def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_intraday_bidask_spark.streaming.replay import (
@@ -736,7 +740,10 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     out = _run_to_memory(deduped.select("event_id", "event_type"), "append")
     return (
         out.groupBy("event_type")
-        .agg(F.countDistinct("event_id").alias("n_unique"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("event_id").alias("n_unique"),
+        )
         .orderBy("event_type")
     )
 
@@ -762,7 +769,7 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         ), unmatched AS (
             SELECT click_id, NULL AS purchase_id, user_id
             FROM c, w
-            WHERE cts + INTERVAL 30 MINUTE <= wm
+            WHERE cts + INTERVAL 30 MINUTE < wm
               AND NOT EXISTS (
                   SELECT 1 FROM p
                   WHERE p.user_b = c.user_id
@@ -783,10 +790,13 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     "watermark, which is also the moment their state is dropped). On "
     "the finite availableNow replay the final watermark is "
     "min(max cts, max pts) − 1h, so the emitted set is matches plus "
-    "the unmatched clicks whose 30-minute window closed — "
-    "deterministic across micro-batching (verified identical across "
-    "runs), which lets the oracle reconstruct it and hash-grade the "
-    "eviction behavior itself.",
+    "the unmatched clicks whose 30-minute window closed STRICTLY "
+    "before the watermark (Spark evicts left state only when wm > "
+    "cts + 30min, not >= — probed empirically with a boundary-exact "
+    "synthetic stream, see tests/test_streaming.py) — deterministic "
+    "across micro-batching (verified identical across runs), which "
+    "lets the oracle reconstruct it and hash-grade the eviction "
+    "behavior itself.",
 )
 def stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_intraday_bidask_spark.streaming.replay import (

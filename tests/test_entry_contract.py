@@ -126,10 +126,12 @@ def test_round3_window_would_cover_never_graded_ops():
 # contract turns the next such drift into a 1-second failure naming the
 # exact column. events.ts is pinned STRICTLY to 'timestamp' — that is
 # what tables.load's normalization guarantees, so this test fails if the
-# normalization is removed. o_orderdate/l_shipdate are deliberately NOT
-# normalized (driver grades from round 3 pinned their NTZ schema —
-# ADVICE.md round 3), so any timestamp/date shape is accepted there.
-_FLEX_DATE = {"timestamp", "timestamp_ntz", "date"}
+# normalization is removed. o_orderdate/l_shipdate are pinned STRICTLY
+# to 'timestamp_ntz' since round 5: tables.normalize_date_ntz
+# canonicalizes them at the load boundary (a flip in the parquet
+# physical type lands here first — the fix belongs in that normalizer,
+# not in operators).
+_FLEX_DATE = {"timestamp_ntz"}
 _CANONICAL_DTYPES = {
     "region": [("r_regionkey", "int"), ("r_name", "string")],
     "nation": [
@@ -259,3 +261,48 @@ def test_survey_inventory_count_matches_registry():
     )
     assert int(m2.group(1)) == hash_checked
     assert int(m2.group(2)) == len(registry) - hash_checked
+
+
+def test_regenerated_fixture_simulation(spark, tmp_path):
+    """Simulates the next fixture regeneration (the round-3 incident,
+    VERDICT r4 item 5): orders re-shipped with each date physical shape
+    the fixtures have ever used — TIMESTAMP(NANOS), tz-adjusted µs,
+    µs NTZ (current), and DATE — must all load to the canonical
+    timestamp_ntz with identical wall-clock values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_intraday_bidask_spark import tables
+
+    import tests.conftest as cf
+
+    src = pq.read_table(f"{cf.SF_SMALL}/orders.parquet")
+    idx = src.schema.get_field_index("o_orderdate")
+    base = src.column("o_orderdate").cast(pa.timestamp("us"))
+
+    variants = {
+        "ntz_us": base,
+        "nanos": base.cast(pa.timestamp("ns")),
+        "tz_us": base.cast(pa.timestamp("us", tz="UTC")),
+        "date": base.cast(pa.date32()),
+    }
+    expected = None
+    for tag, col in variants.items():
+        tab = src.set_column(idx, pa.field("o_orderdate", col.type), col)
+        d = tmp_path / tag
+        d.mkdir()
+        pq.write_table(tab, d / "orders.parquet", version="2.6")
+        loaded = tables.load(spark, str(d), "orders")
+        assert dict(loaded.dtypes)["o_orderdate"] == "timestamp_ntz", (
+            f"variant {tag}: o_orderdate loaded as "
+            f"{dict(loaded.dtypes)['o_orderdate']}, not timestamp_ntz — "
+            "see tables.normalize_date_ntz"
+        )
+        vals = sorted(
+            r[0].isoformat()[:19]
+            for r in loaded.select("o_orderdate").limit(50).collect()
+        )
+        if expected is None:
+            expected = vals
+        else:
+            assert vals == expected, f"variant {tag}: wall-clock drift"

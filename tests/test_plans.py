@@ -218,3 +218,40 @@ def test_range_frame_twins_agree(spark):
     a = sorted(map(tuple, reg["win_range_frame"].spark_fn(spark, SF_MEDIUM).collect()))
     b = sorted(map(tuple, reg["win_range_frame_dist"].spark_fn(spark, SF_MEDIUM).collect()))
     assert a == b
+
+
+def test_lateral_topn_is_decorrelated(spark):
+    """join_lateral_topn_per_key: Catalyst must decorrelate the LATERAL
+    ORDER BY/LIMIT subquery into a window/rank over ONE custkey exchange
+    — a per-customer re-scan would surface as a nested-loop join
+    (round-4 addition; the decorrelation IS the capability under test)."""
+    plan = plan_of(spark, "join_lateral_topn_per_key")
+    assert "Window" in plan, "LATERAL not decorrelated to a window"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "LATERAL executed as per-row nested loop — decorrelation failed"
+    )
+
+
+def test_histogram_width_bucket_is_two_phase(spark):
+    """agg_histogram_width_bucket: map-side combine must collapse to
+    ≤10 groups before the shuffle — two HashAggregate phases, no sort-
+    based fallback, nothing but the group-by exchange."""
+    plan = plan_of(spark, "agg_histogram_width_bucket")
+    assert plan.count("HashAggregate") >= 2, (
+        "histogram must partial-aggregate map-side"
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortAggregate" not in plan
+
+
+def test_interval_range_frame_single_partitioned_window(spark):
+    """win_interval_range_frame: the INTERVAL-bound RANGE frame must
+    execute as ONE window over the event_type exchange — never an
+    unpartitioned (SinglePartition) window."""
+    plan = plan_of(spark, "win_interval_range_frame")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan, (
+        "interval range frame collapsed to a single-task window"
+    )
+    assert "CartesianProduct" not in plan
