@@ -1,0 +1,168 @@
+"""sf≈1 synthetic stress (SCALE.md §7): the iterative / stateful
+operators run against ~10x the sf0.1 fixtures, generated
+deterministically in tmp, and are checked for exact results — not just
+completion.
+
+Three verification shapes, strongest available per op:
+
+* **Block invariance** (dedup_connected_components): documents are
+  replicated into 10 disjoint ``lang``-suffixed blocks. Language is the
+  postings-join blocking key, so the candidate-pair work grows linearly
+  in blocks (the 100 TB contract: blocking bounds the quadratic), no
+  cross-block edge can exist, and block k's component assignment must
+  equal the sf0.1 baseline shifted by k*1_000_000 — a distributed-
+  invariance check that grades every label without a second 10x run.
+* **Oracle parity at 10x** (kmeans IVF, power iteration, session /
+  sliding streaming): the registered DuckDB oracle SQL is re-run over
+  the 10x fixtures and compared with the driver's normalize rules —
+  the same gate as CORRECTNESS, two decades above the graded SF.
+* **Bounded driver memory**: the ops return aggregates/top-k (CC labels
+  are the one per-doc output and are compared distributed-ly sorted);
+  nothing here collects the 1M-row inputs.
+
+Excluded from the default run via ``-m "not slow"`` (pytest.ini);
+invoke with ``python -m pytest tests/test_scale_stress.py -m slow``.
+Findings recorded in SCALE.md §7.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+
+from etl_intraday_bidask_spark.registry import load_all_operators
+from etl_intraday_bidask_spark.tables import TABLE_NAMES
+from tests.test_parity import normalize
+
+pytestmark = pytest.mark.slow
+
+REGISTRY = load_all_operators()
+SF_BASE = "/root/testdata/sf0.1"
+N_BLOCKS = 10
+DOC_STRIDE = 1_000_000
+EV_STRIDE = 100_000_000
+
+
+@pytest.fixture(scope="module")
+def big_dir(tmp_path_factory) -> str:
+    """~10x sf0.1, generated deterministically with DuckDB.
+
+    documents: 10 disjoint lang-suffixed replica blocks (see module
+    docstring). events: 10 replicas with unique event_ids, timestamps
+    staggered by 37 µs per replica (inside every watermark), and
+    user_ids spread over 5 key ranges so stateful key cardinality grows
+    5x while per-key traffic doubles. embeddings: 10 replicas with
+    unique vec_ids (exact duplicate vectors — ties are the stress).
+    The 7 TPC-H tables symlink to sf0.1 unchanged.
+    """
+    big = str(tmp_path_factory.mktemp("sfbig"))
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+          SELECT doc_id + r.k * {DOC_STRIDE} AS doc_id, text,
+                 lang || '_' || r.k AS lang, source, n_chars
+          FROM read_parquet('{SF_BASE}/documents.parquet'),
+               (SELECT unnest(range({N_BLOCKS})) AS k) r
+        ) TO '{big}/documents.parquet' (FORMAT parquet)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT event_id + r.k * {EV_STRIDE} AS event_id,
+                 ts + to_microseconds((r.k * 37)::BIGINT) AS ts,
+                 user_id + (r.k % 5) * {DOC_STRIDE} AS user_id,
+                 event_type, value, props
+          FROM read_parquet('{SF_BASE}/events.parquet'),
+               (SELECT unnest(range({N_BLOCKS})) AS k) r
+        ) TO '{big}/events.parquet' (FORMAT parquet)
+    """)
+    con.execute(f"""
+        COPY (
+          SELECT vec_id + r.k * {DOC_STRIDE} AS vec_id, embedding, label
+          FROM read_parquet('{SF_BASE}/embeddings.parquet'),
+               (SELECT unnest(range({N_BLOCKS})) AS k) r
+        ) TO '{big}/embeddings.parquet' (FORMAT parquet)
+    """)
+    con.close()
+    for name in TABLE_NAMES:
+        dst = os.path.join(big, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_BASE, f"{name}.parquet"), dst)
+    return big
+
+
+@pytest.fixture(scope="module")
+def duck_big(big_dir):
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{big_dir}/{name}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def oracle_parity_10x(spark, duck_big, big_dir, name):
+    spec = REGISTRY[name]
+    df = spec.spark_fn(spark, big_dir)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = duck_big.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}@10x: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+        f"{name}@10x: value mismatch"
+    )
+    return len(s_rows)
+
+
+def test_connected_components_block_invariance(spark, big_dir):
+    """10 disjoint blocks; block k's labels == sf0.1 baseline + k*stride.
+
+    Grades every one of the ~25k label assignments at 10x, catches any
+    nondeterminism or cross-partition contamination in the propagation
+    loop, and proves the lang-blocked pair join produced no cross-block
+    edge (one would merge components across blocks and shift a min)."""
+    cc = REGISTRY["dedup_connected_components"]
+    base = sorted(map(tuple, cc.spark_fn(spark, SF_BASE).collect()))
+    big = cc.spark_fn(spark, big_dir).collect()
+    assert len(big) == N_BLOCKS * len(base)
+    by_block: dict[int, list[tuple]] = {k: [] for k in range(N_BLOCKS)}
+    for doc_id, component, n_members in big:
+        k = doc_id // DOC_STRIDE
+        by_block[k].append(
+            (doc_id - k * DOC_STRIDE, component - k * DOC_STRIDE, n_members)
+        )
+    for k in range(N_BLOCKS):
+        assert sorted(by_block[k]) == base, f"block {k} diverges from sf0.1"
+
+
+def test_kmeans_ivf_oracle_parity_10x(spark, duck_big, big_dir):
+    """2-round Lloyd kmeans + IVF probe at 20k vectors with exact
+    duplicate ties — both engines must agree on every assignment."""
+    n = oracle_parity_10x(spark, duck_big, big_dir, "knn_ivf_kmeans")
+    assert n > 0
+
+
+def test_power_iteration_oracle_parity_10x(spark, duck_big, big_dir):
+    """3 unrolled int64 matvec rounds over the 10x Gram matrix."""
+    n = oracle_parity_10x(spark, duck_big, big_dir, "embed_power_iteration")
+    assert n > 0
+
+
+def test_stream_session_oracle_parity_10x(spark, duck_big, big_dir):
+    """Session windows over 1M events / 5x key cardinality: the state
+    store path, graded exactly against the batch oracle."""
+    n = oracle_parity_10x(spark, duck_big, big_dir, "stream_session_30m")
+    assert n > 100_000  # ~477k sessions at 10x — the state genuinely grew
+
+
+def test_stream_sliding_append_oracle_parity_10x(spark, duck_big, big_dir):
+    """Sliding windows in append mode (watermark-closed emission) over
+    1M events — eviction correctness at 10x state."""
+    n = oracle_parity_10x(spark, duck_big, big_dir, "stream_sliding_append_closed")
+    assert n > 0
