@@ -128,6 +128,39 @@ _DEFER_NEW_R4 = [
 ]
 
 
+# Operators added during round 5. Same rationale as _DEFER_NEW_R4, one
+# round later: the 27 round-4 keys above are the only never-driver-graded
+# ops and MUST occupy window slots 1-27 in round 5 (VERDICT r4 item 1);
+# these 23 sort after them (slots 28-50), so the round-5 window grades
+# the complete surface: every old key keeps its green grade, every new
+# key gets its first one, and nothing displaces the 27.
+_DEFER_NEW_R5 = [
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q16_supplier_part_types",
+    "q20_promotion_part_suppliers",
+    "agg_skew_kurtosis_exact",
+    "subquery_in_any_all",
+    "sql_pivot_dynamic_values",
+    "join_interval_overlap_bucketed",
+    "agg_bitmap_distinct_rollup",
+    "text_entropy_token",
+    "text_repetition_dup_ngram",
+    "dedup_minhash_est_error",
+    "sample_reservoir_per_key",
+    "corpus_source_quota_cap",
+    "text_winsorize_quality",
+    "text_ngram_topk_per_lang",
+    "corpus_quality_composite_filter",
+    "bidask_ofi_hourly",
+    "win_gap_fill_locf",
+    "cep_pattern_absence",
+    "win_rolling_corr_24h",
+    "win_pattern_vshape",
+    "bidask_quote_staleness",
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -202,13 +235,17 @@ def rotation_order(
     keys into the window automatically as CORRECTNESS files accumulate."""
     prio = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
     deferred = {n: i for i, n in enumerate(_DEFER_NEW_R4)}
+    deferred.update(
+        {n: len(_DEFER_NEW_R4) + i for i, n in enumerate(_DEFER_NEW_R5)}
+    )
     return sorted(
         keys,
         key=lambda k: (
             0 if k in failed else 1,
             len(history.get(k, ())),
             max(history.get(k, ()), default=0),
-            # mid-round additions sort after all other never-graded keys
+            # mid-round additions sort after all other never-graded keys,
+            # and each wave's additions after the previous wave's
             prio.get(k, len(prio) + 1 + deferred.get(k, -1)),
             k,
         ),
@@ -219,7 +256,9 @@ def _ordered_registry():
     registry = load_all_operators()
     missing = [n for n in _GRADING_PRIORITY if n not in registry]
     assert not missing, f"priority list names unknown operators: {missing}"
-    missing_defer = [n for n in _DEFER_NEW_R4 if n not in registry]
+    missing_defer = [
+        n for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 if n not in registry
+    ]
     assert not missing_defer, (
         f"defer list names unknown operators: {missing_defer}"
     )

@@ -6,6 +6,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     corpus_ops,
     corpus_ops2,
     corpus_ops3,
+    corpus_ops4,
     dedup_advanced,
     etl_ext,
     etl_ext2,
@@ -19,6 +20,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     relational_ext3,
     relational_ext4,
     relational_ext5,
+    relational_ext6,
     scalar_funcs,
     scans,
     setops,
@@ -27,6 +29,7 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
     sql_surface,
     text_analysis,
     timeseries,
+    timeseries2,
     quality,
     udfs,
     windows,

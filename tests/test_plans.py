@@ -255,3 +255,34 @@ def test_interval_range_frame_single_partitioned_window(spark):
         "interval range frame collapsed to a single-task window"
     )
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_is_equi_join(spark):
+    """join_interval_overlap_bucketed: the overlap must execute as a
+    (custkey, bucket) EQUALITY join — SortMergeJoin or shuffled hash,
+    never a range-theta nested loop (round-5 addition; the bucketing
+    IS the capability under test)."""
+    plan = plan_of(spark, "join_interval_overlap_bucketed")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "interval overlap fell back to a nested-loop theta join"
+    )
+
+
+def test_bitmap_rollup_is_two_phase(spark):
+    """agg_bitmap_distinct_rollup: the bit_or mask build must partial-
+    aggregate map-side (two HashAggregate phases around the exchange)
+    — the additivity that makes the bitmap pattern incremental."""
+    plan = plan_of(spark, "agg_bitmap_distinct_rollup")
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_ngram_is_narrow(spark):
+    """text_repetition_dup_ngram: trigram materialization + distinct
+    must stay fully narrow — a shuffle here means the per-row
+    higher-order-function form regressed to an explode/groupBy."""
+    plan = plan_of(spark, "text_repetition_dup_ngram")
+    tree = plan.split("\n\n")[0]  # the plan tree, not the node details
+    # The only exchange allowed is the final presentation sort's.
+    assert tree.count("Exchange") <= 1, tree
