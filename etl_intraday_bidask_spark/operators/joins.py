@@ -227,7 +227,11 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
                p.value AS purchase_value,
                v.value AS prior_view_value
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'view'
+            GROUP BY user_id, ts
+        ) v
           ON p.user_id = v.user_id AND p.ts >= v.ts
         ORDER BY p.event_id
     """,
@@ -235,7 +239,11 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before it for the same user (quote-matching primitive of intraday "
     "bid/ask analytics). Implemented as union + ordered window: one "
     "shuffle partitioned by user, linear per-user scan — no range-join "
-    "blowup at scale.",
+    "blowup at scale. The (ts, side, event_id) window order already "
+    "makes the Spark side max-event_id-deterministic under duplicate "
+    "(user_id, ts) views; the oracle's arg_max pre-dedup pins the SAME "
+    "choice (DuckDB ASOF has no defined tie-break), so parity does not "
+    "depend on the fixture having no duplicate timestamps.",
 )
 def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

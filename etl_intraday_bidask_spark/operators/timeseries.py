@@ -535,7 +535,11 @@ def bidask_twa_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH matched AS (
             SELECT p.user_id, p.value AS pv, v.value AS vv
             FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ASOF LEFT JOIN (
+                SELECT user_id, ts, arg_max(value, event_id) AS value
+                FROM events WHERE event_type = 'view'
+                GROUP BY user_id, ts
+            ) v
               ON p.user_id = v.user_id AND p.ts >= v.ts
         )
         SELECT
@@ -553,7 +557,10 @@ def bidask_twa_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the latest at-or-before view (quote side) per user via the as-of "
     "window formulation, spread = purchase - matched view, aggregated "
     "per user with exact scaled-integer sums. One shuffle on user_id "
-    "serves both the as-of window and the final aggregate.",
+    "serves both the as-of window and the final aggregate. The "
+    "(ts, side, event_id) window order makes the Spark side "
+    "max-event_id-deterministic under duplicate (user_id, ts) views; "
+    "the oracle's arg_max pre-dedup pins the same choice.",
 )
 def bidask_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")

@@ -22,3 +22,69 @@ def test_win_range_frame_equals_dist_twin(spark):
     a = sorted(map(tuple, anchor.collect()))
     d = sorted(map(tuple, dist.select(*anchor.columns).collect()))
     assert a == d, "bucketed rewrite diverges from the RANGE-window anchor"
+
+
+def test_asof_family_survives_duplicate_timestamps(spark, tmp_path):
+    """Fixture-drift armor (round-4 ADVICE, generalized in round 5):
+    the as-of family must stay oracle-green on a fixture that DOES
+    contain duplicate (user_id, ts) view rows — the case DuckDB's ASOF
+    join leaves undefined and the shipped fixtures happen not to have.
+    Builds an events variant where every 7th view is duplicated with a
+    new event_id and a different value, then re-runs the full parity
+    check for each op against its registered oracle on that variant."""
+    import duckdb
+
+    from etl_intraday_bidask_spark.tables import TABLE_NAMES, load
+    from tests.test_parity import normalize
+
+    import os
+
+    variant = str(tmp_path / "dupfix")
+    os.makedirs(variant)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+            UNION ALL
+            SELECT event_id + 10000000 AS event_id, ts, user_id,
+                   event_type, value + 1.25 AS value, props
+            FROM read_parquet('{SF_SMALL}/events.parquet')
+            WHERE event_type = 'view' AND event_id % 7 = 0
+        ) TO '{variant}/events.parquet' (FORMAT parquet)
+    """)
+    for name in TABLE_NAMES:
+        dst = os.path.join(variant, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_SMALL, f"{name}.parquet"), dst)
+    vcon = duckdb.connect()
+    for name in TABLE_NAMES:
+        vcon.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{variant}/{name}.parquet')"
+        )
+    # Sanity: the variant genuinely contains duplicate (user_id, ts) views.
+    ndup = vcon.sql("""
+        SELECT count(*) FROM (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+            GROUP BY 1, 2 HAVING count(*) > 1)
+    """).fetchone()[0]
+    assert ndup > 0, "variant failed to inject duplicate-ts views"
+
+    for op in (
+        "join_asof_bidask",
+        "join_asof_tolerance",
+        "bidask_effective_spread",
+        "win_gap_fill_locf",
+    ):
+        spec = REGISTRY[op]
+        df = spec.spark_fn(spark, variant)
+        s_rows, s_cols = df.collect(), df.columns
+        rel = vcon.sql(spec.oracle_sql)
+        d_rows, d_cols = rel.fetchall(), list(rel.columns)
+        assert sorted(s_cols) == sorted(d_cols), op
+        assert len(s_rows) == len(d_rows), (
+            f"{op}: rows {len(s_rows)} vs {len(d_rows)} on dup-ts fixture"
+        )
+        assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+            f"{op}: diverges from oracle once duplicate timestamps exist"
+        )

@@ -92,6 +92,29 @@ AUDITED = [
     "q13_order_count_distribution",
     "embed_power_iteration",
     "knn_range_search",
+    # Round-5 additions where partitioning could plausibly leak: window-min
+    # + float-ordered limit (Q2), dynamic pivot column discovery, hash-rank
+    # sampling windows, top-k tie-breaks, LOCF/forward-frame windows over
+    # merged streams, rolling/power-sum float chains, bucketed pair dedup:
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q20_promotion_part_suppliers",
+    "sql_pivot_dynamic_values",
+    "join_interval_overlap_bucketed",
+    "agg_bitmap_distinct_rollup",
+    "agg_skew_kurtosis_exact",
+    "text_entropy_token",
+    "dedup_minhash_est_error",
+    "sample_reservoir_per_key",
+    "corpus_source_quota_cap",
+    "text_winsorize_quality",
+    "text_ngram_topk_per_lang",
+    "bidask_ofi_hourly",
+    "win_gap_fill_locf",
+    "cep_pattern_absence",
+    "win_rolling_corr_24h",
+    "win_pattern_vshape",
+    "bidask_quote_staleness",
 ]
 
 
