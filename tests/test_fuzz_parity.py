@@ -1,0 +1,175 @@
+"""Fuzzed oracle parity (SURVEY.md §5, round 5): property-based
+micro-fixtures stress the conventions the shipped fixtures never
+exercise — duplicate timestamps, null/malformed-free JSON, unicode
+tokens, empty event classes, single-token documents — and every
+generated table must still parity-match the registered DuckDB oracle.
+
+This is the generalization of the duplicate-ts armor test: instead of
+one hand-built adversarial fixture, hypothesis searches the space of
+small fixtures for ANY input where the two engines' conventions
+diverge (tie-breaks, null skipping, boundary inclusivity, tokenizer
+edge cases). ``derandomize=True`` pins the example sequence, so the
+suite is deterministic run-to-run (a latent divergence becomes a
+reproducible failure, not a flake).
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_intraday_bidask_spark.registry import load_all_operators
+from etl_intraday_bidask_spark.tables import TABLE_NAMES
+from tests.conftest import SF_SMALL
+from tests.test_parity import normalize
+
+REGISTRY = load_all_operators()
+
+EVENT_OPS = [
+    "join_asof_bidask",
+    "join_asof_tolerance",
+    "bidask_effective_spread",
+    "cep_pattern_absence",
+    "win_gap_fill_locf",
+    "bidask_ofi_hourly",
+    "bidask_quote_staleness",
+    "win_pattern_vshape",
+    "agg_bitmap_distinct_rollup",
+    "json_get",
+]
+
+DOC_OPS = [
+    "text_entropy_token",
+    "text_repetition_dup_ngram",
+    "corpus_quality_composite_filter",
+    "text_ngram_topk_per_lang",
+    "sample_reservoir_per_key",
+]
+
+BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (µs)
+
+# Deliberately tiny domains force collisions: with 3 users × 12 instants,
+# a 20-row example has near-certain duplicate (user, ts) pairs — exactly
+# the tie-break surface ASOF/window conventions must agree on. A second
+# coarse-grained instant pool (hour apart) exercises hour/day bucketing.
+_INSTANTS = [BASE_US + s * 500_000 for s in range(8)] + [
+    BASE_US + h * 3_600_000_000 for h in range(4)
+]
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.sampled_from(_INSTANTS),  # ts µs
+        st.sampled_from(["view", "purchase", "click", "error"]),
+        st.integers(1, 9999),  # cents
+        st.one_of(st.none(), st.integers(0, 99)),  # props k
+    ),
+    min_size=0,
+    max_size=60,
+)
+
+TOKENS = ["alpha", "beta", "naïve", "日本語", "x", "gamma-7", "beta"]
+docs_strategy = st.lists(
+    st.tuples(
+        st.lists(st.sampled_from(TOKENS), min_size=0, max_size=30),
+        st.sampled_from(["en", "de"]),
+        st.sampled_from(["src0", "src1"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _stage(tmpdir: str, table: str, arrow_table: pa.Table) -> str:
+    os.makedirs(tmpdir, exist_ok=True)
+    pq.write_table(arrow_table, os.path.join(tmpdir, f"{table}.parquet"))
+    for name in TABLE_NAMES:
+        dst = os.path.join(tmpdir, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_SMALL, f"{name}.parquet"), dst)
+    return tmpdir
+
+
+def _assert_parity(spark, variant: str, ops: list[str]) -> None:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{variant}/{name}.parquet')"
+        )
+    try:
+        for op in ops:
+            spec = REGISTRY[op]
+            df = spec.spark_fn(spark, variant)
+            s_rows, s_cols = df.collect(), df.columns
+            rel = con.sql(spec.oracle_sql)
+            d_rows, d_cols = rel.fetchall(), list(rel.columns)
+            assert len(s_rows) == len(d_rows), (
+                f"{op}: rows {len(s_rows)} vs {len(d_rows)} on fuzz fixture"
+            )
+            assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+                f"{op}: engines diverge on fuzz fixture"
+            )
+    finally:
+        con.close()
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=events_strategy)
+def test_event_ops_fuzzed_parity(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] / 100.0 for r in rows], pa.float64()),
+            "props": pa.array(
+                [
+                    None if r[4] is None else '{"k": %d}' % r[4]
+                    for r in rows
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("fuzz_ev")), "events", tbl
+    )
+    _assert_parity(spark, variant, EVENT_OPS)
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=docs_strategy)
+def test_doc_ops_fuzzed_parity(spark, tmp_path_factory, rows):
+    texts = [" ".join(toks) for toks, _, _ in rows]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("fuzz_doc")), "documents", tbl
+    )
+    _assert_parity(spark, variant, DOC_OPS)
