@@ -42,6 +42,12 @@ EVENT_OPS = [
     "win_pattern_vshape",
     "agg_bitmap_distinct_rollup",
     "json_get",
+    "sessionize_gaps_islands",
+    "funnel_conversion",
+    "win_drawdown_max",
+    "win_streak_longest",
+    "bidask_twa_quote",
+    "win_rolling_corr_24h",
 ]
 
 DOC_OPS = [
@@ -149,6 +155,67 @@ def test_event_ops_fuzzed_parity(spark, tmp_path_factory, rows):
         str(tmp_path_factory.mktemp("fuzz_ev")), "events", tbl
     )
     _assert_parity(spark, variant, EVENT_OPS)
+
+
+# Orderdates pinned to month boundaries: a 30-day interval starting on
+# the 15th spans two month buckets, one starting the 1st spans one —
+# exactly the bucket-coverage edge join_interval_overlap_bucketed's
+# losslessness claim depends on. 86400-second days, midnight-aligned.
+_ODATES = [
+    BASE_US,  # 2023-11-14-ish anchor
+    BASE_US + 16 * 86_400_000_000,
+    BASE_US + 17 * 86_400_000_000,
+    BASE_US + 30 * 86_400_000_000,
+    BASE_US + 46 * 86_400_000_000,
+    BASE_US + 60 * 86_400_000_000,
+]
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # custkey (exists in sf0.001 customer dim)
+        st.sampled_from(_ODATES),
+        st.sampled_from(["O", "F", "P"]),
+        st.integers(100, 99999),  # totalprice cents
+        st.sampled_from(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+        ),
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+ORDER_OPS = [
+    "join_interval_overlap_bucketed",
+    "q13_order_count_distribution",
+    "subquery_in_any_all",
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=orders_strategy)
+def test_order_ops_fuzzed_parity(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+            "o_orderdate": pa.array(
+                [r[1] for r in rows], pa.timestamp("us")
+            ),
+            "o_orderpriority": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("fuzz_ord")), "orders", tbl
+    )
+    _assert_parity(spark, variant, ORDER_OPS)
 
 
 @settings(
