@@ -306,3 +306,41 @@ def test_regenerated_fixture_simulation(spark, tmp_path):
             expected = vals
         else:
             assert vals == expected, f"variant {tag}: wall-clock drift"
+
+
+def test_round5_window_covers_entire_surface():
+    """The engineered round-5 window: with CORRECTNESS_r01..r04 on disk,
+    slots 1-27 are exactly the 27 never-graded round-4 deferrals and
+    slots 28-50 exactly the 23 round-5 additions — so the driver's
+    50-key grade hard-verifies the complete 247-op surface this round.
+    Guards the defer lists against accidental edits before grading."""
+    registry = load_all_operators()
+    history = entry._grading_history()
+    order = entry.rotation_order(
+        list(registry), history, entry._latest_failures()
+    )
+    never = {k for k in registry if k not in history}
+    assert never == set(order[:50]), (
+        "never-graded keys and the 50-slot window diverge"
+    )
+    r4_never = [k for k in entry._DEFER_NEW_R4 if k not in history]
+    assert set(order[: len(r4_never)]) == set(r4_never)
+    assert set(order[len(r4_never) : 50]) == set(entry._DEFER_NEW_R5)
+
+
+def test_round6_window_after_full_grade_is_least_recently_graded():
+    """Simulated post-round-5 state: once r05 grades the current window,
+    every operator has >=1 grade and the round-6 window rotates back to
+    the least-recently-graded round-1 keys — no key can starve."""
+    registry = load_all_operators()
+    history = {k: list(v) for k, v in entry._grading_history().items()}
+    order = entry.rotation_order(
+        list(registry), history, entry._latest_failures()
+    )
+    for k in order[:50]:
+        history.setdefault(k, []).append(5)
+    assert all(k in history for k in registry), "coverage hole after r05"
+    order6 = entry.rotation_order(list(registry), history, set())
+    # The next window re-grades the stalest keys: everything in it was
+    # last graded in round 1 or 2, never in rounds 4-5.
+    assert all(max(history[k]) <= 2 for k in order6[:50])
