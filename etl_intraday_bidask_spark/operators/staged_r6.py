@@ -441,3 +441,149 @@ def udtf_table_argument(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY event_type
         """
     )
+
+
+@staged(
+    "corpus_cross_lingual_contamination",
+    oracle_sql="""
+        WITH t AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks
+            FROM documents
+        ),
+        g AS (
+            SELECT DISTINCT doc_id, lang,
+                   toks[i] || ' ' || toks[i + 1] AS gram
+            FROM t, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        pairs AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS shared
+            FROM g a
+            JOIN g b ON a.gram = b.gram AND a.lang < b.lang
+            GROUP BY 1, 2, 3, 4
+        )
+        SELECT lang_a, lang_b,
+               CAST(count(*) AS BIGINT) AS n_doc_pairs,
+               CAST(sum(CASE WHEN shared >= 5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(max(shared) AS BIGINT) AS max_shared
+        FROM pairs
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="Cross-lingual contamination scan: token-bigram "
+    "postings joined ACROSS language blocks (a.lang < b.lang — the "
+    "exact join every blocked dedup op prunes away) to find document "
+    "pairs sharing >=5 shingles across languages — code-switching "
+    "leaks, untranslated boilerplate, and mislabeled-language "
+    "near-dups that per-language dedup is structurally blind to. "
+    "Reported per language pair. At 100 TB the same query runs on the "
+    "df-pruned shingle index (drop grams with df>threshold) — the "
+    "posting join is O(Σ df²) in cross-lingual df, which is small "
+    "by construction.",
+)
+def corpus_cross_lingual_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("toks")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    g = (
+        docs.where(F.size("toks") >= 2)
+        .select(
+            "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("gram")
+        )
+    )
+    a, b = g.alias("a"), g.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.gram") == F.col("b.gram"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"),
+            F.col("b.lang").alias("lang_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        pairs.groupBy("lang_a", "lang_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_doc_pairs"),
+            F.sum(F.when(F.col("shared") >= 5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.max("shared").cast("long").alias("max_shared"),
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+_INCR_STAGE: dict[str, str] = {}
+
+
+@staged(
+    "etl_incremental_materialize",
+    oracle_sql="""
+        SELECT event_type,
+               CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_cents
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    description="Incremental materialization with a full-recompute "
+    "oracle: events split into two deterministic arrival batches "
+    "(event_id parity), batch 1's additive partials (count / exact "
+    "cent sum per type-hour) land as a materialized parquet state, "
+    "batch 2's partials MERGE into it by re-aggregation — and the "
+    "graded output is the merged state, which must hash-equal the "
+    "from-scratch aggregate the oracle computes. This is the "
+    "correctness contract of every incremental pipeline (landing "
+    "additive state beats reprocessing history), checkable precisely "
+    "because count/sum partials are associative; the same shape backs "
+    "stream_foreachbatch_compact's sink.",
+)
+def etl_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def partials(df):
+        return df.groupBy(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"),
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(scaled_long("value", 100)).alias("sum_cents"),
+        )
+
+    if sf_dir not in _INCR_STAGE:
+        out = os.path.join(tempfile.mkdtemp(prefix="incr_mat_"), "state")
+        ev = load(spark, sf_dir, "events")
+        partials(ev.where(F.col("event_id") % 2 == 0)).write.mode(
+            "overwrite"
+        ).parquet(out)
+        _INCR_STAGE[sf_dir] = out
+    state = spark.read.parquet(_INCR_STAGE[sf_dir])
+    batch2 = partials(
+        load(spark, sf_dir, "events").where(F.col("event_id") % 2 == 1)
+    )
+    return (
+        state.unionByName(batch2)
+        .groupBy("event_type", "bucket_us")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("event_type", "bucket_us")
+    )
