@@ -587,3 +587,444 @@ def etl_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_us")
     )
+
+
+@staged(
+    "text_zipf_fit",
+    oracle_sql="""
+        WITH vocab AS (
+            SELECT token, count(*) AS c
+            FROM (SELECT unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY token
+        ),
+        ranked AS (
+            SELECT c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+            FROM vocab
+        ),
+        pts AS (
+            SELECT CAST(round(ln(rnk) * 10000) AS BIGINT) AS x,
+                   CAST(round(ln(c) * 10000) AS BIGINT) AS y
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_vocab,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
+                     4) AS zipf_slope,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx) * sx)
+                     / n / 10000.0, 4) AS zipf_intercept
+        FROM s
+    """,
+    description="Zipf's-law fit over the corpus vocabulary: OLS slope "
+    "of ln(frequency) on ln(rank) (natural text ≈ −1; far-off slopes "
+    "flag synthetic/templated corpora or tokenizer damage — a corpus-"
+    "health diagnostic). Ranks carry a total-order tie-break; each "
+    "ln quantizes to the 1e-4 grid as BIGINT before the regression "
+    "power sums, so the aggregate is exact and order-independent and "
+    "the slope is one float chain. Vocab-sized work only (Zipf-"
+    "bounded), one count shuffle + one rank window over post-aggregate "
+    "rows.",
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "token")
+    pts = vocab.select(
+        F.floor(F.log(F.row_number().over(w).cast("double")) * 10000 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 10000 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / 10000.0
+    )
+    return s.select(
+        F.col("n").alias("n_vocab"),
+        F.round(slope, 4).alias("zipf_slope"),
+        F.round(intercept, 4).alias("zipf_intercept"),
+    )
+
+
+@staged(
+    "corpus_dedup_cluster_stats",
+    oracle_sql=None,  # placeholder; real CTE assigned below
+    description="Duplicate-cluster size histogram: the connected-"
+    "components output (each doc → its cluster and cluster size) "
+    "reduced to the distribution of cluster sizes — the dedup "
+    "observability metric (a fat tail of giant clusters means "
+    "boilerplate is eating the corpus; all-2 clusters mean mirror "
+    "pairs). Re-uses the registered CC operator's plan; distinct "
+    "(component, size) pairs are cluster-count-sized, the histogram "
+    "aggregate is tiny.",
+)
+def corpus_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.registry import REGISTRY
+
+    cc = REGISTRY["dedup_connected_components"].spark_fn(spark, sf_dir)
+    return (
+        cc.select("component", "n_members")
+        .distinct()
+        .groupBy(F.col("n_members").alias("cluster_size"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+# The cluster-stats oracle wraps the shared CC edge CTEs (same source of
+# truth as dedup_connected_components' own oracle — cannot drift).
+def _cluster_stats_oracle() -> str:
+    from etl_intraday_bidask_spark.operators.llm_ops import UNIGRAM_PAIRS_CTES
+
+    return f"""
+        WITH RECURSIVE {UNIGRAM_PAIRS_CTES},
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM uscored
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM uscored
+        ),
+        nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+        reach(a, b) AS (
+            SELECT doc_id, doc_id FROM nodes
+            UNION
+            SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+        ),
+        comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+        sizes AS (SELECT component, count(*) AS n_members
+                  FROM comp GROUP BY component)
+        SELECT CAST(n_members AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM sizes
+        GROUP BY n_members
+        ORDER BY cluster_size
+    """
+
+
+STAGED["corpus_dedup_cluster_stats"] = QuerySpec(
+    "corpus_dedup_cluster_stats",
+    STAGED["corpus_dedup_cluster_stats"].spark_fn,
+    _cluster_stats_oracle(),
+    STAGED["corpus_dedup_cluster_stats"].description,
+)
+
+
+@staged(
+    "sample_importance_reweight",
+    oracle_sql="""
+        WITH per_src AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+        ),
+        scaled AS (
+            SELECT source, n_docs,
+                   CAST(round(sqrt(n_docs) * 1000000) AS BIGINT) AS s_e6
+            FROM per_src
+        ),
+        tot AS (
+            SELECT sum(s_e6) AS sum_s, sum(n_docs) AS n_total FROM scaled
+        )
+        SELECT source, n_docs,
+               round(CAST(s_e6 AS DOUBLE) / sum_s, 6) AS p_target,
+               round(CAST(s_e6 AS DOUBLE) / sum_s * n_total / n_docs,
+                     6) AS weight
+        FROM scaled, tot
+        ORDER BY source
+    """,
+    description="Temperature-0.5 importance reweighting: target mix "
+    "p_s ∝ sqrt(n_s) (the standard multilingual/domain rebalancing "
+    "temperature) and per-document weight w_s = p_s·N/n_s — what an "
+    "up/down-sampling data loader multiplies by. Each sqrt quantizes "
+    "to a 1e-6-grid BIGINT before the normalizing sum, so the "
+    "denominator is exact and order-independent; shares and weights "
+    "are single float chains. Source-cardinality-sized work after one "
+    "count aggregate; the 1-row total broadcasts.",
+)
+def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .withColumn(
+            "s_e6",
+            F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1000000 + 0.5)
+            .cast("long"),
+        )
+    )
+    tot = per_src.agg(
+        F.sum("s_e6").alias("sum_s"), F.sum("n_docs").alias("n_total")
+    )
+    p = F.col("s_e6").cast("double") / F.col("sum_s")
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(p, 6).alias("p_target"),
+            F.round(p * F.col("n_total") / F.col("n_docs"), 6).alias(
+                "weight"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+@staged(
+    "bidask_returns_acf",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT h, c FROM (
+                SELECT date_trunc('hour', ts) AS h,
+                       CAST(round(value * 100) AS BIGINT) AS c,
+                       row_number() OVER (
+                           PARTITION BY date_trunc('hour', ts)
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events WHERE event_type = 'view'
+            ) WHERE rn = 1
+        ),
+        rets AS (
+            SELECT h, c - lag(c) OVER (ORDER BY h) AS r
+            FROM hourly
+        ),
+        lagged AS (
+            SELECT r,
+                   lag(r, 1) OVER (ORDER BY h) AS r1,
+                   lag(r, 2) OVER (ORDER BY h) AS r2,
+                   lag(r, 3) OVER (ORDER BY h) AS r3
+            FROM rets WHERE r IS NOT NULL
+        ),
+        stacked AS (
+            SELECT 1 AS lag_k, r, r1 AS rk FROM lagged WHERE r1 IS NOT NULL
+            UNION ALL
+            SELECT 2, r, r2 FROM lagged WHERE r2 IS NOT NULL
+            UNION ALL
+            SELECT 3, r, r3 FROM lagged WHERE r3 IS NOT NULL
+        ),
+        s AS (
+            SELECT lag_k, CAST(count(*) AS BIGINT) AS n,
+                   sum(r) AS sa, sum(rk) AS sb, sum(r * rk) AS sab,
+                   sum(r * r) AS saa, sum(rk * rk) AS sbb
+            FROM stacked GROUP BY lag_k
+        )
+        SELECT lag_k, n,
+               CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0
+                    THEN round((CAST(n AS DOUBLE) * sab
+                                - CAST(sa AS DOUBLE) * sb)
+                               / sqrt(CAST(n * saa - sa * sa AS DOUBLE))
+                               / sqrt(CAST(n * sbb - sb * sb AS DOUBLE)), 4)
+                    END AS acf
+        FROM s
+        ORDER BY lag_k
+    """,
+    description="Return autocorrelation (lags 1-3) of the hourly quote "
+    "closes: the microstructure mean-reversion signature (bid-ask "
+    "bounce shows as negative lag-1 ACF). Hourly close = max-(ts, "
+    "event_id) quote per hour (deterministic under duplicates), "
+    "returns are exact integer cent diffs, and each lag's Pearson "
+    "coefficient comes from exact BIGINT power sums — same mergeable-"
+    "moments discipline as win_rolling_corr_24h. Windows run on the "
+    "calendar-bounded hourly series.",
+)
+def bidask_returns_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(F.col("event_type") == "view")
+    hr = Window.partitionBy(F.date_trunc("hour", "ts")).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        ev.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            "ts",
+            "event_id",
+            scaled_long("value", 100).alias("c"),
+        )
+        .withColumn("rn", F.row_number().over(hr))
+        .where(F.col("rn") == 1)
+    )
+    wh = Window.orderBy("h")
+    rets = hourly.select(
+        "h", (F.col("c") - F.lag("c").over(wh)).alias("r")
+    ).where(F.col("r").isNotNull())
+    lagged = rets.select(
+        "r",
+        F.lag("r", 1).over(wh).alias("r1"),
+        F.lag("r", 2).over(wh).alias("r2"),
+        F.lag("r", 3).over(wh).alias("r3"),
+    )
+    stacked = lagged.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("lag_k"), F.col("r1").alias("rk")),
+                F.struct(F.lit(2).alias("lag_k"), F.col("r2").alias("rk")),
+                F.struct(F.lit(3).alias("lag_k"), F.col("r3").alias("rk")),
+            )
+        ).alias("g"),
+        "r",
+    ).select(
+        F.col("g.lag_k").alias("lag_k"), "r", F.col("g.rk").alias("rk")
+    ).where(F.col("rk").isNotNull())
+    s = stacked.groupBy("lag_k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("r").alias("sa"),
+        F.sum("rk").alias("sb"),
+        F.sum(F.col("r") * F.col("rk")).alias("sab"),
+        F.sum(F.col("r") * F.col("r")).alias("saa"),
+        F.sum(F.col("rk") * F.col("rk")).alias("sbb"),
+    )
+    da = F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    db = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    acf = F.when(
+        (da > 0) & (db > 0),
+        F.round(
+            (
+                F.col("n").cast("double") * F.col("sab")
+                - F.col("sa").cast("double") * F.col("sb")
+            )
+            / F.sqrt(da.cast("double"))
+            / F.sqrt(db.cast("double")),
+            4,
+        ),
+    )
+    return s.select(
+        F.col("lag_k").cast("int").alias("lag_k"), "n", acf.alias("acf")
+    ).orderBy("lag_k")
+
+
+@staged(
+    "bidask_volume_clock",
+    oracle_sql="""
+        WITH p AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'purchase'
+        ),
+        cum AS (
+            SELECT d, ts, event_id, cents,
+                   coalesce(sum(cents) OVER (
+                       PARTITION BY d ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 500000 AS bar_id
+            FROM p
+        )
+        SELECT d, CAST(bar_id AS BIGINT) AS bar_id,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS open_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS close_us,
+               CAST(sum(cents) AS BIGINT) AS bar_cents
+        FROM cum
+        GROUP BY d, bar_id
+        ORDER BY d, bar_id
+    """,
+    description="Volume-clock bars (Easley/López de Prado): trades "
+    "bucket by CUMULATIVE traded value (every 5000.00 of flow opens a "
+    "new bar) instead of wall time — bars carry equal information "
+    "under bursty flow, where time bars alternate empty and "
+    "overstuffed. The prefix sum is inherently sequential, so it "
+    "PARTITIONS BY DAY (bars reset daily — the standard production "
+    "compromise that bounds the sequential span and distributes the "
+    "job); within a day: one ordered window + one aggregate, exact "
+    "BIGINT cents, bar assignment by integer division of the "
+    "PRE-trade cumulative (first trade of a day is always bar 0).",
+)
+def bidask_volume_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            "ts",
+            "event_id",
+            scaled_long("value", 100).alias("cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = p.withColumn(
+        "bar_id",
+        F.floor(
+            F.coalesce(F.sum("cents").over(w), F.lit(0)) / F.lit(500000)
+        ).cast("long"),
+    )
+    return (
+        cum.groupBy("d", "bar_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.min(F.unix_micros("ts")).alias("open_us"),
+            F.max(F.unix_micros("ts")).alias("close_us"),
+            F.sum("cents").cast("long").alias("bar_cents"),
+        )
+        .orderBy("d", "bar_id")
+    )
+
+
+@staged(
+    "dq_freshness_sla",
+    oracle_sql="""
+        WITH anchor AS (SELECT max(ts) AS global_max FROM events)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(epoch_us(max(ts)) AS BIGINT) AS latest_us,
+               CAST((epoch_us(max(anchor.global_max)) - epoch_us(max(ts)))
+                    // 60000000 AS BIGINT) AS lag_minutes,
+               (epoch_us(max(anchor.global_max)) - epoch_us(max(ts)))
+                   // 60000000 <= 120 AS sla_ok
+        FROM events, anchor
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    description="Per-stream freshness SLA: each event type's latest "
+    "arrival measured against the corpus watermark (the global max — "
+    "a deterministic stand-in for now(), which would break replay/"
+    "parity), with integer-minute lag and a 2-hour SLA verdict — the "
+    "first monitor any landing pipeline needs (a silent upstream stall "
+    "shows as one type's lag growing while the watermark advances). "
+    "One aggregate + a 1-row broadcast; exact BIGINT microseconds.",
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("global_max"))
+    lag_min = (
+        (
+            F.unix_micros("global_max") - F.unix_micros(F.col("latest"))
+        )
+        / 60000000
+    ).cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("ts").alias("latest"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "event_type",
+            "n_events",
+            F.unix_micros("latest").alias("latest_us"),
+            lag_min.alias("lag_minutes"),
+            (lag_min <= 120).alias("sla_ok"),
+        )
+        .orderBy("event_type")
+    )
