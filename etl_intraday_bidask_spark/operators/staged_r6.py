@@ -1028,3 +1028,470 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@staged(
+    "join_asof_nearest",
+    oracle_sql="""
+        WITH merged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase' THEN value END AS pv,
+                   CASE WHEN event_type = 'view' THEN value END AS vv,
+                   CASE WHEN event_type = 'view' THEN epoch_us(ts) END AS vus,
+                   CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        framed AS (
+            SELECT *,
+                   last_value(vv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prev_v,
+                   last_value(vus IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prev_us,
+                   first_value(vv IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_v,
+                   first_value(vus IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_us
+            FROM merged
+        )
+        SELECT event_id, user_id, pv AS purchase_value,
+               CASE
+                   WHEN prev_us IS NULL THEN next_v
+                   WHEN next_us IS NULL THEN prev_v
+                   WHEN epoch_us(ts) - prev_us <= next_us - epoch_us(ts)
+                       THEN prev_v
+                   ELSE next_v
+               END AS nearest_view_value
+        FROM framed
+        WHERE side = 1
+        ORDER BY event_id
+    """,
+    description="Nearest-in-time as-of join: each purchase matched to "
+    "the CLOSEST view in either direction (ties to the earlier quote) "
+    "— the midpoint-matching rule for marking trades when quotes can "
+    "arrive late, completing the as-of family (backward join_asof_"
+    "bidask, forward join_asof_forward, tolerance, and now nearest). "
+    "One user exchange carries both the backward and forward frames "
+    "over the same sorted union; views sort before purchases at equal "
+    "timestamps, so 'previous' is at-or-before and 'next' strictly "
+    "after, and the tie comparison is exact BIGINT microseconds.",
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    merged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("pv"),
+        F.when(F.col("event_type") == "view", F.col("value")).alias("vv"),
+        F.when(
+            F.col("event_type") == "view", F.unix_micros("ts")
+        ).alias("vus"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    order = ["ts", "side", "event_id"]
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    framed = merged.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "pv",
+        "side",
+        F.last("vv", ignorenulls=True).over(back).alias("prev_v"),
+        F.last("vus", ignorenulls=True).over(back).alias("prev_us"),
+        F.first("vv", ignorenulls=True).over(fwd).alias("next_v"),
+        F.first("vus", ignorenulls=True).over(fwd).alias("next_us"),
+    ).where(F.col("side") == 1)
+    us = F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("prev_us").isNull(), F.col("next_v"))
+        .when(F.col("next_us").isNull(), F.col("prev_v"))
+        .when(
+            us - F.col("prev_us") <= F.col("next_us") - us, F.col("prev_v")
+        )
+        .otherwise(F.col("next_v"))
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.col("pv").alias("purchase_value"),
+        nearest.alias("nearest_view_value"),
+    ).orderBy("event_id")
+
+
+@staged(
+    "set_intersect_except_all",
+    oracle_sql="""
+        WITH a AS (
+            SELECT o_orderpriority AS prio FROM orders
+            WHERE o_orderstatus = 'O'
+        ),
+        b AS (
+            SELECT o_orderpriority AS prio FROM orders
+            WHERE o_totalprice >= 50000
+        ),
+        i AS (SELECT prio FROM a INTERSECT ALL SELECT prio FROM b),
+        e AS (SELECT prio FROM a EXCEPT ALL SELECT prio FROM b)
+        SELECT 'intersect_all' AS op, prio,
+               CAST(count(*) AS BIGINT) AS n
+        FROM i GROUP BY prio
+        UNION ALL
+        SELECT 'except_all', prio, CAST(count(*) AS BIGINT)
+        FROM e GROUP BY prio
+        ORDER BY op, prio
+    """,
+    description="Multiset set operations: INTERSECT ALL keeps "
+    "min(multiplicity) per value and EXCEPT ALL subtracts "
+    "multiplicities (vs the DISTINCT forms in §2.7, which collapse to "
+    "membership) — the bag semantics reconciliation/diff jobs need "
+    "when HOW MANY matters. Both compile to a multiplicity aggregate "
+    "+ one equality join, never a row-pairing; graded per remaining "
+    "value so the multiplicity arithmetic itself is hash-checked.",
+)
+def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    b = orders.where(F.col("o_totalprice") >= 50000).select(
+        F.col("o_orderpriority").alias("prio")
+    )
+    i = (
+        a.intersectAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    e = (
+        a.exceptAll(b)
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return i.unionByName(e).select("op", "prio", "n").orderBy("op", "prio")
+
+
+@staged(
+    "scan_metadata_columns",
+    oracle_sql="""
+        SELECT 'events.parquet' AS file_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(event_id) AS BIGINT) AS min_id,
+               CAST(max(event_id) AS BIGINT) AS max_id
+        FROM events
+    """,
+    description="Hidden file-metadata columns: the scan exposes "
+    "_metadata.file_name alongside the data (Spark's reserved metadata "
+    "struct — no extra I/O, resolved from the file index), grouped to "
+    "prove every row attributes to the expected physical file — the "
+    "lineage/debugging primitive for lake audits (which file produced "
+    "this corrupt row?). The oracle pins the expected basename and the "
+    "per-file row stats; a multi-file layout would emit one row per "
+    "file with the same plan.",
+)
+def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.element_at(
+                F.split(F.col("_metadata.file_name"), "/"), -1
+            ).alias("file_name"),
+            "event_id",
+        )
+        .groupBy("file_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("event_id").cast("long").alias("min_id"),
+            F.max("event_id").cast("long").alias("max_id"),
+        )
+    )
+
+
+@staged(
+    "text_vocab_overlap_matrix",
+    oracle_sql="""
+        WITH v AS (
+            SELECT DISTINCT lang,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        sz AS (SELECT lang, count(*) AS n FROM v GROUP BY lang),
+        shared AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b, count(*) AS n_shared
+            FROM v a JOIN v b ON a.token = b.token AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT lang_a, lang_b,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               round(CAST(n_shared AS DOUBLE)
+                     / (sa.n + sb.n - n_shared), 6) AS vocab_jaccard
+        FROM shared
+        JOIN sz sa ON lang_a = sa.lang
+        JOIN sz sb ON lang_b = sb.lang
+        ORDER BY lang_a, lang_b
+    """,
+    description="Language-pair vocabulary overlap matrix: distinct "
+    "token sets per language, pairwise shared-token counts and vocab "
+    "Jaccard — the corpus-level view of cross-lingual leakage (the "
+    "doc-level companion is corpus_cross_lingual_contamination): a "
+    "language pair whose vocab Jaccard jumps between crawls signals "
+    "mislabeled documents at scale. Token-postings join blocked to "
+    "cross-lang pairs only, |langs|²-row output, per-lang sizes "
+    "broadcast for the final ratio.",
+)
+def text_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "lang",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+        )
+        .distinct()
+    )
+    sz = v.groupBy(F.col("lang").alias("szl")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = v.alias("a"), v.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.lang") < F.col("b.lang")),
+        )
+        .groupBy(
+            F.col("a.lang").alias("lang_a"), F.col("b.lang").alias("lang_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    jac = F.col("n_shared").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("n_shared")
+    )
+    return (
+        shared.join(F.broadcast(sa), F.col("lang_a") == F.col("sa.szl"))
+        .join(F.broadcast(sb), F.col("lang_b") == F.col("sb.szl"))
+        .select(
+            "lang_a", "lang_b", "n_shared", F.round(jac, 6).alias(
+                "vocab_jaccard"
+            )
+        )
+        .orderBy("lang_a", "lang_b")
+    )
+
+
+@staged(
+    "corpus_ngram_novelty_rate",
+    oracle_sql="""
+        WITH g AS (
+            SELECT DISTINCT doc_id,
+                   toks[i] || ' ' || toks[i + 1] AS gram
+            FROM (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents) t,
+                 unnest(generate_series(1, len(toks) - 1)) AS u(i)
+            WHERE len(toks) >= 2
+        ),
+        first_seen AS (
+            SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_grams,
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               round(CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 4) AS novelty_rate
+        FROM g JOIN first_seen f ON g.gram = f.gram
+        GROUP BY g.doc_id
+        ORDER BY g.doc_id
+    """,
+    description="N-gram novelty curve: per document (in doc_id "
+    "ingestion order), the fraction of its distinct bigrams never "
+    "seen in ANY earlier document — the curation signal that a crawl "
+    "has gone stale (novelty rate decaying toward zero means new "
+    "documents add no new content; a cheap corpus-level complement to "
+    "pairwise dedup). First-seen is a min aggregate per gram (map-"
+    "side combined), joined back on the gram key; no window over the "
+    "corpus, no quadratic anything.",
+)
+def corpus_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+        ),
+    )
+    g = (
+        docs.where(F.size("toks") >= 2)
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+    )
+    first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    joined = g.join(first_seen, "gram")
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            F.round(
+                F.sum(novel).cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@staged(
+    "multimodal_shard_manifest",
+    oracle_sql="""
+        WITH cum AS (
+            SELECT lang, doc_id, n_chars,
+                   coalesce(sum(n_chars) OVER (
+                       PARTITION BY lang ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 50000 AS shard_id
+            FROM documents
+        )
+        SELECT lang, CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_bytes,
+               CAST(min(doc_id) AS BIGINT) AS first_doc,
+               CAST(max(doc_id) AS BIGINT) AS last_doc
+        FROM cum
+        GROUP BY lang, shard_id
+        ORDER BY lang, shard_id
+    """,
+    description="WebDataset-style shard manifest: documents pack into "
+    "~50 KB shards by cumulative size in deterministic doc_id order, "
+    "emitting each shard's doc range and byte count — the manifest a "
+    "training data-loader streams from (same pre-row cumulative-"
+    "division shape as pack_token_sequences and the volume clock). "
+    "The prefix sum partitions by language — shards never straddle a "
+    "language, which both bounds the sequential span and matches how "
+    "multilingual loaders sample; binary payload sizes would use the "
+    "same plan with length(payload).",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = load(spark, sf_dir, "documents").select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / F.lit(50000)
+        )
+        .cast("long")
+        .alias("shard_id"),
+    )
+    return (
+        cum.groupBy("lang", "shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("shard_bytes"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+            F.max("doc_id").cast("long").alias("last_doc"),
+        )
+        .orderBy("lang", "shard_id")
+    )
+
+
+@staged(
+    "join_dim_snapshot_asof",
+    oracle_sql="""
+        WITH versions AS (
+            SELECT c_custkey, 1 AS version,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+                   TIMESTAMP '1900-01-01' AS valid_from,
+                   TIMESTAMP '1998-01-01' AS valid_to
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 2,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + 10000,
+                   TIMESTAMP '1998-01-01', TIMESTAMP '9999-01-01'
+            FROM customer
+        )
+        SELECT v.version,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents,
+               CAST(sum(v.bal_cents) AS BIGINT) AS joined_bal_cents
+        FROM orders o
+        JOIN versions v
+          ON o.o_custkey = v.c_custkey
+         AND o.o_orderdate >= v.valid_from
+         AND o.o_orderdate < v.valid_to
+        GROUP BY v.version
+        ORDER BY v.version
+    """,
+    description="SCD2 snapshot as-of join: each fact joins the "
+    "dimension VERSION valid at its event time (synthetic two-version "
+    "customer history split at 1998-01-01 — the dim merge_upsert_scd2 "
+    "maintains for real) via custkey equality + a validity-interval "
+    "predicate — the point-in-time-correct enrichment that prevents "
+    "time-travel leakage in both BI and training-feature pipelines. "
+    "The versioned dim broadcasts (dims are small; at lake scale the "
+    "fallback is the version-bucketed equi join); each fact matches "
+    "EXACTLY one version because validity intervals partition time — "
+    "graded per version so a boundary error flips the hash.",
+)
+def join_dim_snapshot_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    v1 = cust.select(
+        "c_custkey",
+        F.lit(1).alias("version"),
+        scaled_long("c_acctbal", 100).alias("bal_cents"),
+        F.lit("1900-01-01").cast("timestamp").alias("valid_from"),
+        cutoff.alias("valid_to"),
+    )
+    v2 = cust.select(
+        "c_custkey",
+        F.lit(2).alias("version"),
+        (scaled_long("c_acctbal", 100) + 10000).alias("bal_cents"),
+        cutoff.alias("valid_from"),
+        F.lit("9999-01-01").cast("timestamp").alias("valid_to"),
+    )
+    versions = v1.unionByName(v2)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.join(
+            F.broadcast(versions),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("o_orderdate") >= F.col("valid_from"))
+            & (F.col("o_orderdate") < F.col("valid_to")),
+        )
+        .groupBy("version")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(scaled_long("o_totalprice", 100))
+            .cast("long")
+            .alias("revenue_cents"),
+            F.sum("bal_cents").cast("long").alias("joined_bal_cents"),
+        )
+        .orderBy("version")
+    )
