@@ -1670,3 +1670,321 @@ def etl_late_arriving_dim_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("phase", "segment", "n_orders", "revenue_cents")
         .orderBy("phase", "segment")
     )
+
+
+@staged(
+    "graph_triangle_count",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ),
+        edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a
+            JOIN buckets b ON a.h = b.h AND a.user_id < b.user_id
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+               (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges,
+               (SELECT CAST(count(DISTINCT u) AS BIGINT) FROM (
+                   SELECT u FROM edges UNION ALL SELECT v FROM edges))
+                   AS n_vertices
+        FROM tri
+    """,
+    description="Triangle counting on the co-purchase graph (users who "
+    "purchased in the same hour are adjacent): the classic clustering-"
+    "coefficient motif, computed with the ordered-edge join (u<v<w "
+    "orientation means each triangle is produced exactly once and the "
+    "join degree is bounded by out-degree, the standard MapReduce "
+    "formulation) — never an all-pairs expansion. Completes the graph "
+    "family (pagerank = centrality, CC = components, triangles = "
+    "cohesion). Edge build is a bucket self-join on the hour key; "
+    "at scale the same query runs on an explicit edge table.",
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = e1.join(e2, F.col("e1.v") == F.col("e2.u")).join(
+        e3,
+        (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+    )
+    n_tri = tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    n_vert = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .agg(F.countDistinct("x").cast("long").alias("n_vertices"))
+    )
+    return n_tri.crossJoin(F.broadcast(n_edges)).crossJoin(
+        F.broadcast(n_vert)
+    )
+
+
+@staged(
+    "win_median_sliding_hourly",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT CAST(epoch_us(h) AS BIGINT) AS bucket_us,
+               CAST(median(cents) OVER (
+                   ORDER BY h ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS med7
+        FROM hourly
+        ORDER BY bucket_us
+    """,
+    description="Exact sliding median (trailing 7 hourly buckets) of "
+    "purchase flow — the robust trend line a mean-based moving average "
+    "can't give (one fat-finger hour drags a mean for 7 buckets; the "
+    "median shrugs). Spark has no median window function, so the frame "
+    "materializes as a bounded collect_list (≤7 int64s per row — "
+    "constant memory), sorts in-expression, and interpolates on the "
+    "exact integer-cent grid — every intermediate is a dyadic "
+    "rational, bit-identical to DuckDB's native windowed median(). "
+    "Window input is the calendar-bounded hourly rollup.",
+)
+def win_median_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(scaled_long("value", 100)).alias("cents"))
+    )
+    w = Window.orderBy("h").rowsBetween(-6, Window.currentRow)
+    arr = F.array_sort(F.collect_list("cents").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = (lo.cast("double") + hi.cast("double")) / 2.0
+    return hourly.select(
+        F.unix_micros("h").alias("bucket_us"), med.alias("med7")
+    ).orderBy("bucket_us")
+
+
+@staged(
+    "text_code_detect_heuristic",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT lang,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[{};()=<>\\[\\]]', '',
+                                                'g')) AS BIGINT) AS n_sym,
+                   CAST(length(text) AS BIGINT) AS n_len,
+                   len(string_split(text, ' ')) AS n_toks
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_sym * 20 > n_len THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codelike,
+               CAST(sum(n_sym) AS BIGINT) AS total_symbols,
+               round(CAST(sum(n_sym) AS DOUBLE) / sum(n_len), 6)
+                   AS symbol_ratio
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Code-vs-prose heuristic: per-document density of code "
+    "punctuation ({};()=<>[] — counted by length difference after "
+    "regex strip, identical in both regex dialects), flagged code-like "
+    "when symbols exceed 5% of characters via the integer cross-"
+    "multiplication 20·sym > len — the cheap first-pass router that "
+    "decides whether a document goes to the code or prose pipeline "
+    "(fenced-block parsing and tree-sitter are downstream of this "
+    "gate). Fully narrow scan + one map-side-combined aggregate.",
+)
+def text_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    n_sym = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[{};()=<>\[\]]", ""))
+    ).cast("long")
+    scored = docs.select(
+        "lang",
+        n_sym.alias("n_sym"),
+        F.length("text").cast("long").alias("n_len"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.when(F.col("n_sym") * 20 > F.col("n_len"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_codelike"),
+            F.sum("n_sym").cast("long").alias("total_symbols"),
+            F.round(
+                F.sum("n_sym").cast("double") / F.sum("n_len"), 6
+            ).alias("symbol_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged(
+    "bidask_tick_rule_signed_volume",
+    oracle_sql="""
+        WITH merged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN CAST(round(value * 100) AS BIGINT) END AS pc,
+                   CASE WHEN event_type = 'view'
+                        THEN CAST(round(value * 100) AS BIGINT) END AS vc,
+                   CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS side
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        marked AS (
+            SELECT ts, pc, side,
+                   last_value(vc IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS quote
+            FROM merged
+        )
+        SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(sum(CASE WHEN pc > quote THEN pc
+                             WHEN pc < quote THEN -pc
+                             ELSE 0 END) AS BIGINT) AS signed_cents,
+               CAST(sum(CASE WHEN pc > quote THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_buys,
+               CAST(sum(CASE WHEN pc < quote THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sells
+        FROM marked
+        WHERE side = 1 AND quote IS NOT NULL
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    description="Tick-rule trade signing (Lee-Ready without the "
+    "midpoint leg): each trade classified buy/sell by comparison to "
+    "the prevailing quote (the as-of view value; at-the-quote trades "
+    "stay unsigned), aggregated to hourly signed flow and buy/sell "
+    "counts — the order-flow toxicity input (VPIN et al.) one level "
+    "up from raw OFI. Same one-exchange union + ordered-window as-of "
+    "shape as join_asof_bidask, exact cents throughout.",
+)
+def bidask_tick_rule_signed_volume(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("view", "purchase")
+    )
+    merged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", scaled_long("value", 100)
+        ).alias("pc"),
+        F.when(
+            F.col("event_type") == "view", scaled_long("value", 100)
+        ).alias("vc"),
+        F.when(F.col("event_type") == "view", 0).otherwise(1).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = (
+        merged.withColumn("quote", F.last("vc", ignorenulls=True).over(w))
+        .where((F.col("side") == 1) & F.col("quote").isNotNull())
+    )
+    sign = (
+        F.when(F.col("pc") > F.col("quote"), F.col("pc"))
+        .when(F.col("pc") < F.col("quote"), -F.col("pc"))
+        .otherwise(0)
+    )
+    return (
+        marked.groupBy(
+            F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.sum(sign).cast("long").alias("signed_cents"),
+            F.sum(F.when(F.col("pc") > F.col("quote"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_buys"),
+            F.sum(F.when(F.col("pc") < F.col("quote"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_sells"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+@staged(
+    "dedup_cross_source_exact",
+    oracle_sql="""
+        WITH hashed AS (
+            SELECT md5(text) AS content_hash, source, doc_id
+            FROM documents
+        ),
+        groups AS (
+            SELECT content_hash,
+                   count(*) AS n_copies,
+                   count(DISTINCT source) AS n_sources
+            FROM hashed GROUP BY content_hash
+        )
+        SELECT CAST(n_copies AS BIGINT) AS n_copies,
+               CAST(n_sources AS BIGINT) AS n_sources,
+               CAST(count(*) AS BIGINT) AS n_groups
+        FROM groups
+        WHERE n_copies > 1
+        GROUP BY n_copies, n_sources
+        ORDER BY n_copies, n_sources
+    """,
+    description="Cross-source exact-duplicate provenance: md5 content "
+    "groups with their copy count AND distinct-source spread — "
+    "separating within-source re-crawls (n_sources=1: fix the "
+    "crawler) from cross-source syndication (n_sources>1: pick a "
+    "canonical source, the provenance decision plain dedup_exact "
+    "cannot inform). One hash aggregate + one tiny histogram "
+    "aggregate; the md5 key is the same content hash "
+    "text_normalize_hash feeds, so at lake scale this reads the "
+    "existing hash column instead of re-hashing.",
+)
+def dedup_cross_source_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    groups = (
+        load(spark, sf_dir, "documents")
+        .select(F.md5("text").alias("content_hash"), "source")
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return (
+        groups.groupBy(
+            F.col("n_copies").cast("long").alias("n_copies"),
+            F.col("n_sources").cast("long").alias("n_sources"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
+        .orderBy("n_copies", "n_sources")
+    )
