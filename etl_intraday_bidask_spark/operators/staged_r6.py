@@ -1988,3 +1988,368 @@ def dedup_cross_source_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_groups"))
         .orderBy("n_copies", "n_sources")
     )
+
+
+@staged(
+    "orders_market_basket_lift",
+    oracle_sql="""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey, p_brand
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        n_orders AS (SELECT count(DISTINCT l_orderkey) AS n FROM ob),
+        brand_n AS (SELECT p_brand, count(*) AS nb FROM ob GROUP BY p_brand),
+        pairs AS (
+            SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                   count(*) AS n_ab
+            FROM ob a
+            JOIN ob b ON a.l_orderkey = b.l_orderkey
+                     AND a.p_brand < b.p_brand
+            GROUP BY 1, 2
+        )
+        SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
+               round(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
+               round(CAST(n_ab AS DOUBLE) * n.n / (na.nb * nb.nb), 4)
+                   AS lift
+        FROM pairs
+        JOIN brand_n na ON brand_a = na.p_brand
+        JOIN brand_n nb ON brand_b = nb.p_brand
+        CROSS JOIN n_orders n
+        ORDER BY n_ab DESC, brand_a, brand_b
+        LIMIT 20
+    """,
+    description="Market-basket association rules: support and lift for "
+    "brand pairs co-occurring in an order (lift > 1 = bought together "
+    "more than chance — the cross-sell signal). The basket self-join "
+    "runs on the orderkey after DISTINCT brand projection, so fan-out "
+    "is basket-width², never line-count²; per-brand counts and the "
+    "order total broadcast for the ratios, which divide exact integers "
+    "once. Top-20 by co-occurrence with a total-order tie-break.",
+)
+def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ob = (
+        load(spark, sf_dir, "lineitem")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = ob.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_n = ob.groupBy(F.col("p_brand").alias("bn_brand")).agg(
+        F.count(F.lit(1)).alias("nb")
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    na, nb = brand_n.alias("na"), brand_n.alias("nb")
+    return (
+        pairs.join(F.broadcast(na), F.col("brand_a") == F.col("na.bn_brand"))
+        .join(F.broadcast(nb), F.col("brand_b") == F.col("nb.bn_brand"))
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n")
+                / (F.col("na.nb") * F.col("nb.nb")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+@staged(
+    "win_rank_migration",
+    oracle_sql="""
+        WITH rev AS (
+            SELECT l_suppkey,
+                   CAST(year(l_shipdate) AS BIGINT) AS y,
+                   sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000)
+                            AS BIGINT)) AS rev_e4
+            FROM lineitem
+            WHERE year(l_shipdate) IN (1996, 1999)
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT l_suppkey, y,
+                   dense_rank() OVER (
+                       PARTITION BY y ORDER BY rev_e4 DESC, l_suppkey
+                   ) AS rnk
+            FROM rev
+        )
+        SELECT a.l_suppkey AS s_suppkey,
+               CAST(a.rnk AS BIGINT) AS rank_1996,
+               CAST(b.rnk AS BIGINT) AS rank_1999,
+               CAST(a.rnk - b.rnk AS BIGINT) AS rank_gain
+        FROM ranked a
+        JOIN ranked b ON a.l_suppkey = b.l_suppkey
+        WHERE a.y = 1996 AND b.y = 1999
+        ORDER BY rank_gain DESC, s_suppkey
+        LIMIT 25
+    """,
+    description="Rank migration: each supplier's revenue rank in 1996 "
+    "vs 1999 and the movement between them (the risers/fallers table "
+    "every BI review wants) — two dense_rank windows over POST-"
+    "aggregate per-year rollups (|suppliers| rows each, partitioned "
+    "by year) joined on the supplier key; exact scaled-integer "
+    "revenue makes the ranking tie-free up to genuine equality, which "
+    "the suppkey tie-break then totals. Top-25 risers.",
+)
+def win_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate").isin(1996, 1999))
+        .groupBy(
+            "l_suppkey", F.year("l_shipdate").cast("long").alias("y")
+        )
+        .agg(
+            F.sum(
+                scaled_long(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                    10000,
+                )
+            ).alias("rev_e4")
+        )
+    )
+    w = Window.partitionBy("y").orderBy(F.col("rev_e4").desc(), "l_suppkey")
+    ranked = rev.withColumn("rnk", F.dense_rank().over(w))
+    a = ranked.where(F.col("y") == 1996).select(
+        "l_suppkey", F.col("rnk").alias("rank_1996")
+    )
+    b = ranked.where(F.col("y") == 1999).select(
+        F.col("l_suppkey").alias("sk_b"), F.col("rnk").alias("rank_1999")
+    )
+    return (
+        a.join(b, F.col("l_suppkey") == F.col("sk_b"))
+        .select(
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("rank_1996").cast("long").alias("rank_1996"),
+            F.col("rank_1999").cast("long").alias("rank_1999"),
+            (F.col("rank_1996") - F.col("rank_1999"))
+            .cast("long")
+            .alias("rank_gain"),
+        )
+        .orderBy(F.col("rank_gain").desc(), "s_suppkey")
+        .limit(25)
+    )
+
+
+@staged(
+    "embed_class_separation",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ),
+        nrm AS (
+            SELECT vec_id, sqrt(sum(x * x)) AS nv FROM exp GROUP BY vec_id
+        ),
+        q AS (
+            SELECT e.vec_id, e.label, e.i,
+                   CAST(round(e.x / n.nv * 1000000) AS BIGINT) AS u_e6
+            FROM exp e JOIN nrm n ON e.vec_id = n.vec_id
+        ),
+        csum AS (
+            SELECT label, i, sum(u_e6) AS s FROM q GROUP BY label, i
+        ),
+        cn AS (
+            SELECT label, count(DISTINCT vec_id) AS n FROM q GROUP BY label
+        ),
+        dots AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   sum(a.s * b.s) AS dot_e12
+            FROM csum a JOIN csum b ON a.i = b.i AND a.label <= b.label
+            GROUP BY 1, 2
+        )
+        SELECT label_a, label_b,
+               CASE WHEN label_a = label_b
+                    THEN round((CAST(dot_e12 AS DOUBLE) / 1e12 - na.n)
+                               / (CAST(na.n AS DOUBLE) * na.n - na.n), 4)
+                    ELSE round(CAST(dot_e12 AS DOUBLE) / 1e12
+                               / (CAST(na.n AS DOUBLE) * nb.n), 4)
+               END AS mean_cosine
+        FROM dots
+        JOIN cn na ON label_a = na.label
+        JOIN cn nb ON label_b = nb.label
+        ORDER BY label_a, label_b
+    """,
+    description="Embedding class-separation matrix: mean pairwise "
+    "cosine within and across labels — the clustering-quality "
+    "diagnostic (healthy embeddings: intra ≫ inter). The algebra "
+    "avoids any pairwise join: mean cosine between classes is "
+    "S_a·S_b/(n_a·n_b) for class-SUM unit vectors (minus the n self-"
+    "pairs on the diagonal), so the whole matrix costs one normalize "
+    "pass, one |labels|×dim aggregate, and a dim-keyed join of "
+    "|labels|·dim rows — O(n·d + L²·d), never O(n²). Normalized "
+    "components quantize to the 1e-6 grid as BIGINTs, so the class "
+    "sums and dots are exact.",
+)
+def embed_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    emb = load(spark, sf_dir, "embeddings")
+    exp = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(as_double("embedding")).alias("i0", "x"),
+    )
+    nrm = exp.groupBy(F.col("vec_id").alias("nv_id")).agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv")
+    )
+    q = exp.join(F.broadcast(nrm), F.col("vec_id") == F.col("nv_id")).select(
+        "vec_id",
+        "label",
+        F.col("i0").alias("i"),
+        F.floor(F.col("x") / F.col("nv") * 1000000 + 0.5)
+        .cast("long")
+        .alias("u_e6"),
+    )
+    csum = q.groupBy("label", "i").agg(F.sum("u_e6").alias("s"))
+    cn = q.groupBy(F.col("label").alias("cn_label")).agg(
+        F.countDistinct("vec_id").alias("n")
+    )
+    a, b = csum.alias("a"), csum.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.label") <= F.col("b.label")),
+        )
+        .groupBy(
+            F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b")
+        )
+        .agg(F.sum(F.col("a.s") * F.col("b.s")).alias("dot_e12"))
+    )
+    na, nb = cn.alias("na"), cn.alias("nb")
+    diag = F.col("label_a") == F.col("label_b")
+    mean_cos = F.when(
+        diag,
+        F.round(
+            (F.col("dot_e12").cast("double") / 1e12 - F.col("na.n"))
+            / (
+                F.col("na.n").cast("double") * F.col("na.n")
+                - F.col("na.n")
+            ),
+            4,
+        ),
+    ).otherwise(
+        F.round(
+            F.col("dot_e12").cast("double")
+            / 1e12
+            / (F.col("na.n").cast("double") * F.col("nb.n")),
+            4,
+        )
+    )
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("na.cn_label"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("nb.cn_label"))
+        .select("label_a", "label_b", mean_cos.alias("mean_cosine"))
+        .orderBy("label_a", "label_b")
+    )
+
+
+@staged(
+    "win_share_of_parent_nested",
+    oracle_sql="""
+        WITH cust_rev AS (
+            SELECT c_nationkey, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        ),
+        shared AS (
+            SELECT c_nationkey, o_custkey, rev_c,
+                   sum(rev_c) OVER (PARTITION BY c_nationkey) AS rev_n,
+                   sum(rev_c) OVER () AS rev_total
+            FROM cust_rev
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY rev_c DESC, o_custkey) AS rk
+            FROM shared
+        )
+        SELECT c_nationkey, o_custkey AS c_custkey,
+               CAST(rev_c AS BIGINT) AS rev_cents,
+               round(CAST(rev_c AS DOUBLE) / rev_n, 6) AS share_of_nation,
+               round(CAST(rev_n AS DOUBLE) / rev_total, 6)
+                   AS nation_share_of_total
+        FROM ranked
+        WHERE rk <= 3
+        ORDER BY c_nationkey, rev_cents DESC, c_custkey
+    """,
+    description="Nested share-of-parent: each nation's top-3 customers "
+    "with their share of the nation AND the nation's share of the "
+    "total — the two-level ratio_to_report drill-down every revenue "
+    "dashboard opens with. Both denominator windows (nation sum, "
+    "grand sum) and the top-k rank share ONE exchange over the POST-"
+    "aggregate per-customer rollup (the grand-total window is "
+    "single-partition but its input is |customers| rows, not facts); "
+    "exact cent sums, two final divisions.",
+)
+def win_share_of_parent_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust_rev = (
+        load(spark, sf_dir, "orders")
+        .join(
+            F.broadcast(
+                load(spark, sf_dir, "customer").select(
+                    "c_custkey", "c_nationkey"
+                )
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("rev_c"))
+    )
+    wn = Window.partitionBy("c_nationkey")
+    wall = Window.partitionBy()
+    wr = Window.partitionBy("c_nationkey").orderBy(
+        F.col("rev_c").desc(), "o_custkey"
+    )
+    shared = cust_rev.select(
+        "c_nationkey",
+        "o_custkey",
+        "rev_c",
+        F.sum("rev_c").over(wn).alias("rev_n"),
+        F.sum("rev_c").over(wall).alias("rev_total"),
+        F.row_number().over(wr).alias("rk"),
+    )
+    return (
+        shared.where(F.col("rk") <= 3)
+        .select(
+            "c_nationkey",
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("rev_c").cast("long").alias("rev_cents"),
+            F.round(
+                F.col("rev_c").cast("double") / F.col("rev_n"), 6
+            ).alias("share_of_nation"),
+            F.round(
+                F.col("rev_n").cast("double") / F.col("rev_total"), 6
+            ).alias("nation_share_of_total"),
+        )
+        .orderBy("c_nationkey", F.col("rev_cents").desc(), "c_custkey")
+    )
