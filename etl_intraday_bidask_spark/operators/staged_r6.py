@@ -2353,3 +2353,217 @@ def win_share_of_parent_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", F.col("rev_cents").desc(), "c_custkey")
     )
+
+
+@staged(
+    "q6_sensitivity_whatif",
+    oracle_sql="""
+        WITH grid AS (
+            SELECT d_shift, q_max
+            FROM (VALUES (-1), (0), (1)) AS ds(d_shift),
+                 (VALUES (20), (24), (28)) AS qm(q_max)
+        )
+        SELECT d_shift, q_max,
+               CAST(sum(CASE WHEN l_quantity < q_max
+                             AND CAST(round(l_discount * 100) AS BIGINT)
+                                 BETWEEN 5 + d_shift AND 7 + d_shift
+                        THEN CAST(round(l_extendedprice * l_discount
+                                        * 10000) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS revenue_e4,
+               CAST(count(*) FILTER (WHERE l_quantity < q_max
+                             AND CAST(round(l_discount * 100) AS BIGINT)
+                                 BETWEEN 5 + d_shift AND 7 + d_shift)
+                    AS BIGINT) AS n_lines
+        FROM lineitem
+        CROSS JOIN grid
+        WHERE year(l_shipdate) = 1997
+        GROUP BY d_shift, q_max
+        ORDER BY d_shift, q_max
+    """,
+    description="Parameterized what-if sweep (TPC-H Q6 as the target): "
+    "the discount-band/quantity-threshold revenue evaluated over a "
+    "3×3 parameter grid IN ONE SCAN — the 9-row grid broadcasts and "
+    "each line contributes to every scenario via conditional "
+    "aggregation, so sensitivity analysis costs one pass instead of "
+    "nine query runs (the pattern behind pricing what-ifs and "
+    "hyperparameter threshold sweeps alike). Discount bounds compare "
+    "as integer cents (5..7 ± shift — a float band boundary diverges "
+    "between Spark doubles and DuckDB decimals), revenue on the 1e-4 "
+    "grid as BIGINTs.",
+)
+def q6_sensitivity_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.year("l_shipdate") == 1997
+    )
+    grid = spark.createDataFrame(
+        [(d, q) for d in (-1, 0, 1) for q in (20, 24, 28)],
+        "d_shift int, q_max int",
+    )
+    disc_c = scaled_long("l_discount", 100)
+    hit = (
+        (F.col("l_quantity") < F.col("q_max"))
+        & (disc_c >= 5 + F.col("d_shift"))
+        & (disc_c <= 7 + F.col("d_shift"))
+    )
+    rev = scaled_long(F.col("l_extendedprice") * F.col("l_discount"), 10000)
+    return (
+        li.crossJoin(F.broadcast(grid))
+        .groupBy("d_shift", "q_max")
+        .agg(
+            F.sum(F.when(hit, rev).otherwise(0))
+            .cast("long")
+            .alias("revenue_e4"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("n_lines"),
+        )
+        .orderBy("d_shift", "q_max")
+    )
+
+
+@staged(
+    "date_spine_business_days",
+    oracle_sql="""
+        WITH bounds AS (
+            SELECT CAST(date_trunc('day', min(ts)) AS DATE) AS d0,
+                   CAST(date_trunc('day', max(ts)) AS DATE) AS d1
+            FROM events
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY))
+                        AS DATE) AS d
+            FROM bounds
+        ),
+        biz AS (
+            SELECT d FROM spine WHERE dayofweek(d) NOT IN (0, 6)
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT biz.d,
+               coalesce(daily.n_events, 0) AS n_events,
+               CAST(count(*) OVER (ORDER BY biz.d) AS BIGINT) AS biz_day_seq
+        FROM biz LEFT JOIN daily ON biz.d = daily.d
+        ORDER BY biz.d
+    """,
+    description="Business-day spine: the weekday-only calendar between "
+    "the corpus bounds, left-joined to daily activity with an "
+    "unbroken business-day sequence number — the calendar dimension "
+    "settlement (T+2), SLA, and trading-day arithmetic all join "
+    "through (naive date math breaks at every weekend; the spine "
+    "makes day-offset joins an integer add on biz_day_seq). The spine "
+    "derives from a 1-row bounds aggregate + sequence (calendar-"
+    "bounded), dayofweek conventions pinned to Sunday=0 on both "
+    "engines.",
+)
+def date_spine_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("d0"),
+        F.to_date(F.date_trunc("day", F.max("ts"))).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("d")
+    )
+    # Spark dayofweek: Sunday=1..Saturday=7; DuckDB dayofweek: Sunday=0.
+    biz = spine.where(~F.dayofweek("d").isin(1, 7))
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("dd")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    w = Window.orderBy("d")
+    return (
+        biz.join(F.broadcast(daily), F.col("d") == F.col("dd"), "left")
+        .select(
+            "d",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+            F.count(F.lit(1)).over(w).cast("long").alias("biz_day_seq"),
+        )
+        .orderBy("d")
+    )
+
+
+@staged(
+    "agg_funnel_time_to_convert",
+    oracle_sql="""
+        WITH merged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'purchase'
+                        THEN epoch_us(ts) END AS pus,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_c,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS side
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ),
+        nxt AS (
+            SELECT ts, is_c,
+                   first_value(pus IGNORE NULLS) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, (1 - side), event_id
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS next_pus
+            FROM merged
+        ),
+        delays AS (
+            SELECT next_pus - epoch_us(ts) AS delay_us
+            FROM nxt
+            WHERE is_c = 1 AND next_pus IS NOT NULL
+              AND next_pus > epoch_us(ts)
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_conversions,
+               CAST(quantile_disc(delay_us, 0.50) AS BIGINT) AS p50_us,
+               CAST(quantile_disc(delay_us, 0.90) AS BIGINT) AS p90_us,
+               CAST(quantile_disc(delay_us, 0.99) AS BIGINT) AS p99_us,
+               CAST(max(delay_us) AS BIGINT) AS max_us
+        FROM delays
+    """,
+    description="Conversion-latency distribution: for every click that "
+    "eventually converts, the delay to the user's NEXT purchase "
+    "(strictly after — purchases ordered before clicks at an equal "
+    "instant, the same forward-frame convention as cep_pattern_"
+    "absence), summarized as discrete p50/p90/p99/max in exact "
+    "microseconds — the latency-SLO view of the funnel (funnel_"
+    "conversion counts WHO converts; this measures HOW FAST). One "
+    "user exchange for the forward frame, discrete percentiles on "
+    "exact BIGINTs so both engines pick the same member.",
+)
+def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    merged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", F.unix_micros("ts")
+        ).alias("pus"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_c"),
+        # purchases sort BEFORE clicks at equal ts → the forward frame
+        # from a click sees only strictly-later purchases
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("side"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    delays = (
+        merged.withColumn(
+            "next_pus", F.first("pus", ignorenulls=True).over(w)
+        )
+        .where(
+            (F.col("is_c") == 1)
+            & F.col("next_pus").isNotNull()
+            & (F.col("next_pus") > F.unix_micros("ts"))
+        )
+        .select((F.col("next_pus") - F.unix_micros("ts")).alias("delay_us"))
+    )
+    pd_ = lambda q: F.expr(
+        f"percentile_disc({q}) WITHIN GROUP (ORDER BY delay_us)"
+    ).cast("long")
+    return delays.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        pd_(0.50).alias("p50_us"),
+        pd_(0.90).alias("p90_us"),
+        pd_(0.99).alias("p99_us"),
+        F.max("delay_us").cast("long").alias("max_us"),
+    )
