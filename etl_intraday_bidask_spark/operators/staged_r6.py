@@ -209,10 +209,14 @@ def agg_bitmap_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         z AS (
             SELECT c.event_type, cents,
-                   (cents - CAST(s1 AS DOUBLE) / n)
-                   / sqrt(CAST(s2 AS DOUBLE) / n
-                          - (CAST(s1 AS DOUBLE) / n)
-                            * (CAST(s1 AS DOUBLE) / n)) AS zv
+                   CASE WHEN CAST(s2 AS DOUBLE) / n
+                             - (CAST(s1 AS DOUBLE) / n)
+                               * (CAST(s1 AS DOUBLE) / n) > 0
+                        THEN (cents - CAST(s1 AS DOUBLE) / n)
+                             / sqrt(CAST(s2 AS DOUBLE) / n
+                                    - (CAST(s1 AS DOUBLE) / n)
+                                      * (CAST(s1 AS DOUBLE) / n))
+                   END AS zv
             FROM c JOIN stats ON c.event_type = stats.event_type
         )
         SELECT event_type,
@@ -232,7 +236,8 @@ def agg_bitmap_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moments — outliers can no longer inflate the std that is supposed "
     "to catch them, the flaw of anomaly_zscore's plain σ this op "
     "exists to fix. Two aggregates + one broadcast join on the type "
-    "key; z is one float chain over exact integers.",
+    "key; z is one float chain over exact integers, NULL for zero-"
+    "variance groups on both engines.",
 )
 def anomaly_winsorized_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "events").select(
@@ -258,8 +263,10 @@ def anomaly_winsorized_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("event_type", "st")
     )
     mean = F.col("s1").cast("double") / F.col("n")
-    std = F.sqrt(F.col("s2").cast("double") / F.col("n") - mean * mean)
-    zv = (F.col("cents") - mean) / std
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    # Zero-variance groups (tiny or constant-valued types) yield NULL z
+    # on both engines instead of a divide-by-zero / inf divergence.
+    zv = F.when(var > 0, (F.col("cents") - mean) / F.sqrt(var))
     return (
         c.join(F.broadcast(stats), F.col("event_type") == F.col("st"))
         .select("event_type", zv.alias("zv"))
@@ -613,14 +620,20 @@ def etl_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM pts
         )
         SELECT n AS n_vocab,
-               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                     / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx),
-                     4) AS zipf_slope,
-               round((CAST(sy AS DOUBLE)
-                      - (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
-                        / (CAST(n AS DOUBLE) * sxx
-                           - CAST(sx AS DOUBLE) * sx) * sx)
-                     / n / 10000.0, 4) AS zipf_intercept
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                    THEN round((CAST(n AS DOUBLE) * sxy
+                                - CAST(sx AS DOUBLE) * sy)
+                               / (CAST(n AS DOUBLE) * sxx
+                                  - CAST(sx AS DOUBLE) * sx), 4)
+               END AS zipf_slope,
+               CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+                    THEN round((CAST(sy AS DOUBLE)
+                                - (CAST(n AS DOUBLE) * sxy
+                                   - CAST(sx AS DOUBLE) * sy)
+                                  / (CAST(n AS DOUBLE) * sxx
+                                     - CAST(sx AS DOUBLE) * sx) * sx)
+                               / n / 10000.0, 4)
+               END AS zipf_intercept
         FROM s
     """,
     description="Zipf's-law fit over the corpus vocabulary: OLS slope "
@@ -655,16 +668,25 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
     n = F.col("n").cast("double")
-    slope = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
-        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
-    )
-    intercept = (
-        (F.col("sy").cast("double") - slope * F.col("sx")) / F.col("n") / 10000.0
+    denom = n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    slope0 = (
+        n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / denom
+    # A 0/1-token vocabulary has no rank spread: NULL fit, both engines.
+    slope = F.when(denom > 0, F.round(slope0, 4))
+    intercept = F.when(
+        denom > 0,
+        F.round(
+            (F.col("sy").cast("double") - slope0 * F.col("sx"))
+            / F.col("n")
+            / 10000.0,
+            4,
+        ),
     )
     return s.select(
         F.col("n").alias("n_vocab"),
-        F.round(slope, 4).alias("zipf_slope"),
-        F.round(intercept, 4).alias("zipf_intercept"),
+        slope.alias("zipf_slope"),
+        intercept.alias("zipf_intercept"),
     )
 
 
@@ -1197,6 +1219,7 @@ def set_intersect_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(min(event_id) AS BIGINT) AS min_id,
                CAST(max(event_id) AS BIGINT) AS max_id
         FROM events
+        HAVING count(*) > 0
     """,
     description="Hidden file-metadata columns: the scan exposes "
     "_metadata.file_name alongside the data (Spark's reserved metadata "
@@ -1802,8 +1825,9 @@ def win_median_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(sum(CASE WHEN n_sym * 20 > n_len THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_codelike,
                CAST(sum(n_sym) AS BIGINT) AS total_symbols,
-               round(CAST(sum(n_sym) AS DOUBLE) / sum(n_len), 6)
-                   AS symbol_ratio
+               CASE WHEN sum(n_len) > 0
+                    THEN round(CAST(sum(n_sym) AS DOUBLE) / sum(n_len), 6)
+               END AS symbol_ratio
         FROM scored
         GROUP BY lang
         ORDER BY lang
@@ -1838,8 +1862,10 @@ def text_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("n_codelike"),
             F.sum("n_sym").cast("long").alias("total_symbols"),
-            F.round(
-                F.sum("n_sym").cast("double") / F.sum("n_len"), 6
+            # all-empty-text languages yield NULL, not a zero division
+            F.when(
+                F.sum("n_len") > 0,
+                F.round(F.sum("n_sym").cast("double") / F.sum("n_len"), 6),
             ).alias("symbol_ratio"),
         )
         .orderBy("lang")

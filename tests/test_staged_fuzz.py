@@ -1,0 +1,160 @@
+"""Fuzzed oracle parity for the STAGED round-6 wave: the same
+adversarial micro-fixtures as tests/test_fuzz_parity.py (duplicate
+timestamps, null JSON, unicode tokens, month-boundary dates, empty
+tables) driven through every staged operator BEFORE round 6 registers
+it — activation starts from edge-tested code, not fixture-shaped code.
+
+max_examples is kept small (the staged wave is wide); derandomize=True
+keeps the run deterministic.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
+from tests.test_fuzz_parity import (
+    _stage,
+    docs_strategy,
+    events_strategy,
+    orders_strategy,
+)
+from tests.test_parity import normalize
+
+EVENT_STAGED = [
+    "join_asof_nearest",
+    "bidask_tick_rule_signed_volume",
+    "win_first_touch_attribution",
+    "agg_funnel_time_to_convert",
+    "sessionize_cross_device",
+    "bidask_l2_depth_imbalance",
+    "dq_freshness_sla",
+    "agg_bitmap_rollup_multigrain",
+    "anomaly_winsorized_zscore",
+    "win_median_sliding_hourly",
+    "bidask_returns_acf",
+    "bidask_volume_clock",
+    "date_spine_business_days",
+    "graph_triangle_count",
+    "scan_metadata_columns",
+]
+
+DOC_STAGED = [
+    "text_zipf_fit",
+    "text_vocab_overlap_matrix",
+    "corpus_ngram_novelty_rate",
+    "text_code_detect_heuristic",
+    "dedup_cross_source_exact",
+    "sample_importance_reweight",
+    "multimodal_shard_manifest",
+]
+
+ORDER_STAGED = [
+    "set_intersect_except_all",
+    "win_share_of_parent_nested",
+    "join_dim_snapshot_asof",
+]
+
+
+def _assert_staged_parity(spark, variant: str, ops: list[str]) -> None:
+    import duckdb
+
+    from etl_intraday_bidask_spark.tables import TABLE_NAMES
+
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{variant}/{name}.parquet')"
+        )
+    try:
+        for op in ops:
+            spec = STAGED[op]
+            df = spec.spark_fn(spark, variant)
+            s_rows, s_cols = df.collect(), df.columns
+            rel = con.sql(spec.oracle_sql)
+            d_rows, d_cols = rel.fetchall(), list(rel.columns)
+            assert len(s_rows) == len(d_rows), (
+                f"{op}: rows {len(s_rows)} vs {len(d_rows)} on fuzz fixture"
+            )
+            assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+                f"{op}: engines diverge on fuzz fixture"
+            )
+    finally:
+        con.close()
+
+
+_SETTINGS = dict(
+    max_examples=3,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=events_strategy)
+def test_staged_event_ops_fuzzed(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array([r[2] for r in rows], pa.string()),
+            "value": pa.array([r[3] / 100.0 for r in rows], pa.float64()),
+            "props": pa.array(
+                [
+                    None if r[4] is None else '{"k": %d}' % r[4]
+                    for r in rows
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("sfuzz_ev")), "events", tbl
+    )
+    _assert_staged_parity(spark, variant, EVENT_STAGED)
+
+
+@settings(**_SETTINGS)
+@given(rows=docs_strategy)
+def test_staged_doc_ops_fuzzed(spark, tmp_path_factory, rows):
+    texts = [" ".join(toks) for toks, _, _ in rows]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([r[1] for r in rows], pa.string()),
+            "source": pa.array([r[2] for r in rows], pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("sfuzz_doc")), "documents", tbl
+    )
+    _assert_staged_parity(spark, variant, DOC_STAGED)
+
+
+@settings(**_SETTINGS)
+@given(rows=orders_strategy)
+def test_staged_order_ops_fuzzed(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "o_orderkey": pa.array(range(len(rows)), pa.int64()),
+            "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array([r[2] for r in rows], pa.string()),
+            "o_totalprice": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+            "o_orderdate": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "o_orderpriority": pa.array([r[4] for r in rows], pa.string()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("sfuzz_ord")), "orders", tbl
+    )
+    _assert_staged_parity(spark, variant, ORDER_STAGED)
