@@ -350,22 +350,28 @@ def q20_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT l_returnflag, n_q,
                round(CAST(s1 AS DOUBLE) / n_q, 4) AS mean_q,
-               round((CAST(s3 AS DOUBLE) / n_q
-                      - 3 * (CAST(s1 AS DOUBLE) / n_q)
-                          * (CAST(s2 AS DOUBLE) / n_q)
-                      + 2 * pow(CAST(s1 AS DOUBLE) / n_q, 3))
-                     / pow(CAST(s2 AS DOUBLE) / n_q
-                           - pow(CAST(s1 AS DOUBLE) / n_q, 2), 1.5),
-                     4) AS skew_q,
-               round((CAST(s4 AS DOUBLE) / n_q
-                      - 4 * (CAST(s1 AS DOUBLE) / n_q)
-                          * (CAST(s3 AS DOUBLE) / n_q)
-                      + 6 * pow(CAST(s1 AS DOUBLE) / n_q, 2)
-                          * (CAST(s2 AS DOUBLE) / n_q)
-                      - 3 * pow(CAST(s1 AS DOUBLE) / n_q, 4))
-                     / pow(CAST(s2 AS DOUBLE) / n_q
-                           - pow(CAST(s1 AS DOUBLE) / n_q, 2), 2)
-                     - 3, 4) AS kurt_q
+               CASE WHEN CAST(s2 AS DOUBLE) / n_q
+                         - pow(CAST(s1 AS DOUBLE) / n_q, 2) > 0
+                    THEN round((CAST(s3 AS DOUBLE) / n_q
+                           - 3 * (CAST(s1 AS DOUBLE) / n_q)
+                               * (CAST(s2 AS DOUBLE) / n_q)
+                           + 2 * pow(CAST(s1 AS DOUBLE) / n_q, 3))
+                          / pow(CAST(s2 AS DOUBLE) / n_q
+                                - pow(CAST(s1 AS DOUBLE) / n_q, 2), 1.5),
+                          4)
+               END AS skew_q,
+               CASE WHEN CAST(s2 AS DOUBLE) / n_q
+                         - pow(CAST(s1 AS DOUBLE) / n_q, 2) > 0
+                    THEN round((CAST(s4 AS DOUBLE) / n_q
+                           - 4 * (CAST(s1 AS DOUBLE) / n_q)
+                               * (CAST(s3 AS DOUBLE) / n_q)
+                           + 6 * pow(CAST(s1 AS DOUBLE) / n_q, 2)
+                               * (CAST(s2 AS DOUBLE) / n_q)
+                           - 3 * pow(CAST(s1 AS DOUBLE) / n_q, 4))
+                          / pow(CAST(s2 AS DOUBLE) / n_q
+                                - pow(CAST(s1 AS DOUBLE) / n_q, 2), 2)
+                          - 3, 4)
+               END AS kurt_q
         FROM s
         ORDER BY l_returnflag
     """,
@@ -401,15 +407,25 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     r3 = F.col("s3").cast("double") / n
     r4 = F.col("s4").cast("double") / n
     var = r2 - F.pow(m1, F.lit(2))
-    skew = (r3 - 3 * m1 * r2 + 2 * F.pow(m1, F.lit(3))) / F.pow(
-        var, F.lit(1.5)
+    # Zero-variance groups (constant quantity) yield NULL moments on
+    # both engines — found by the lineitem fuzz battery, unreachable on
+    # the shipped fixtures but one regeneration away.
+    skew = F.when(
+        var > 0,
+        (r3 - 3 * m1 * r2 + 2 * F.pow(m1, F.lit(3)))
+        / F.pow(var, F.lit(1.5)),
     )
-    kurt = (
-        r4
-        - 4 * m1 * r3
-        + 6 * F.pow(m1, F.lit(2)) * r2
-        - 3 * F.pow(m1, F.lit(4))
-    ) / F.pow(var, F.lit(2)) - 3
+    kurt = F.when(
+        var > 0,
+        (
+            r4
+            - 4 * m1 * r3
+            + 6 * F.pow(m1, F.lit(2)) * r2
+            - 3 * F.pow(m1, F.lit(4))
+        )
+        / F.pow(var, F.lit(2))
+        - 3,
+    )
     return s.select(
         "l_returnflag",
         "n_q",

@@ -240,3 +240,75 @@ def test_doc_ops_fuzzed_parity(spark, tmp_path_factory, rows):
         str(tmp_path_factory.mktemp("fuzz_doc")), "documents", tbl
     )
     _assert_parity(spark, variant, DOC_OPS)
+
+
+# Lineitem rows targeting the integer-threshold TPC-H adapters: tiny
+# quantities around Q17's 5·q·cnt < sum cut, Q20's year-1997 boundary
+# hit to the microsecond (1996-12-31T23:59:59.999999 vs 1997-01-01),
+# and part/supplier keys drawn from the sf0.001 dims they join.
+_SHIP_INSTANTS = [
+    851990399999999,   # 1996-12-31 23:59:59.999999 UTC
+    852076800000000,   # 1997-01-01 00:00:00 UTC
+    867715200000000,   # 1997-07-01
+    883612800000000,   # 1997-12-31
+    883699200000000,   # 1998-01-01
+    820454400000000,   # 1996-01-01
+]
+lineitem_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 199),   # l_partkey (exists in sf0.001 part)
+        st.integers(0, 9),     # l_suppkey (exists in sf0.001 supplier)
+        st.integers(1, 8),     # l_quantity — small, threshold-sensitive
+        st.integers(100, 99999),  # extendedprice cents
+        st.integers(0, 10),    # discount cents
+        st.sampled_from(["A", "N", "R"]),
+        st.sampled_from(_SHIP_INSTANTS),
+    ),
+    min_size=0,
+    max_size=50,
+)
+
+LINEITEM_OPS = [
+    "agg_pricing_summary",
+    "agg_skew_kurtosis_exact",
+    "agg_weighted_median",
+    "q17_small_quantity_revenue",
+    "q20_promotion_part_suppliers",
+    "q11_important_stock",
+    "q16_supplier_part_types",
+]
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=lineitem_strategy)
+def test_lineitem_ops_fuzzed_parity(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array([i // 2 for i in range(len(rows))], pa.int64()),
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_linenumber": pa.array(
+                [i % 2 + 1 for i in range(len(rows))], pa.int64()
+            ),
+            "l_quantity": pa.array([float(r[2]) for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array([r[4] / 100.0 for r in rows], pa.float64()),
+            "l_tax": pa.array([0.05] * len(rows), pa.float64()),
+            "l_returnflag": pa.array([r[5] for r in rows], pa.string()),
+            "l_linestatus": pa.array(
+                ["O" if i % 3 else "F" for i in range(len(rows))], pa.string()
+            ),
+            "l_shipdate": pa.array([r[6] for r in rows], pa.timestamp("us")),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("fuzz_li")), "lineitem", tbl
+    )
+    _assert_parity(spark, variant, LINEITEM_OPS)
