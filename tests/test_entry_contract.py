@@ -344,3 +344,30 @@ def test_round6_window_after_full_grade_is_least_recently_graded():
     # The next window re-grades the stalest keys: everything in it was
     # last graded in round 1 or 2, never in rounds 4-5.
     assert all(max(history[k]) <= 2 for k in order6[:50])
+
+
+def test_embeddings_nonzero_norm_precondition():
+    """The cosine family (functions/vector.py:cosine) divides by the
+    norm product; a zero-norm embedding would crash Spark-side (ANSI
+    divide-by-zero) while DuckDB yields NaN — a silent parity
+    divergence class. The generator draws continuous vectors, so zero
+    norms cannot occur; this tripwire turns a hypothetical fixture
+    drift into a named 1-second failure instead of 12 cryptic op
+    crashes (same pattern as the asof duplicate-timestamp armor)."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_zero = con.sql(f"""
+            SELECT count(*) FROM (
+                SELECT list_aggregate(
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE)), 'sum') AS sq
+                FROM read_parquet('/root/testdata/{sf}/embeddings.parquet')
+            ) WHERE sq = 0 OR sq IS NULL
+        """).fetchone()[0]
+        assert n_zero == 0, (
+            f"{sf}: {n_zero} zero-norm/null embeddings — the cosine "
+            "family needs a degenerate-vector policy before grading"
+        )
+    con.close()
