@@ -486,8 +486,10 @@ def stream_session_append_closed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT user_id,
                count(*) AS n_intervals,
-               CAST(sum(cents * (ne - e)) AS DOUBLE)
-                   / sum(ne - e) / 100.0 AS twa_quote
+               CASE WHEN sum(ne - e) > 0
+                    THEN CAST(sum(cents * (ne - e)) AS DOUBLE)
+                         / sum(ne - e) / 100.0
+               END AS twa_quote
         FROM quotes
         WHERE ne IS NOT NULL
         GROUP BY user_id
@@ -517,12 +519,16 @@ def bidask_twa_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
         quotes.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_intervals"),
-            (
+            # A user whose quotes all share one instant has zero total
+            # lifetime: NULL on both engines, not a divide-by-zero
+            # (same degenerate-data guard as the zero-variance moments).
+            F.when(
+                F.sum(F.col("ne") - F.col("e")) > 0,
                 F.sum(F.col("cents") * (F.col("ne") - F.col("e"))).cast(
                     "double"
                 )
                 / F.sum(F.col("ne") - F.col("e"))
-                / 100.0
+                / 100.0,
             ).alias("twa_quote"),
         )
         .orderBy("user_id")

@@ -88,3 +88,52 @@ def test_asof_family_survives_duplicate_timestamps(spark, tmp_path):
         assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
             f"{op}: diverges from oracle once duplicate timestamps exist"
         )
+
+
+def test_twa_quote_survives_same_instant_quotes(spark, tmp_path):
+    """Degenerate-data guard: a user whose views ALL share one instant
+    has zero total quote lifetime — the TWA must be NULL on both
+    engines, not an ANSI divide-by-zero (found by the division audit;
+    unreachable on shipped fixtures, one regeneration away)."""
+    import os
+
+    import duckdb
+
+    from etl_intraday_bidask_spark.tables import TABLE_NAMES
+    from tests.test_parity import normalize
+
+    variant = str(tmp_path / "twafix")
+    os.makedirs(variant)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT * FROM read_parquet('{SF_SMALL}/events.parquet')
+            UNION ALL
+            SELECT 20000000 + u.k AS event_id,
+                   TIMESTAMP '2024-01-15 12:00:00' AS ts,
+                   990 AS user_id, 'view' AS event_type,
+                   10.0 + u.k AS value, '{{"k": 1}}' AS props
+            FROM (SELECT unnest(range(3)) AS k) u
+        ) TO '{variant}/events.parquet' (FORMAT parquet)
+    """)
+    for name in TABLE_NAMES:
+        dst = os.path.join(variant, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_SMALL, f"{name}.parquet"), dst)
+    vcon = duckdb.connect()
+    for name in TABLE_NAMES:
+        vcon.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{variant}/{name}.parquet')"
+        )
+    spec = REGISTRY["bidask_twa_quote"]
+    df = spec.spark_fn(spark, variant)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = vcon.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert len(s_rows) == len(d_rows)
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols)
+    degenerate = [r for r in s_rows if r[0] == 990]
+    assert degenerate and degenerate[0][2] is None, (
+        "zero-lifetime user must yield NULL twa"
+    )

@@ -371,3 +371,29 @@ def test_embeddings_nonzero_norm_precondition():
             "family needs a degenerate-vector policy before grading"
         )
     con.close()
+
+
+def test_events_ts_unique_precondition():
+    """stream_ohlc_bars picks open/close via min_by/max_by on raw ts,
+    which is engine-defined under duplicate timestamps; the fixture
+    generator emits distinct ts (verified at all three SFs), and this
+    tripwire names the precondition so a regenerated fixture with µs
+    birthday collisions (expected ~2 per 100k rows for a uniform
+    generator — today's generator de-duplicates) fails here first,
+    pointing at the (ts, event_id) composite-key fix."""
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        n_dup = con.sql(f"""
+            SELECT count(*) FROM (
+                SELECT ts FROM
+                    read_parquet('/root/testdata/{sf}/events.parquet')
+                GROUP BY ts HAVING count(*) > 1)
+        """).fetchone()[0]
+        assert n_dup == 0, (
+            f"{sf}: {n_dup} duplicate event timestamps — switch "
+            "stream_ohlc_bars open/close to the (ts, event_id) "
+            "composite key on BOTH engines before grading"
+        )
+    con.close()
