@@ -2593,3 +2593,10 @@ def agg_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pd_(0.99).alias("p99_us"),
         F.max("delay_us").cast("long").alias("max_us"),
     )
+
+
+# Wave B lives in its own module for file-size sanity but registers
+# into the SAME ``STAGED`` dict; importing it here means every consumer
+# of ``STAGED`` (tests/test_staged_r6.py's parametrization, the leak
+# guard, round-6 activation) sees the full staged surface.
+from etl_intraday_bidask_spark.operators import staged_r6b  # noqa: E402,F401

@@ -1,0 +1,398 @@
+"""STAGED round-6 operators, wave B (SURVEY.md §7 M7 continuation).
+
+Same contract as ``staged_r6.py`` (see that module's docstring for why
+these are implemented + parity-tested but NOT registered): this file
+brings the staged wave to exactly 50 keys — one full driver grading
+window — so round 6 can activate a complete window of first-time
+grades in one mechanical step. Registered into the SAME ``STAGED``
+dict; ``staged_r6`` imports this module at its bottom so every
+consumer of ``STAGED`` sees the union.
+
+House discipline throughout: scaled-integer exact arithmetic for every
+fixture-grid value (``functions/parity.py``), explicit ``(key)``
+tie-breaks on every window, integer division (``div`` / ``//``) for
+ratios that must hash-match, one final IEEE division where a double is
+emitted, and a 100 TB scale note per op.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.operators.staged_r6 import staged
+from etl_intraday_bidask_spark.tables import load
+
+
+@staged(
+    "orders_cohort_retention",
+    oracle_sql="""
+        WITH cohort AS (
+            SELECT o_custkey,
+                   min(date_trunc('month', o_orderdate)) AS cohort_m
+            FROM orders GROUP BY o_custkey
+        ), activity AS (
+            SELECT DISTINCT o.o_custkey, c.cohort_m,
+                   date_trunc('month', o.o_orderdate) AS order_m
+            FROM orders o JOIN cohort c ON o.o_custkey = c.o_custkey
+        )
+        SELECT strftime(cohort_m, '%Y-%m') AS cohort_month,
+               CAST(datediff('month', cohort_m, order_m) AS BIGINT)
+                   AS months_since,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active
+        FROM activity
+        WHERE datediff('month', cohort_m, order_m) <= 6
+        GROUP BY cohort_m, months_since
+        ORDER BY cohort_month, months_since
+    """,
+    description="Cohort retention matrix: customers grouped by first-"
+    "order month, then for each cohort the count still active 0..6 "
+    "months later — the canonical retention triangle every growth team "
+    "reads. Spark plan: first-order month per customer is one groupBy "
+    "(map-side partial min), the cohort dim joins back on o_custkey "
+    "(co-partitioned with the fact's natural key — one shuffle serves "
+    "both the min and the join under AQE), months_since is exact "
+    "integer months_between on month-truncated dates. Output is "
+    "calendar-bounded (#cohort-months x 7), so the matrix stays tiny "
+    "at any data scale; at 100 TB the only large exchange is the "
+    "custkey hash partition, which AQE coalesces.",
+)
+def orders_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("order_m")
+    )
+    cohort = orders.groupBy("o_custkey").agg(
+        F.min("order_m").alias("cohort_m")
+    )
+    activity = orders.join(cohort, "o_custkey").select(
+        "o_custkey",
+        "cohort_m",
+        "order_m",
+        F.months_between("order_m", "cohort_m").cast("long").alias(
+            "months_since"
+        ),
+    )
+    return (
+        activity.where(F.col("months_since") <= 6)
+        .groupBy(
+            F.date_format("cohort_m", "yyyy-MM").alias("cohort_month"),
+            "months_since",
+        )
+        .agg(F.countDistinct("o_custkey").cast("long").alias("n_active"))
+        .orderBy("cohort_month", "months_since")
+    )
+
+
+@staged(
+    "orders_rfm_segments",
+    oracle_sql="""
+        WITH rfm AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   count(*) AS freq,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders GROUP BY o_custkey
+        ), q AS (
+            SELECT o_custkey, cents,
+                   ntile(4) OVER (ORDER BY last_order DESC, o_custkey)
+                       AS r_q,
+                   ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f_q,
+                   ntile(4) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+            FROM rfm
+        )
+        SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+               CAST(m_q AS BIGINT) AS m_q,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS segment_revenue
+        FROM q
+        GROUP BY r_q, f_q, m_q
+        ORDER BY r_q, f_q, m_q
+    """,
+    description="RFM segmentation: per-customer recency / frequency / "
+    "monetary quartiles (ntile over fully deterministic orders — every "
+    "ORDER BY carries the o_custkey tie-break, and both engines "
+    "implement SQL-standard ntile distribution, so quartile membership "
+    "hash-matches), rolled up to segment counts and exact revenue. "
+    "The monetary base is the exact integer-cent sum. Scale: the "
+    "customer-grain aggregate is one shuffle; the three ntiles are "
+    "global single-ordering windows over the CUSTOMER grain (1:100+ "
+    "reduction from the fact table) — at 100 TB of orders that is "
+    "still only ~10^8 small rows, and each ntile would move to the "
+    "two-pass range-partitioned rank (percent_rank via partition "
+    "boundaries) the win_range_frame_dist twin demonstrates; the "
+    "quartile SEMANTICS pinned here are unchanged by that swap.",
+)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rfm = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(scaled_long("o_totalprice", 100)).alias("cents"),
+        )
+    )
+    q = rfm.select(
+        "o_custkey",
+        "cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), "o_custkey"))
+        .cast("long")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), "o_custkey"))
+        .cast("long")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("cents"), "o_custkey"))
+        .cast("long")
+        .alias("m_q"),
+    )
+    return (
+        q.groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias(
+                "segment_revenue"
+            ),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+@staged(
+    "cep_transition_matrix",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+               CAST(n * 10000 // sum(n) OVER (PARTITION BY prev_type)
+                    AS BIGINT) AS prob_floor_bp
+        FROM pairs
+        ORDER BY prev_type, next_type
+    """,
+    description="Markov transition matrix over per-user event "
+    "sequences: lag(event_type) within each user's (ts, event_id)-"
+    "ordered history, pair counts, and the per-source-state transition "
+    "probability in floor basis points (n*10000 integer-div row-total "
+    "— exact on both engines; no float rounding decision is ever made "
+    "on a rational). The first-order behavioral model behind session "
+    "prediction and anomaly scoring. Scale: the lag window partitions "
+    "by user_id (millions of small independent partitions), the pair "
+    "aggregate is map-side combinable onto a #states^2-bounded result, "
+    "and the probability normalization windows over that tiny matrix "
+    "— nothing global ever materializes.",
+)
+def cep_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    pairs = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        F.expr("n * 10000 div sum(n) over (partition by prev_type)")
+        .cast("long")
+        .alias("prob_floor_bp"),
+    ).orderBy("prev_type", "next_type")
+
+
+@staged(
+    "events_active_users_rolling",
+    oracle_sql="""
+        WITH pairs AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d, user_id
+            FROM events
+        ), spine AS (SELECT DISTINCT d FROM pairs)
+        SELECT CAST(epoch_us(s.d) AS BIGINT) AS day_us,
+               CAST(count(DISTINCT CASE WHEN p.d = s.d
+                                        THEN p.user_id END) AS BIGINT)
+                   AS dau,
+               CAST(count(DISTINCT CASE
+                        WHEN p.d >= s.d - INTERVAL 6 DAY
+                        THEN p.user_id END) AS BIGINT) AS wau,
+               CAST(count(DISTINCT p.user_id) AS BIGINT) AS mau,
+               CAST(count(DISTINCT CASE WHEN p.d = s.d
+                                        THEN p.user_id END) * 10000
+                    // count(DISTINCT p.user_id) AS BIGINT)
+                   AS stickiness_floor_bp
+        FROM spine s JOIN pairs p
+          ON p.d BETWEEN s.d - INTERVAL 29 DAY AND s.d
+        GROUP BY s.d
+        ORDER BY day_us
+    """,
+    description="DAU / trailing-7-day WAU / trailing-30-day MAU and "
+    "the DAU/MAU stickiness ratio (floor basis points — exact integer "
+    "division) per observed day. Spark plan is the scale-correct one: "
+    "distinct (day, user) pairs first (the only pass over the raw "
+    "events), then each pair EXPLODES to the <=30 future days it keeps "
+    "a user active for (map-side sequence/explode — bounded 30x "
+    "fan-out of the already-reduced pair grain), and one groupBy per "
+    "target day counts distinct users per horizon. No day-range join, "
+    "no per-day rescan: at 100 TB the expansion is linear in DISTINCT "
+    "pairs, and the per-day distinct count shuffles on (day, user) "
+    "which is exactly the pre-aggregated grain. The oracle states the "
+    "same semantics as a range join, which is fine at DuckDB scale.",
+)
+def events_active_users_rolling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "user_id")
+        .distinct()
+    )
+    spine = pairs.select("d").distinct()
+    exploded = pairs.select(
+        "user_id",
+        F.col("d").alias("active_d"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(29))
+        ).alias("off"),
+    ).select(
+        "user_id",
+        "active_d",
+        (F.col("active_d") + F.make_interval(days=F.col("off"))).alias(
+            "target_d"
+        ),
+    )
+    # Keep only observed days so the output grid matches the oracle's
+    # spine (the fixture's event stream has no gap days, but the semi
+    # join makes that an assumption-free fact).
+    on_spine = exploded.join(
+        F.broadcast(spine).withColumnRenamed("d", "target_d"),
+        "target_d",
+        "semi",
+    )
+    per_day = on_spine.groupBy("target_d").agg(
+        F.countDistinct(
+            F.when(F.col("active_d") == F.col("target_d"), F.col("user_id"))
+        ).alias("dau"),
+        F.countDistinct(
+            F.when(
+                F.col("active_d")
+                >= F.col("target_d") - F.expr("INTERVAL 6 DAY"),
+                F.col("user_id"),
+            )
+        ).alias("wau"),
+        F.countDistinct("user_id").alias("mau"),
+    )
+    return per_day.select(
+        F.unix_micros("target_d").alias("day_us"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        F.col("mau").cast("long").alias("mau"),
+        F.expr("dau * 10000 div mau").cast("long").alias(
+            "stickiness_floor_bp"
+        ),
+    ).orderBy("day_us")
+
+
+@staged(
+    "agg_pareto_cumshare",
+    oracle_sql="""
+        WITH cust AS (
+            SELECT c_nationkey,
+                   o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        ), ranked AS (
+            SELECT c_nationkey, cents,
+                   coalesce(sum(cents) OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY cents DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before,
+                   sum(cents) OVER (PARTITION BY c_nationkey) AS total
+            FROM cust
+        )
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(*) FILTER (WHERE cum_before * 5 < total * 4)
+                    AS BIGINT) AS n_top80,
+               CAST(max(total) AS DOUBLE) / 100.0 AS nation_revenue
+        FROM ranked JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+    description="Revenue concentration (the 80/20 rule, made exact): "
+    "per nation, how many top customers cover 80% of revenue. "
+    "A customer is in the top-80 set iff the cumulative revenue BEFORE "
+    "them is still below 80% of the nation total — evaluated as "
+    "cum_before*5 < total*4 in exact integer cents, so no percentage "
+    "float ever exists and the threshold can't round differently "
+    "across engines. Descending-revenue order tie-breaks on "
+    "o_custkey. Scale: customer-grain aggregate shuffles once on "
+    "(nationkey, custkey); the running sum partitions by nation (25 "
+    "independent partitions, each customer-count-bounded — for a "
+    "single monster partition the win_range_frame_dist two-pass "
+    "bucket pattern applies); the nation dim broadcasts.",
+)
+def agg_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    cust = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    w_run = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("cents"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("c_nationkey")
+    ranked = cust.select(
+        "c_nationkey",
+        "cents",
+        F.coalesce(F.sum("cents").over(w_run), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("cents").over(w_tot).alias("total"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            ranked.c_nationkey == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum(
+                F.when(
+                    F.col("cum_before") * 5 < F.col("total") * 4, 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_top80"),
+            (F.max("total").cast("double") / 100.0).alias(
+                "nation_revenue"
+            ),
+        )
+        .orderBy("n_name")
+    )
