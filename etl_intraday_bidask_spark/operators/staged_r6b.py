@@ -396,3 +396,400 @@ def agg_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@staged(
+    "agg_gini_concentration",
+    oracle_sql="""
+        WITH cust AS (
+            SELECT c_nationkey, o_custkey,
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_nationkey, o_custkey
+        ), ranked AS (
+            SELECT c_nationkey, cents,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY cents, o_custkey
+                   ) AS i
+            FROM cust
+        ), sums AS (
+            SELECT c_nationkey,
+                   count(*) AS n,
+                   sum(cents) AS sx,
+                   sum(i * cents) AS six
+            FROM ranked GROUP BY c_nationkey
+        )
+        SELECT n_name,
+               CAST(n AS BIGINT) AS n_customers,
+               round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                     / CAST(n * sx AS DOUBLE), 6) AS gini
+        FROM sums JOIN nation ON c_nationkey = n_nationkey
+        ORDER BY n_name
+    """,
+    description="Gini coefficient of customer revenue per nation via "
+    "the exact rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) / "
+    "(n*sum(x)) over ascending-revenue ranks (tie-broken on "
+    "o_custkey). Numerator and denominator are exact int64 products "
+    "of integer-cent sums; ONE final IEEE division produces the same "
+    "double on both engines, then round(.,6) per the irrational-"
+    "output policy. Inequality-of-contribution is the standard first "
+    "look at corpus/source skew too (swap customers for sources). "
+    "Scale: customer-grain aggregate + per-nation rank window "
+    "(bounded partitions) + tiny broadcast dim — same shape as "
+    "agg_pareto_cumshare; the two ops share a plan family but grade "
+    "different statistics.",
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    cust = (
+        orders.join(
+            customer.select("c_custkey", "c_nationkey"),
+            orders.o_custkey == customer.c_custkey,
+        )
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    ranked = cust.select(
+        "c_nationkey",
+        "cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+        )
+        .alias("i"),
+    )
+    sums = ranked.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("sx"),
+        F.sum(F.col("i") * F.col("cents")).alias("six"),
+    )
+    return (
+        sums.join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            sums.c_nationkey == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("n").cast("long").alias("n_customers"),
+            F.round(
+                (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("sx")).cast("double"),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@staged(
+    "agg_concurrent_intervals",
+    oracle_sql="""
+        WITH spans AS (
+            SELECT o_orderkey,
+                   date_trunc('day', o_orderdate) AS start_d,
+                   date_trunc('day', max(l_shipdate)) AS end_d
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY o_orderkey, o_orderdate
+        ), deltas AS (
+            SELECT start_d AS d, CAST(1 AS BIGINT) AS delta FROM spans
+            UNION ALL
+            SELECT end_d + INTERVAL 1 DAY, CAST(-1 AS BIGINT) FROM spans
+        ), per_day AS (
+            SELECT d, sum(delta) AS net FROM deltas GROUP BY d
+        ), swept AS (
+            SELECT d, sum(net) OVER (ORDER BY d) AS open_now
+            FROM per_day
+        )
+        SELECT strftime(date_trunc('month', d), '%Y-%m') AS month,
+               CAST(max(open_now) AS BIGINT) AS max_open
+        FROM swept
+        GROUP BY date_trunc('month', d)
+        ORDER BY month
+    """,
+    description="Sweep-line interval concurrency: each order is open "
+    "from its order date to its last line shipment; the op reports "
+    "the maximum number of simultaneously open orders per month — the "
+    "WIP/backlog metric, and the classic case where the naive plan "
+    "(day-spine x interval range join) is quadratic while the sweep "
+    "is linear. Plan: per-order span (one co-partitioned orderkey "
+    "join + groupBy), +1/-1 boundary deltas UNIONed and pre-summed "
+    "PER DAY (map-side combine collapses the fact volume to the "
+    "calendar grain), then ONE running sum over the day grain. The "
+    "global window is over #distinct-days rows (~2.5k for 7 years) "
+    "regardless of fact size — calendar-bounded by construction, the "
+    "same argument as win_median_sliding_hourly; at 100 TB nothing "
+    "but the day grain ever passes through a single task.",
+)
+def agg_concurrent_intervals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("day", "o_orderdate").alias("start_d")
+    )
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    spans = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "start_d")
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("end_d"))
+    )
+    deltas = spans.select(
+        F.col("start_d").alias("d"), F.lit(1).cast("long").alias("delta")
+    ).unionByName(
+        spans.select(
+            (F.col("end_d") + F.expr("INTERVAL 1 DAY")).alias("d"),
+            F.lit(-1).cast("long").alias("delta"),
+        )
+    )
+    per_day = deltas.groupBy("d").agg(F.sum("delta").alias("net"))
+    swept = per_day.select(
+        "d", F.sum("net").over(Window.orderBy("d")).alias("open_now")
+    )
+    return (
+        swept.groupBy(
+            F.date_format(F.date_trunc("month", "d"), "yyyy-MM").alias(
+                "month"
+            )
+        )
+        .agg(F.max("open_now").cast("long").alias("max_open"))
+        .orderBy("month")
+    )
+
+
+@staged(
+    "orders_revenue_bridge",
+    oracle_sql="""
+        WITH per_cust AS (
+            SELECT o_custkey,
+                   sum(CASE WHEN year(o_orderdate) = 1995
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS rev1,
+                   sum(CASE WHEN year(o_orderdate) = 1996
+                            THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS rev2
+            FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)
+            GROUP BY o_custkey
+        ), tagged AS (
+            SELECT CASE
+                       WHEN rev1 = 0 THEN 'new'
+                       WHEN rev2 = 0 THEN 'churned'
+                       WHEN rev2 > rev1 THEN 'expanded'
+                       WHEN rev2 < rev1 THEN 'contracted'
+                       ELSE 'flat'
+                   END AS category,
+                   rev1, rev2
+            FROM per_cust
+        )
+        SELECT category,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(rev2 - rev1) AS DOUBLE) / 100.0 AS delta_revenue,
+               CAST(sum(rev1) AS DOUBLE) / 100.0 AS base_revenue
+        FROM tagged
+        GROUP BY category
+        ORDER BY category
+    """,
+    description="Year-over-year revenue bridge (1995 -> 1996): every "
+    "customer's revenue delta is attributed to exactly one of "
+    "new / churned / expanded / contracted / flat, so the per-category "
+    "deltas sum to the total YoY change — the waterfall decomposition "
+    "behind every board slide, with the accounting identity built in "
+    "(the category deltas reconcile by construction, which is what "
+    "makes the hash grade sharp). Exact integer cents end to end; "
+    "comparisons (rev2 > rev1) happen on int64, never on floats. "
+    "Scale: one conditional aggregate per customer (single shuffle on "
+    "custkey, map-side partials) and a 5-row category rollup.",
+)
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    per_cust = (
+        orders.where(yr.isin(1995, 1996))
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.when(
+                    yr == 1995, scaled_long("o_totalprice", 100)
+                ).otherwise(F.lit(0))
+            ).alias("rev1"),
+            F.sum(
+                F.when(
+                    yr == 1996, scaled_long("o_totalprice", 100)
+                ).otherwise(F.lit(0))
+            ).alias("rev2"),
+        )
+    )
+    category = (
+        F.when(F.col("rev1") == 0, "new")
+        .when(F.col("rev2") == 0, "churned")
+        .when(F.col("rev2") > F.col("rev1"), "expanded")
+        .when(F.col("rev2") < F.col("rev1"), "contracted")
+        .otherwise("flat")
+    )
+    return (
+        per_cust.select(
+            category.alias("category"), "rev1", "rev2"
+        )
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            (
+                F.sum(F.col("rev2") - F.col("rev1")).cast("double") / 100.0
+            ).alias("delta_revenue"),
+            (F.sum("rev1").cast("double") / 100.0).alias("base_revenue"),
+        )
+        .orderBy("category")
+    )
+
+
+@staged(
+    "dq_cusum_shift_detect",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS d,
+                   CAST(count(*) AS BIGINT) AS x
+            FROM orders GROUP BY d
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(x) AS BIGINT) AS total
+            FROM daily
+        ), cum AS (
+            SELECT d, x,
+                   sum(x * n_days - total) OVER (ORDER BY d) AS c
+            FROM daily, stats
+        ), swept AS (
+            SELECT d, x, c,
+                   c - min(c) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s_pos,
+                   max(c) OVER (
+                       ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - c AS s_neg
+            FROM cum
+        )
+        SELECT CAST(epoch_us(d) AS BIGINT) AS day_us, x,
+               CAST(s_pos AS BIGINT) AS s_pos,
+               CAST(s_neg AS BIGINT) AS s_neg,
+               CAST(CASE WHEN s_pos > 2 * (SELECT total FROM stats)
+                           OR s_neg > 2 * (SELECT total FROM stats)
+                         THEN 1 ELSE 0 END AS BIGINT) AS shift_flag
+        FROM swept
+        ORDER BY day_us
+    """,
+    description="CUSUM level-shift detection on daily order volume, "
+    "fully exact: deviations are scaled by n_days (dev = x*n - total) "
+    "so the mean never exists as a rational, and the one-sided CUSUM "
+    "recursions S+_t = max(0, S+_{t-1} + dev) / S-_t analogously are "
+    "rewritten into their closed window forms S+ = C - running_min(C) "
+    "and S- = running_max(C) - C over the cumulative deviation C — "
+    "the recursion a window function 'cannot' express, expressed "
+    "exactly (the identity max(0, ...) fold == prefix-min subtraction "
+    "is standard). Every value including the drift flags (threshold "
+    "2*total, i.e. two average days of scaled drift) is int64 — the "
+    "pipeline-volume-monitoring op a DQ suite runs per partition "
+    "date. Scale: windows run over the calendar day grain only "
+    "(~2.5k rows), after a map-side-combined per-day count.",
+)
+def dq_cusum_shift_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+    )
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("x").cast("long").alias("total"),
+    )
+    cum = daily.crossJoin(F.broadcast(stats)).select(
+        "d",
+        "x",
+        "total",
+        F.sum(F.col("x") * F.col("n_days") - F.col("total"))
+        .over(Window.orderBy("d"))
+        .alias("c"),
+    )
+    w_run = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    swept = cum.select(
+        "d",
+        "x",
+        "total",
+        (F.col("c") - F.min("c").over(w_run)).alias("s_pos"),
+        (F.max("c").over(w_run) - F.col("c")).alias("s_neg"),
+    )
+    return swept.select(
+        F.unix_micros("d").alias("day_us"),
+        "x",
+        F.col("s_pos").cast("long").alias("s_pos"),
+        F.col("s_neg").cast("long").alias("s_neg"),
+        F.when(
+            (F.col("s_pos") > 2 * F.col("total"))
+            | (F.col("s_neg") > 2 * F.col("total")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("shift_flag"),
+    ).orderBy("day_us")
+
+
+@staged(
+    "events_seasonality_profile",
+    oracle_sql="""
+        WITH cells AS (
+            SELECT isodow(ts) AS dow, hour(ts) AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY dow, hod
+        )
+        SELECT CAST(dow AS BIGINT) AS dow, CAST(hod AS BIGINT) AS hod,
+               n,
+               CAST(cents AS DOUBLE) / 100.0 AS sum_value,
+               CAST(n * 10000 // sum(n) OVER () AS BIGINT)
+                   AS share_floor_bp
+        FROM cells
+        ORDER BY dow, hod
+    """,
+    description="Hour-of-week seasonality profile: traffic and value "
+    "by (ISO weekday, hour) with each cell's share of total activity "
+    "in floor basis points (exact integer division — no float share "
+    "is ever rounded). Weekday parity trap handled explicitly: Spark "
+    "dayofweek() is 1=Sunday while DuckDB isodow() is 1=Monday; the "
+    "Spark side uses weekday()+1 == isodow. The 7x24 profile is the "
+    "load-shedding/capacity heatmap input and the denominator for "
+    "seasonally-adjusted anomaly baselines. Scale: one map-side-"
+    "combinable aggregate onto a fixed 168-cell grid; the share "
+    "window runs over those 168 rows only.",
+)
+def events_seasonality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(scaled_long("value", 100)).alias("cents"),
+        )
+    )
+    return cells.select(
+        "dow",
+        "hod",
+        "n",
+        (F.col("cents").cast("double") / 100.0).alias("sum_value"),
+        F.expr("n * 10000 div sum(n) over ()")
+        .cast("long")
+        .alias("share_floor_bp"),
+    ).orderBy("dow", "hod")
