@@ -793,3 +793,509 @@ def events_seasonality_profile(
         .cast("long")
         .alias("share_floor_bp"),
     ).orderBy("dow", "hod")
+
+
+@staged(
+    "bidask_roll_spread",
+    oracle_sql="""
+        WITH px AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(round(value * 100) AS BIGINT) AS p,
+                   ts, event_id
+            FROM events WHERE event_type = 'purchase'
+        ), d1 AS (
+            SELECT d, ts, event_id,
+                   p - lag(p) OVER (
+                       PARTITION BY d ORDER BY ts, event_id
+                   ) AS dp
+            FROM px
+        ), diffs AS (
+            SELECT d, dp,
+                   lag(dp) OVER (
+                       PARTITION BY d ORDER BY ts, event_id
+                   ) AS dp_prev
+            FROM d1
+        ), sums AS (
+            SELECT d,
+                   CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(sum(dp * dp_prev) AS BIGINT) AS sxy,
+                   CAST(sum(dp) AS BIGINT) AS sx,
+                   CAST(sum(dp_prev) AS BIGINT) AS sy
+            FROM diffs
+            WHERE dp IS NOT NULL AND dp_prev IS NOT NULL
+            GROUP BY d
+        )
+        SELECT CAST(epoch_us(d) AS BIGINT) AS day_us, n_pairs,
+               round(CASE WHEN n_pairs * sxy - sx * sy < 0
+                          THEN 2.0 * sqrt(
+                              CAST(-(n_pairs * sxy - sx * sy) AS DOUBLE)
+                              / CAST(n_pairs * n_pairs AS DOUBLE)) / 100.0
+                          ELSE 0.0 END, 6) AS roll_spread
+        FROM sums
+        WHERE n_pairs >= 2
+        ORDER BY day_us
+    """,
+    description="Roll (1984) implied effective spread per day: "
+    "s = 2*sqrt(-cov(dp_t, dp_{t-1})) from the serial covariance of "
+    "successive trade-price changes — the classic microstructure "
+    "estimator that recovers the bid-ask spread from trade prices "
+    "alone (bounce between bid and ask induces negative lag-1 "
+    "autocovariance of price changes). Price changes are exact "
+    "integer cents; the population covariance numerator "
+    "n*Sxy - Sx*Sy is an exact int64; the only floats are one "
+    "division, one sqrt, one round(.,6) — the irrational-output "
+    "policy. Non-negative covariance (no bounce detected) emits 0 by "
+    "the standard convention. Distinct from bidask_realized_vol "
+    "(variance of returns) and bidask_returns_acf (correlation "
+    "shape): this grades the LEVEL of lag-1 autocovariance through a "
+    "named estimator. Scale: per-day partitions, two lags and one "
+    "aggregate per partition — embarrassingly parallel.",
+)
+def bidask_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    px = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").alias("d"),
+            scaled_long("value", 100).alias("p"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("d").orderBy("ts", "event_id")
+    diffs = px.select(
+        "d", (F.col("p") - F.lag("p").over(w)).alias("dp"), "ts", "event_id"
+    ).select("d", "dp", F.lag("dp").over(w).alias("dp_prev"))
+    sums = (
+        diffs.where(F.col("dp").isNotNull() & F.col("dp_prev").isNotNull())
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("dp") * F.col("dp_prev")).cast("long").alias("sxy"),
+            F.sum("dp").cast("long").alias("sx"),
+            F.sum("dp_prev").cast("long").alias("sy"),
+        )
+    )
+    num = F.col("n_pairs") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.where(F.col("n_pairs") >= 2)
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "n_pairs",
+            F.round(
+                F.when(
+                    num < 0,
+                    2.0
+                    * F.sqrt(
+                        (-num).cast("double")
+                        / (F.col("n_pairs") * F.col("n_pairs")).cast(
+                            "double"
+                        )
+                    )
+                    / 100.0,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("roll_spread"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged(
+    "agg_histogram_equi_depth",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   ntile(10) OVER (
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT),
+                                o_orderkey
+                   ) AS decile
+            FROM orders
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(min(cents) AS DOUBLE) / 100.0 AS lo,
+               CAST(max(cents) AS DOUBLE) / 100.0 AS hi,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS bucket_sum
+        FROM ranked
+        GROUP BY decile
+        ORDER BY decile
+    """,
+    description="Equi-depth (quantile) histogram of order value: "
+    "ntile(10) over the exact integer-cent order (tie-broken on "
+    "o_orderkey so bucket membership is deterministic), emitting each "
+    "decile's count, boundaries, and mass — the histogram an "
+    "optimizer or drift monitor actually wants (equal POPULATION per "
+    "bucket; agg_histogram_width_bucket is its equal-WIDTH "
+    "complement and the pair brackets the histogram design space). "
+    "Scale: the single global ntile over the fact grain is the known "
+    "cost — at 100 TB this becomes the two-pass equi-depth build "
+    "(sample boundaries via approx quantiles, then one map-side "
+    "bucket assignment + aggregate), the same migration pinned for "
+    "the other global-ordering anchors; the decile SEMANTICS graded "
+    "here are the spec for that scale path.",
+)
+def agg_histogram_equi_depth(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ranked = load(spark, sf_dir, "orders").select(
+        scaled_long("o_totalprice", 100).alias("cents"),
+        "o_orderkey",
+    )
+    ranked = ranked.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("long")
+        .alias("decile"),
+    )
+    return (
+        ranked.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (F.min("cents").cast("double") / 100.0).alias("lo"),
+            (F.max("cents").cast("double") / 100.0).alias("hi"),
+            (F.sum("cents").cast("double") / 100.0).alias("bucket_sum"),
+        )
+        .orderBy("decile")
+    )
+
+
+@staged(
+    "agg_heavy_hitters_cms",
+    oracle_sql="""
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+            FROM events GROUP BY user_id
+        ), cells AS (
+            SELECT r.r,
+                   CAST(('0x' || substr(md5(r.r || ':' || u.user_id),
+                                        1, 15)) AS BIGINT) % 512 AS cell,
+                   u.user_id, u.exact_n
+            FROM per_user u, range(0, 5) r(r)
+        ), cell_totals AS (
+            SELECT r, cell, sum(exact_n) AS cell_n
+            FROM cells GROUP BY r, cell
+        ), est AS (
+            SELECT c.user_id, min(t.cell_n) AS cms_est
+            FROM cells c JOIN cell_totals t
+              ON c.r = t.r AND c.cell = t.cell
+            GROUP BY c.user_id
+        )
+        SELECT p.user_id, p.exact_n,
+               CAST(e.cms_est AS BIGINT) AS cms_est,
+               CAST(e.cms_est - p.exact_n AS BIGINT) AS overcount
+        FROM per_user p JOIN est e ON p.user_id = e.user_id
+        ORDER BY p.exact_n DESC, p.user_id
+        LIMIT 10
+    """,
+    description="Count-Min heavy hitters with the sketch error ITSELF "
+    "hash-graded: a 5x512 Count-Min sketch built from md5-derived "
+    "hash rows (the same cross-engine arithmetic-hash discipline as "
+    "the MinHash family — conv(substr(md5,1,15),16,10) == DuckDB "
+    "'0x'||substr cast), point-queried for the exact top-10 users. "
+    "Because both engines compute identical hashes, the estimate and "
+    "its overcount (always >= 0 — the CMS one-sided guarantee) are "
+    "deterministic and graded exactly, unlike an opaque binary "
+    "sketch: this op proves the estimator's bias structure, not just "
+    "row counts. Scale: the sketch is mergeable by construction "
+    "(cell counts are sums — map-side combine builds partial "
+    "sketches per partition and the shuffle merges 5*512 cells, "
+    "constant size at any data volume); the per-user exact counts "
+    "used for the report reduce on the user grain.",
+)
+def agg_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+    )
+    cells = per_user.select(
+        "user_id",
+        "exact_n",
+        F.explode(F.sequence(F.lit(0), F.lit(4))).alias("r"),
+    ).select(
+        "user_id",
+        "exact_n",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":", F.col("r"), F.col("user_id")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 512
+        ).alias("cell"),
+    )
+    cell_totals = cells.groupBy("r", "cell").agg(
+        F.sum("exact_n").alias("cell_n")
+    )
+    est = (
+        cells.join(cell_totals, ["r", "cell"])
+        .groupBy("user_id")
+        .agg(F.min("cell_n").alias("cms_est"))
+    )
+    return (
+        per_user.join(est, "user_id")
+        .select(
+            "user_id",
+            "exact_n",
+            F.col("cms_est").cast("long").alias("cms_est"),
+            (F.col("cms_est") - F.col("exact_n"))
+            .cast("long")
+            .alias("overcount"),
+        )
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(10)
+    )
+
+
+@staged(
+    "join_bitemporal_pit",
+    oracle_sql="""
+        WITH versions AS (
+            SELECT c_custkey,
+                   v.v,
+                   TIMESTAMP '1995-01-01' + v.v * 800 * INTERVAL 1 DAY
+                       AS valid_from,
+                   TIMESTAMP '1995-01-01' + v.v * 800 * INTERVAL 1 DAY
+                       + (c_custkey % 90) * INTERVAL 1 DAY AS recorded_at,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + v.v * 1000
+                       AS bal_cents
+            FROM customer, range(0, 3) v(v)
+        ), visible AS (
+            SELECT * FROM versions
+            WHERE recorded_at <= TIMESTAMP '1999-07-04'
+        ), picked AS (
+            SELECT o.o_orderkey, v.v, v.valid_from, v.bal_cents,
+                   row_number() OVER (
+                       PARTITION BY o.o_orderkey
+                       ORDER BY v.valid_from DESC
+                   ) AS rn
+            FROM orders o JOIN visible v
+              ON o.o_custkey = v.c_custkey
+             AND v.valid_from <= o.o_orderdate
+        )
+        SELECT CAST(v AS BIGINT) AS version_no,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS sum_balance
+        FROM picked WHERE rn = 1
+        GROUP BY v
+        ORDER BY version_no
+    """,
+    description="Bitemporal point-in-time join (feature-store "
+    "correctness): a synthesized 3-version customer dimension carries "
+    "BOTH a valid-from (business time) and a recorded-at (system "
+    "time, deliberately late by custkey%90 days), and each order is "
+    "enriched as the system knew it on 1999-07-04 — versions recorded "
+    "after the transaction-time cutoff are invisible even when their "
+    "validity started earlier, which is exactly the leakage a naive "
+    "valid-time-only as-of join commits (half the v2 rows are "
+    "excluded by recording lag here, so the grade catches any "
+    "single-dimension shortcut). Backward as-of on valid_from picks "
+    "the latest visible version per order via a bounded <=3 fan-out "
+    "join + per-orderkey row_number. Scale: the version join is "
+    "fan-out-bounded by version count; at 100 TB the as-of pick "
+    "collapses to max_by(bal, valid_from) per orderkey — same "
+    "semantics, no window.",
+)
+def join_bitemporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    versions = customer.select(
+        "c_custkey",
+        scaled_long("c_acctbal", 100).alias("bal0"),
+        F.explode(F.sequence(F.lit(0), F.lit(2))).alias("v"),
+    ).select(
+        "c_custkey",
+        "v",
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.make_interval(days=F.col("v") * 800)
+        ).alias("valid_from"),
+        (
+            F.lit("1995-01-01").cast("timestamp")
+            + F.make_interval(
+                days=F.col("v") * 800 + F.col("c_custkey") % 90
+            )
+        ).alias("recorded_at"),
+        (F.col("bal0") + F.col("v") * 1000).alias("bal_cents"),
+    )
+    visible = versions.where(
+        F.col("recorded_at") <= F.lit("1999-07-04").cast("timestamp")
+    )
+    joined = orders.join(
+        visible,
+        (orders.o_custkey == visible.c_custkey)
+        & (visible.valid_from <= orders.o_orderdate),
+    )
+    picked = joined.select(
+        "o_orderkey",
+        "v",
+        "bal_cents",
+        F.row_number()
+        .over(
+            Window.partitionBy("o_orderkey").orderBy(
+                F.desc("valid_from")
+            )
+        )
+        .alias("rn"),
+    ).where(F.col("rn") == 1)
+    return (
+        picked.groupBy(F.col("v").cast("long").alias("version_no"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            (F.sum("bal_cents").cast("double") / 100.0).alias(
+                "sum_balance"
+            ),
+        )
+        .orderBy("version_no")
+    )
+
+
+@staged(
+    "agg_ols_normal_equations",
+    oracle_sql="""
+        WITH s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS sx1,
+                   CAST(sum(CAST(round(l_tax * 100) AS BIGINT))
+                        AS BIGINT) AS sx2,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sy,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS sx1x1,
+                   CAST(sum(CAST(round(l_tax * 100) AS BIGINT)
+                            * CAST(round(l_tax * 100) AS BIGINT))
+                        AS BIGINT) AS sx2x2,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                            * CAST(round(l_tax * 100) AS BIGINT))
+                        AS BIGINT) AS sx1x2,
+                   CAST(sum(CAST(round(l_discount * 100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sx1y,
+                   CAST(sum(CAST(round(l_tax * 100) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                       AS sx2y
+            FROM lineitem
+        ), a AS (
+            SELECT n, sx1, sx2, sy,
+                   CAST(n * sx1x1 - sx1 * sx1 AS HUGEINT) AS a11,
+                   CAST(n * sx2x2 - sx2 * sx2 AS HUGEINT) AS a22,
+                   CAST(n * sx1x2 - sx1 * sx2 AS HUGEINT) AS a12,
+                   CAST(n * sx1y - sx1 * sy AS HUGEINT) AS b1,
+                   CAST(n * sx2y - sx2 * sy AS HUGEINT) AS b2
+            FROM s
+        )
+        SELECT n,
+               round(CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
+                   AS beta_discount,
+               round(CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
+                   AS beta_tax,
+               round((CAST(sy AS DOUBLE)
+                      - (CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                         / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                        * CAST(sx1 AS DOUBLE)
+                      - (CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                         / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                        * CAST(sx2 AS DOUBLE))
+                     / CAST(n AS DOUBLE), 8) AS intercept
+        FROM a
+    """,
+    description="Two-factor OLS (quantity ~ discount + tax) solved "
+    "EXACTLY via the normal equations: all nine power sums are exact "
+    "int64 on the fixture's 2-decimal grids, the centered Gram "
+    "matrix entries (n*Sxixj - Sxi*Sxj) are exact int64, and Cramer's "
+    "rule runs in 128-bit integers (Spark DECIMAL(38,0), DuckDB "
+    "HUGEINT) so the determinant and numerators are exact to the "
+    "last digit; the only floats are the two final divisions and the "
+    "intercept back-substitution, identical IEEE ops on identical "
+    "inputs, rounded to 8dp. One-pass, map-side-combinable — the "
+    "distributed-regression pattern (win_regression_slope_exact is "
+    "the 1-factor windowed cousin; this is the multi-factor global "
+    "fit). Scale: at 100 TB the int64 power sums approach overflow "
+    "(bound documented: |S| < 2^63 holds to ~1e14 rows at these "
+    "grids); past that the same plan runs with DECIMAL(38,0) sums or "
+    "demeaned passes — the algebra graded here is unchanged.",
+)
+def agg_ols_normal_equations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        scaled_long("l_discount", 100).alias("x1"),
+        scaled_long("l_tax", 100).alias("x2"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("long").alias("sx1"),
+        F.sum("x2").cast("long").alias("sx2"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).cast("long").alias("sx1x1"),
+        F.sum(F.col("x2") * F.col("x2")).cast("long").alias("sx2x2"),
+        F.sum(F.col("x1") * F.col("x2")).cast("long").alias("sx1x2"),
+        F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
+    )
+    dec = "decimal(38,0)"
+    a = s.select(
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+        .cast(dec)
+        .alias("a11"),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+        .cast(dec)
+        .alias("a22"),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2"))
+        .cast(dec)
+        .alias("a12"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy"))
+        .cast(dec)
+        .alias("b1"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy"))
+        .cast(dec)
+        .alias("b2"),
+    )
+    det = (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")).cast(
+        "double"
+    )
+    beta1 = (
+        (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")).cast(
+            "double"
+        )
+        / det
+    )
+    beta2 = (
+        (F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")).cast(
+            "double"
+        )
+        / det
+    )
+    return a.select(
+        "n",
+        F.round(beta1, 8).alias("beta_discount"),
+        F.round(beta2, 8).alias("beta_tax"),
+        F.round(
+            (
+                F.col("sy").cast("double")
+                - beta1 * F.col("sx1").cast("double")
+                - beta2 * F.col("sx2").cast("double")
+            )
+            / F.col("n").cast("double"),
+            8,
+        ).alias("intercept"),
+    )
