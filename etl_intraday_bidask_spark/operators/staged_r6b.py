@@ -422,8 +422,9 @@ def agg_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n_name,
                CAST(n AS BIGINT) AS n_customers,
+               CASE WHEN n * sx = 0 THEN NULL ELSE
                round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                     / CAST(n * sx AS DOUBLE), 6) AS gini
+                     / CAST(n * sx AS DOUBLE), 6) END AS gini
         FROM sums JOIN nation ON c_nationkey = n_nationkey
         ORDER BY n_name
     """,
@@ -474,12 +475,17 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_name",
             F.col("n").cast("long").alias("n_customers"),
-            F.round(
-                (2 * F.col("six") - (F.col("n") + 1) * F.col("sx")).cast(
-                    "double"
-                )
-                / (F.col("n") * F.col("sx")).cast("double"),
-                6,
+            # All-zero-revenue guard: NULL instead of an engine-dependent
+            # 0/0 when every customer in the nation has zero cents.
+            F.when(
+                F.col("n") * F.col("sx") != 0,
+                F.round(
+                    (
+                        2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
+                    ).cast("double")
+                    / (F.col("n") * F.col("sx")).cast("double"),
+                    6,
+                ),
             ).alias("gini"),
         )
         .orderBy("n_name")
@@ -1197,12 +1203,15 @@ def join_bitemporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM s
         )
         SELECT n,
+               CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
                round(CAST(b1 * a22 - b2 * a12 AS DOUBLE)
                      / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
-                   AS beta_discount,
+               END AS beta_discount,
+               CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
                round(CAST(b2 * a11 - b1 * a12 AS DOUBLE)
                      / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
-                   AS beta_tax,
+               END AS beta_tax,
+               CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
                round((CAST(sy AS DOUBLE)
                       - (CAST(b1 * a22 - b2 * a12 AS DOUBLE)
                          / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
@@ -1210,7 +1219,8 @@ def join_bitemporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - (CAST(b2 * a11 - b1 * a12 AS DOUBLE)
                          / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
                         * CAST(sx2 AS DOUBLE))
-                     / CAST(n AS DOUBLE), 8) AS intercept
+                     / CAST(n AS DOUBLE), 8)
+               END AS intercept
         FROM a
     """,
     description="Two-factor OLS (quantity ~ discount + tax) solved "
@@ -1248,6 +1258,9 @@ def agg_ols_normal_equations(
         F.sum(F.col("x1") * F.col("y")).cast("long").alias("sx1y"),
         F.sum(F.col("x2") * F.col("y")).cast("long").alias("sx2y"),
     )
+    # Singular-system guard: a constant regressor (zero variance, e.g. a
+    # uniform tax column) or a perfectly collinear pair makes det == 0 —
+    # emit NULL coefficients rather than an engine-dependent inf/NaN.
     dec = "decimal(38,0)"
     a = s.select(
         "n",
@@ -1270,9 +1283,8 @@ def agg_ols_normal_equations(
         .cast(dec)
         .alias("b2"),
     )
-    det = (F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")).cast(
-        "double"
-    )
+    det_i = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    det = det_i.cast("double")
     beta1 = (
         (F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")).cast(
             "double"
@@ -1285,17 +1297,21 @@ def agg_ols_normal_equations(
         )
         / det
     )
+    nonsingular = det_i != 0
     return a.select(
         "n",
-        F.round(beta1, 8).alias("beta_discount"),
-        F.round(beta2, 8).alias("beta_tax"),
-        F.round(
-            (
-                F.col("sy").cast("double")
-                - beta1 * F.col("sx1").cast("double")
-                - beta2 * F.col("sx2").cast("double")
-            )
-            / F.col("n").cast("double"),
-            8,
+        F.when(nonsingular, F.round(beta1, 8)).alias("beta_discount"),
+        F.when(nonsingular, F.round(beta2, 8)).alias("beta_tax"),
+        F.when(
+            nonsingular,
+            F.round(
+                (
+                    F.col("sy").cast("double")
+                    - beta1 * F.col("sx1").cast("double")
+                    - beta2 * F.col("sx2").cast("double")
+                )
+                / F.col("n").cast("double"),
+                8,
+            ),
         ).alias("intercept"),
     )

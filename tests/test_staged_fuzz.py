@@ -26,6 +26,11 @@ from tests.test_parity import normalize
 
 EVENT_STAGED = [
     "join_asof_nearest",
+    "cep_transition_matrix",
+    "events_active_users_rolling",
+    "events_seasonality_profile",
+    "bidask_roll_spread",
+    "agg_heavy_hitters_cms",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -56,6 +61,22 @@ ORDER_STAGED = [
     "set_intersect_except_all",
     "win_share_of_parent_nested",
     "join_dim_snapshot_asof",
+    "orders_cohort_retention",
+    "orders_rfm_segments",
+    "agg_pareto_cumshare",
+    "agg_gini_concentration",
+    "orders_revenue_bridge",
+    "dq_cusum_shift_detect",
+    "agg_concurrent_intervals",
+    "agg_histogram_equi_depth",
+    "join_bitemporal_pit",
+]
+
+# Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
+# makes the OLS normal equations singular on every example — exactly the
+# det==0 guard this list exists to exercise.
+LINEITEM_STAGED = [
+    "agg_ols_normal_equations",
 ]
 
 
@@ -158,3 +179,45 @@ def test_staged_order_ops_fuzzed(spark, tmp_path_factory, rows):
         str(tmp_path_factory.mktemp("sfuzz_ord")), "orders", tbl
     )
     _assert_staged_parity(spark, variant, ORDER_STAGED)
+
+
+from tests.test_fuzz_parity import lineitem_strategy  # noqa: E402
+
+
+@settings(**_SETTINGS)
+@given(rows=lineitem_strategy)
+def test_staged_lineitem_ops_fuzzed(spark, tmp_path_factory, rows):
+    tbl = pa.table(
+        {
+            "l_orderkey": pa.array(
+                [i // 2 for i in range(len(rows))], pa.int64()
+            ),
+            "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_suppkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_linenumber": pa.array(
+                [i % 2 + 1 for i in range(len(rows))], pa.int64()
+            ),
+            "l_quantity": pa.array(
+                [float(r[2]) for r in rows], pa.float64()
+            ),
+            "l_extendedprice": pa.array(
+                [r[3] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_discount": pa.array(
+                [r[4] / 100.0 for r in rows], pa.float64()
+            ),
+            "l_tax": pa.array([0.05] * len(rows), pa.float64()),
+            "l_returnflag": pa.array([r[5] for r in rows], pa.string()),
+            "l_linestatus": pa.array(
+                ["O" if i % 3 else "F" for i in range(len(rows))],
+                pa.string(),
+            ),
+            "l_shipdate": pa.array(
+                [r[6] for r in rows], pa.timestamp("us")
+            ),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("sfuzz_li")), "lineitem", tbl
+    )
+    _assert_staged_parity(spark, variant, LINEITEM_STAGED)
