@@ -1,0 +1,105 @@
+"""Physical-plan audits for the staged round-6 wave B
+(operators/staged_r6b.py): each op's scale claim names a plan property
+— assert it before activation, same discipline as tests/test_plans.py
+but driven off the STAGED dict since the wave is unregistered."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
+from tests.conftest import SF_SMALL
+
+
+def staged_plan(spark, name: str) -> str:
+    df = STAGED[name].spark_fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_sweepline_no_cartesian_single_running_window(spark):
+    """agg_concurrent_intervals' whole point is sweep-line, not a
+    day-spine range join: no nested-loop/cartesian anywhere, and the
+    only Window is the one running sum over the pre-combined day
+    grain."""
+    plan = staged_plan(spark, "agg_concurrent_intervals")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("(Window") + plan.count(") Window") >= 1
+    # the +1/-1 deltas must be pre-combined per day BEFORE the window:
+    # a HashAggregate has to appear below the Window in the tree, which
+    # formatted-explain renders as the aggregate having a HIGHER node id.
+    assert "HashAggregate" in plan
+
+
+def test_active_users_uses_explode_not_range_join(spark):
+    """events_active_users_rolling claims bounded explode fan-out of the
+    (day,user) grain instead of a day-range join: Generate (explode)
+    must be present and no nested-loop join may appear."""
+    plan = staged_plan(spark, "events_active_users_rolling")
+    assert "Generate" in plan, "explode fan-out missing from plan"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cms_is_pure_equi_join_aggregate(spark):
+    """agg_heavy_hitters_cms: the sketch build/probe is hash joins and
+    aggregates over md5 arithmetic — JVM-side end to end, no Python
+    eval, no nested loop."""
+    plan = staged_plan(spark, "agg_heavy_hitters_cms")
+    for banned in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+    ):
+        assert banned not in plan, f"{banned} in CMS plan"
+
+
+def test_bitemporal_pit_joins_on_custkey_equi(spark):
+    """join_bitemporal_pit: the version join must be an equi join on
+    custkey (fan-out bounded by the 3 versions), with the valid_from
+    inequality as a post-join condition — never a nested loop over
+    orders x versions."""
+    plan = staged_plan(spark, "join_bitemporal_pit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_ols_is_single_pass_aggregate(spark):
+    """agg_ols_normal_equations is one map-side-combinable aggregate:
+    no window, no join — the nine power sums reduce in one exchange."""
+    plan = staged_plan(spark, "agg_ols_normal_equations")
+    assert "Window" not in plan
+    for banned in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert banned not in plan
+    assert "HashAggregate" in plan
+
+
+def test_roll_spread_partitions_by_day(spark):
+    """bidask_roll_spread windows partition by day — the plan must not
+    contain a global (empty-partition-spec) window sort."""
+    plan = staged_plan(spark, "bidask_roll_spread")
+    assert "CartesianProduct" not in plan
+    # every Window's partition spec carries the day column d
+    for seg in plan.split("Arguments: ")[1:]:
+        head = seg.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "d#" in head, f"unpartitioned window: {head[:120]}"
+
+
+def test_revenue_bridge_pushes_year_filter(spark):
+    """orders_revenue_bridge filters to two years before aggregating;
+    the year predicate must reach the scan (as a pushed filter or a
+    scan-adjacent Filter), and the plan is join-free."""
+    plan = staged_plan(spark, "orders_revenue_bridge")
+    for banned in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert banned not in plan
+    pushed = plan.split("PushedFilters:")[1].split("\n")[0]
+    assert "o_orderdate" in pushed, (
+        "two-year range predicate not pushed to the Parquet scan"
+    )
