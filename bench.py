@@ -63,6 +63,15 @@ def main() -> None:
     # default it off here.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "false")
     spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # The sf0.1 fixtures are single ~1-11 MB parquet files; at the default
+    # 128 MB split size every scan is ONE task and the scan-bound queries
+    # run single-threaded. 4 MB splits parallelize the big scans across
+    # cores (measured: 2.34s -> 2.03s over the six scan-heaviest headline
+    # queries; 2m within noise of 4m, 1m over-splits). On a real lake the
+    # default is right — files are many and 100-1000 MB — so this is bench
+    # -scale sizing of the same knob, not a different strategy.
+    split = os.environ.get("SPARK_GRAFT_SPLIT_BYTES", "4194304")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", split)
 
     # Full-suite warm-up pass: JVM JIT, codegen caches, Parquet footer +
     # page cache. Measured at sf0.1: without it the first queries carry
