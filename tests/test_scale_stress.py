@@ -166,3 +166,49 @@ def test_stream_sliding_append_oracle_parity_10x(spark, duck_big, big_dir):
     1M events — eviction correctness at 10x state."""
     n = oracle_parity_10x(spark, duck_big, big_dir, "stream_sliding_append_closed")
     assert n > 0
+
+
+# --- staged wave-B stress (driven off STAGED; unregistered until r6) ---
+
+from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
+
+
+def staged_parity_10x(spark, duck_big, big_dir, name):
+    spec = STAGED[name]
+    df = spec.spark_fn(spark, big_dir)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = duck_big.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}@10x: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+        f"{name}@10x: value mismatch"
+    )
+    return len(s_rows)
+
+
+def test_active_users_oracle_parity_10x(spark, duck_big, big_dir):
+    """DAU/WAU/MAU explode fan-out over 1M events / 5x key cardinality:
+    the distinct (day,user) grain grows 5x and every rolling count must
+    still match the range-join oracle exactly — proves the bounded
+    explode is lossless, not just fast."""
+    n = staged_parity_10x(spark, duck_big, big_dir, "events_active_users_rolling")
+    assert n > 0
+
+
+def test_cms_heavy_hitters_oracle_parity_10x(spark, duck_big, big_dir):
+    """Count-Min at 10x traffic and 5x users: heavier cells, more
+    collisions — estimates and overcounts must stay hash-identical to
+    DuckDB's recomputation of the same sketch."""
+    n = staged_parity_10x(spark, duck_big, big_dir, "agg_heavy_hitters_cms")
+    assert n == 10
+
+
+def test_transition_matrix_oracle_parity_10x(spark, duck_big, big_dir):
+    """Markov transitions over 1M events with 37 µs-staggered replica
+    timestamps: per-user sequences interleave replicas tightly, so any
+    tie-break divergence in the lag ordering shows up as a count shift."""
+    n = staged_parity_10x(spark, duck_big, big_dir, "cep_transition_matrix")
+    assert n > 0
