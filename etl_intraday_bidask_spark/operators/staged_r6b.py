@@ -423,8 +423,8 @@ def agg_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n_name,
                CAST(n AS BIGINT) AS n_customers,
                CASE WHEN n * sx = 0 THEN NULL ELSE
-               round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
-                     / CAST(n * sx AS DOUBLE), 6) END AS gini
+               CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                   / CAST(n * sx AS DOUBLE) END AS gini
         FROM sums JOIN nation ON c_nationkey = n_nationkey
         ORDER BY n_name
     """,
@@ -433,8 +433,8 @@ def agg_pareto_cumshare(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n*sum(x)) over ascending-revenue ranks (tie-broken on "
     "o_custkey). Numerator and denominator are exact int64 products "
     "of integer-cent sums; ONE final IEEE division produces the same "
-    "double on both engines, then round(.,6) per the irrational-"
-    "output policy. Inequality-of-contribution is the standard first "
+    "double on both engines and is emitted unrounded (rounding a "
+    "rational is the half-boundary trap). Inequality-of-contribution is the standard first "
     "look at corpus/source skew too (swap customers for sources). "
     "Scale: customer-grain aggregate + per-nation rank window "
     "(bounded partitions) + tiny broadcast dim — same shape as "
@@ -477,15 +477,15 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_customers"),
             # All-zero-revenue guard: NULL instead of an engine-dependent
             # 0/0 when every customer in the nation has zero cents.
+            # Unrounded: the ratio of two exact int64s is one IEEE
+            # division, bit-identical across engines; round() on a
+            # rational is the half-boundary trap.
             F.when(
                 F.col("n") * F.col("sx") != 0,
-                F.round(
-                    (
-                        2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
-                    ).cast("double")
-                    / (F.col("n") * F.col("sx")).cast("double"),
-                    6,
-                ),
+                (
+                    2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
+                ).cast("double")
+                / (F.col("n") * F.col("sx")).cast("double"),
             ).alias("gini"),
         )
         .orderBy("n_name")
@@ -1210,22 +1210,22 @@ def join_bitemporal_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n,
                CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
-               round(CAST(b1 * a22 - b2 * a12 AS DOUBLE)
-                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
+               CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
                END AS beta_discount,
                CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
-               round(CAST(b2 * a11 - b1 * a12 AS DOUBLE)
-                     / CAST(a11 * a22 - a12 * a12 AS DOUBLE), 8)
+               CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
                END AS beta_tax,
                CASE WHEN a11 * a22 - a12 * a12 = 0 THEN NULL ELSE
-               round((CAST(sy AS DOUBLE)
-                      - (CAST(b1 * a22 - b2 * a12 AS DOUBLE)
-                         / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
-                        * CAST(sx1 AS DOUBLE)
-                      - (CAST(b2 * a11 - b1 * a12 AS DOUBLE)
-                         / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
-                        * CAST(sx2 AS DOUBLE))
-                     / CAST(n AS DOUBLE), 8)
+               (CAST(sy AS DOUBLE)
+                - (CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                  * CAST(sx1 AS DOUBLE)
+                - (CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE))
+                  * CAST(sx2 AS DOUBLE))
+               / CAST(n AS DOUBLE)
                END AS intercept
         FROM a
     """,
@@ -1304,20 +1304,21 @@ def agg_ols_normal_equations(
         / det
     )
     nonsingular = det_i != 0
+    # Unrounded: every coefficient is identical IEEE arithmetic on
+    # identical 128-bit-exact inputs, so the doubles are bit-identical
+    # across engines; round() on these rationals is the half-boundary
+    # trap the parity module documents.
     return a.select(
         "n",
-        F.when(nonsingular, F.round(beta1, 8)).alias("beta_discount"),
-        F.when(nonsingular, F.round(beta2, 8)).alias("beta_tax"),
+        F.when(nonsingular, beta1).alias("beta_discount"),
+        F.when(nonsingular, beta2).alias("beta_tax"),
         F.when(
             nonsingular,
-            F.round(
-                (
-                    F.col("sy").cast("double")
-                    - beta1 * F.col("sx1").cast("double")
-                    - beta2 * F.col("sx2").cast("double")
-                )
-                / F.col("n").cast("double"),
-                8,
-            ),
+            (
+                F.col("sy").cast("double")
+                - beta1 * F.col("sx1").cast("double")
+                - beta2 * F.col("sx2").cast("double")
+            )
+            / F.col("n").cast("double"),
         ).alias("intercept"),
     )
