@@ -49,8 +49,8 @@ _INGEST_STAGE: dict[str, str] = {}
     oracle_sql="""
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,
-               round(avg(CAST(json_extract_string(props, '$.k') AS INT)),
-                     4) AS avg_k,
+               avg(CAST(json_extract_string(props, '$.k') AS INT))
+                   AS avg_k,
                CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
                     AS BIGINT) AS max_k,
                CAST(count(*) FILTER (
@@ -94,7 +94,7 @@ def etl_json_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         typed.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.avg("k").alias("avg_k"),
             F.max("k").cast("long").alias("max_k"),
             F.count(F.when(F.col("k").isNull(), 1))
             .cast("long")
@@ -351,8 +351,8 @@ def sessionize_cross_device(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS bucket_us,
                CAST(count(*) AS BIGINT) AS n_obs,
-               round(CAST(sum(c0 - c2) AS DOUBLE)
-                     / sum(c0 + c1 + c2), 6) AS imb_ratio
+               CAST(sum(c0 - c2) AS DOUBLE)
+                   / sum(c0 + c1 + c2) AS imb_ratio
         FROM q
         WHERE c2 IS NOT NULL
         GROUP BY 1
@@ -385,10 +385,9 @@ def bidask_l2_depth_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.groupBy(F.unix_micros(F.date_trunc("hour", "ts")).alias("bucket_us"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
-            F.round(
+            (
                 F.sum(F.col("c0") - F.col("c2")).cast("double")
-                / F.sum(F.col("c0") + F.col("c1") + F.col("c2")),
-                6,
+                / F.sum(F.col("c0") + F.col("c1") + F.col("c2"))
             ).alias("imb_ratio"),
         )
         .orderBy("bucket_us")
@@ -621,18 +620,18 @@ def etl_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n AS n_vocab,
                CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                    THEN round((CAST(n AS DOUBLE) * sxy
-                                - CAST(sx AS DOUBLE) * sy)
-                               / (CAST(n AS DOUBLE) * sxx
-                                  - CAST(sx AS DOUBLE) * sx), 4)
+                    THEN (CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)
                END AS zipf_slope,
                CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
-                    THEN round((CAST(sy AS DOUBLE)
-                                - (CAST(n AS DOUBLE) * sxy
-                                   - CAST(sx AS DOUBLE) * sy)
-                                  / (CAST(n AS DOUBLE) * sxx
-                                     - CAST(sx AS DOUBLE) * sx) * sx)
-                               / n / 10000.0, 4)
+                    THEN (CAST(sy AS DOUBLE)
+                          - (CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            / (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx) * sx)
+                         / n / 10000.0
                END AS zipf_intercept
         FROM s
     """,
@@ -673,15 +672,15 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
     ) / denom
     # A 0/1-token vocabulary has no rank spread: NULL fit, both engines.
-    slope = F.when(denom > 0, F.round(slope0, 4))
+    # Unrounded: rationals of exact grid ints — identical IEEE chains
+    # are bit-identical across engines; round() is the half-boundary
+    # trap (see functions/parity.py).
+    slope = F.when(denom > 0, slope0)
     intercept = F.when(
         denom > 0,
-        F.round(
-            (F.col("sy").cast("double") - slope0 * F.col("sx"))
-            / F.col("n")
-            / 10000.0,
-            4,
-        ),
+        (F.col("sy").cast("double") - slope0 * F.col("sx"))
+        / F.col("n")
+        / 10000.0,
     )
     return s.select(
         F.col("n").alias("n_vocab"),
@@ -768,9 +767,8 @@ STAGED["corpus_dedup_cluster_stats"] = QuerySpec(
             SELECT sum(s_e6) AS sum_s, sum(n_docs) AS n_total FROM scaled
         )
         SELECT source, n_docs,
-               round(CAST(s_e6 AS DOUBLE) / sum_s, 6) AS p_target,
-               round(CAST(s_e6 AS DOUBLE) / sum_s * n_total / n_docs,
-                     6) AS weight
+               CAST(s_e6 AS DOUBLE) / sum_s AS p_target,
+               CAST(s_e6 AS DOUBLE) / sum_s * n_total / n_docs AS weight
         FROM scaled, tot
         ORDER BY source
     """,
@@ -803,10 +801,8 @@ def sample_importance_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source",
             "n_docs",
-            F.round(p, 6).alias("p_target"),
-            F.round(p * F.col("n_total") / F.col("n_docs"), 6).alias(
-                "weight"
-            ),
+            p.alias("p_target"),
+            (p * F.col("n_total") / F.col("n_docs")).alias("weight"),
         )
         .orderBy("source")
     )
@@ -1264,8 +1260,8 @@ def scan_metadata_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT lang_a, lang_b,
                CAST(n_shared AS BIGINT) AS n_shared,
-               round(CAST(n_shared AS DOUBLE)
-                     / (sa.n + sb.n - n_shared), 6) AS vocab_jaccard
+               CAST(n_shared AS DOUBLE)
+                   / (sa.n + sb.n - n_shared) AS vocab_jaccard
         FROM shared
         JOIN sz sa ON lang_a = sa.lang
         JOIN sz sb ON lang_b = sb.lang
@@ -1312,9 +1308,7 @@ def text_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         shared.join(F.broadcast(sa), F.col("lang_a") == F.col("sa.szl"))
         .join(F.broadcast(sb), F.col("lang_b") == F.col("sb.szl"))
         .select(
-            "lang_a", "lang_b", "n_shared", F.round(jac, 6).alias(
-                "vocab_jaccard"
-            )
+            "lang_a", "lang_b", "n_shared", jac.alias("vocab_jaccard")
         )
         .orderBy("lang_a", "lang_b")
     )
@@ -1338,9 +1332,9 @@ def text_vocab_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_grams,
                CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_novel,
-               round(CAST(sum(CASE WHEN f.first_doc = g.doc_id
-                                   THEN 1 ELSE 0 END) AS DOUBLE)
-                     / count(*), 4) AS novelty_rate
+               CAST(sum(CASE WHEN f.first_doc = g.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / count(*) AS novelty_rate
         FROM g JOIN first_seen f ON g.gram = f.gram
         GROUP BY g.doc_id
         ORDER BY g.doc_id
@@ -1377,8 +1371,8 @@ def corpus_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),
             F.sum(novel).cast("long").alias("n_novel"),
-            F.round(
-                F.sum(novel).cast("double") / F.count(F.lit(1)), 4
+            (
+                F.sum(novel).cast("double") / F.count(F.lit(1))
             ).alias("novelty_rate"),
         )
         .orderBy("doc_id")
@@ -1826,7 +1820,7 @@ def win_median_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS n_codelike,
                CAST(sum(n_sym) AS BIGINT) AS total_symbols,
                CASE WHEN sum(n_len) > 0
-                    THEN round(CAST(sum(n_sym) AS DOUBLE) / sum(n_len), 6)
+                    THEN CAST(sum(n_sym) AS DOUBLE) / sum(n_len)
                END AS symbol_ratio
         FROM scored
         GROUP BY lang
@@ -1865,7 +1859,7 @@ def text_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
             # all-empty-text languages yield NULL, not a zero division
             F.when(
                 F.sum("n_len") > 0,
-                F.round(F.sum("n_sym").cast("double") / F.sum("n_len"), 6),
+                F.sum("n_sym").cast("double") / F.sum("n_len"),
             ).alias("symbol_ratio"),
         )
         .orderBy("lang")
@@ -2034,8 +2028,8 @@ def dedup_cross_source_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT brand_a, brand_b, CAST(n_ab AS BIGINT) AS n_ab,
-               round(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
-               round(CAST(n_ab AS DOUBLE) * n.n / (na.nb * nb.nb), 4)
+               CAST(n_ab AS DOUBLE) / n.n AS support,
+               CAST(n_ab AS DOUBLE) * n.n / (na.nb * nb.nb)
                    AS lift
         FROM pairs
         JOIN brand_n na ON brand_a = na.p_brand
@@ -2090,14 +2084,13 @@ def orders_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_ab",
-            F.round(F.col("n_ab").cast("double") / F.col("n"), 6).alias(
+            (F.col("n_ab").cast("double") / F.col("n")).alias(
                 "support"
             ),
-            F.round(
+            (
                 F.col("n_ab").cast("double")
                 * F.col("n")
-                / (F.col("na.nb") * F.col("nb.nb")),
-                4,
+                / (F.col("na.nb") * F.col("nb.nb"))
             ).alias("lift"),
         )
         .orderBy(F.col("n_ab").desc(), "brand_a", "brand_b")
@@ -2212,10 +2205,10 @@ def win_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT label_a, label_b,
                CASE WHEN label_a = label_b
-                    THEN round((CAST(dot_e12 AS DOUBLE) / 1e12 - na.n)
-                               / (CAST(na.n AS DOUBLE) * na.n - na.n), 4)
-                    ELSE round(CAST(dot_e12 AS DOUBLE) / 1e12
-                               / (CAST(na.n AS DOUBLE) * nb.n), 4)
+                    THEN (CAST(dot_e12 AS DOUBLE) / 1e12 - na.n)
+                         / (CAST(na.n AS DOUBLE) * na.n - na.n)
+                    ELSE CAST(dot_e12 AS DOUBLE) / 1e12
+                         / (CAST(na.n AS DOUBLE) * nb.n)
                END AS mean_cosine
         FROM dots
         JOIN cn na ON label_a = na.label
@@ -2271,23 +2264,20 @@ def embed_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na, nb = cn.alias("na"), cn.alias("nb")
     diag = F.col("label_a") == F.col("label_b")
+    # Unrounded: rationals of exact 1e-6-grid ints — identical IEEE
+    # chains are bit-identical across engines; round() is the
+    # half-boundary trap (see functions/parity.py).
     mean_cos = F.when(
         diag,
-        F.round(
-            (F.col("dot_e12").cast("double") / 1e12 - F.col("na.n"))
-            / (
-                F.col("na.n").cast("double") * F.col("na.n")
-                - F.col("na.n")
-            ),
-            4,
+        (F.col("dot_e12").cast("double") / 1e12 - F.col("na.n"))
+        / (
+            F.col("na.n").cast("double") * F.col("na.n")
+            - F.col("na.n")
         ),
     ).otherwise(
-        F.round(
-            F.col("dot_e12").cast("double")
-            / 1e12
-            / (F.col("na.n").cast("double") * F.col("nb.n")),
-            4,
-        )
+        F.col("dot_e12").cast("double")
+        / 1e12
+        / (F.col("na.n").cast("double") * F.col("nb.n"))
     )
     return (
         dots.join(F.broadcast(na), F.col("label_a") == F.col("na.cn_label"))
@@ -2321,8 +2311,8 @@ def embed_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT c_nationkey, o_custkey AS c_custkey,
                CAST(rev_c AS BIGINT) AS rev_cents,
-               round(CAST(rev_c AS DOUBLE) / rev_n, 6) AS share_of_nation,
-               round(CAST(rev_n AS DOUBLE) / rev_total, 6)
+               CAST(rev_c AS DOUBLE) / rev_n AS share_of_nation,
+               CAST(rev_n AS DOUBLE) / rev_total
                    AS nation_share_of_total
         FROM ranked
         WHERE rk <= 3
@@ -2370,12 +2360,12 @@ def win_share_of_parent_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             F.col("o_custkey").alias("c_custkey"),
             F.col("rev_c").cast("long").alias("rev_cents"),
-            F.round(
-                F.col("rev_c").cast("double") / F.col("rev_n"), 6
-            ).alias("share_of_nation"),
-            F.round(
-                F.col("rev_n").cast("double") / F.col("rev_total"), 6
-            ).alias("nation_share_of_total"),
+            (F.col("rev_c").cast("double") / F.col("rev_n")).alias(
+                "share_of_nation"
+            ),
+            (F.col("rev_n").cast("double") / F.col("rev_total")).alias(
+                "nation_share_of_total"
+            ),
         )
         .orderBy("c_nationkey", F.col("rev_cents").desc(), "c_custkey")
     )
