@@ -224,7 +224,7 @@ def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT i.doc_a AS contained_doc,
                i.doc_b AS container_doc,
-               round(CAST(i.c AS DOUBLE) / sa.n, 4) AS containment
+               CAST(i.c AS DOUBLE) / sa.n AS containment
         FROM inter i
         JOIN sz sa ON i.doc_a = sa.doc_id
         JOIN sz sb ON i.doc_b = sb.doc_id
@@ -274,7 +274,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("doc_a").alias("contained_doc"),
             F.col("doc_b").alias("container_doc"),
-            F.round(contain, 4).alias("containment"),
+            # Unrounded rational of exact counts (half-boundary trap).
+            contain.alias("containment"),
         )
         .orderBy("contained_doc", "container_doc")
     )

@@ -119,8 +119,8 @@ def text_entropy_token(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_trigrams,
                CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
-               round(1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*),
-                     4) AS dup_ratio
+               1.0 - CAST(count(DISTINCT gram) AS DOUBLE) / count(*)
+                   AS dup_ratio
         FROM g
         GROUP BY doc_id
         ORDER BY doc_id
@@ -160,7 +160,8 @@ def text_repetition_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_trigrams",
         "n_distinct",
-        F.round(ratio, 4).alias("dup_ratio"),
+        # Unrounded rational of exact ints (half-boundary trap).
+        ratio.alias("dup_ratio"),
     ).orderBy("doc_id")
 
 
@@ -226,9 +227,9 @@ def text_repetition_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sz sb ON c.doc_hi = sb.doc_id
         )
         SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-               round(CAST(sum(abs_err_e6) AS DOUBLE) / count(*) / 1000000.0,
-                     4) AS mean_abs_err,
-               round(CAST(max(abs_err_e6) AS DOUBLE) / 1000000.0, 4)
+               CAST(sum(abs_err_e6) AS DOUBLE) / count(*) / 1000000.0
+                   AS mean_abs_err,
+               CAST(max(abs_err_e6) AS DOUBLE) / 1000000.0
                    AS max_abs_err,
                CAST(sum(CASE WHEN n_match = {N_HASHES} THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_est_exact_dup
@@ -337,13 +338,13 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.round(
+        # Unrounded rationals of exact e6-grid ints (half-boundary trap).
+        (
             F.sum("abs_err_e6").cast("double")
             / F.count(F.lit(1))
-            / 1000000.0,
-            4,
+            / 1000000.0
         ).alias("mean_abs_err"),
-        F.round(F.max("abs_err_e6").cast("double") / 1000000.0, 4).alias(
+        (F.max("abs_err_e6").cast("double") / 1000000.0).alias(
             "max_abs_err"
         ),
         F.sum(
@@ -451,8 +452,8 @@ def corpus_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.lang, c.p05, c.p95,
                CAST(count(*) AS BIGINT) AS n_docs,
-               round(CAST(sum(least(greatest(d.n_chars, c.p05), c.p95))
-                          AS DOUBLE) / count(*), 4) AS avg_winsorized
+               CAST(sum(least(greatest(d.n_chars, c.p05), c.p95))
+                    AS DOUBLE) / count(*) AS avg_winsorized
         FROM documents d
         JOIN clip c ON d.lang = c.lang
         GROUP BY d.lang, c.p05, c.p95
@@ -483,8 +484,9 @@ def text_winsorize_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "p05", "p95")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(
-                F.sum(clipped).cast("double") / F.count(F.lit(1)), 4
+            # Unrounded rational of exact ints (half-boundary trap).
+            (
+                F.sum(clipped).cast("double") / F.count(F.lit(1))
             ).alias("avg_winsorized"),
         )
         .orderBy("lang")

@@ -143,7 +143,7 @@ UNIGRAM_PAIRS_CTES = f"""
     "dedup_near_jaccard",
     oracle_sql=f"""
         WITH {UNIGRAM_PAIRS_CTES}
-        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        SELECT doc_lo, doc_hi, jac AS jaccard
         FROM uscored
         ORDER BY doc_lo, doc_hi
     """,
@@ -180,7 +180,7 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
     )
 
@@ -226,7 +226,7 @@ NGRAM_PAIRS_CTES = f"""
     "dedup_ngram_jaccard",
     oracle_sql=f"""
         WITH {NGRAM_PAIRS_CTES}
-        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        SELECT doc_lo, doc_hi, jac AS jaccard
         FROM scored
         ORDER BY doc_lo, doc_hi
     """,
@@ -274,7 +274,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= NGRAM_JACCARD)
-        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
     )
 
@@ -624,7 +624,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_prefix_filter_jaccard",
     oracle_sql=f"""
         WITH {UNIGRAM_PAIRS_CTES}
-        SELECT doc_lo, doc_hi, round(jac, 4) AS jaccard
+        SELECT doc_lo, doc_hi, jac AS jaccard
         FROM uscored
         ORDER BY doc_lo, doc_hi
     """,
@@ -700,6 +700,6 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
         .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+        .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
     )

@@ -168,7 +168,7 @@ def agg_stats_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             first_value(c_acctbal) OVER w AS lowest_bal,
             last_value(c_acctbal) OVER w AS highest_bal,
             nth_value(c_acctbal, 2) OVER w AS second_bal,
-            round(cume_dist() OVER wo, 4) AS cd
+            cume_dist() OVER wo AS cd
         FROM customer
         WINDOW
             w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey
@@ -190,7 +190,10 @@ def win_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("c_acctbal").over(w).alias("lowest_bal"),
         F.last("c_acctbal").over(w).alias("highest_bal"),
         F.nth_value("c_acctbal", 2).over(w).alias("second_bal"),
-        F.round(F.cume_dist().over(wo), 4).alias("cd"),
+        # cume_dist is a rational of exact counts: emit unrounded
+        # (identical doubles both engines; round() is the half-boundary
+        # trap, e.g. partitions of 32 rows land ON x.xxxx5).
+        F.cume_dist().over(wo).alias("cd"),
     )
 
 

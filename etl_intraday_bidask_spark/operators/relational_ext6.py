@@ -349,7 +349,7 @@ def q20_promotion_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1
         )
         SELECT l_returnflag, n_q,
-               round(CAST(s1 AS DOUBLE) / n_q, 4) AS mean_q,
+               CAST(s1 AS DOUBLE) / n_q AS mean_q,
                CASE WHEN CAST(s2 AS DOUBLE) / n_q
                          - pow(CAST(s1 AS DOUBLE) / n_q, 2) > 0
                     THEN round((CAST(s3 AS DOUBLE) / n_q
@@ -429,7 +429,10 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n_q",
-        F.round(m1, 4).alias("mean_q"),
+        # mean_q is a rational of exact ints: emit the unrounded IEEE
+        # division (bit-identical across engines); round() on rationals
+        # is the half-boundary trap (functions/parity.py).
+        m1.alias("mean_q"),
         F.round(skew, 4).alias("skew_q"),
         F.round(kurt, 4).alias("kurt_q"),
     ).orderBy("l_returnflag")

@@ -366,10 +366,10 @@ def win_rolling_corr_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM daily
         )
         SELECT CAST(d AS DATE) AS d,
-               round(CAST(sum_c AS DOUBLE) / n / 100.0, 4) AS avg_price,
-               round((CAST(sum_p AS DOUBLE) / n_p
-                      + CAST(sum_n AS DOUBLE) / n_n) / 2.0 / 100.0
-                     - CAST(sum_c AS DOUBLE) / n / 100.0, 4) AS depth
+               CAST(sum_c AS DOUBLE) / n / 100.0 AS avg_price,
+               (CAST(sum_p AS DOUBLE) / n_p
+                + CAST(sum_n AS DOUBLE) / n_n) / 2.0 / 100.0
+               - CAST(sum_c AS DOUBLE) / n / 100.0 AS depth
         FROM lagged
         WHERE sum_p IS NOT NULL AND sum_n IS NOT NULL
           AND sum_c * n_p < sum_p * n
@@ -426,8 +426,9 @@ def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             F.to_date("d").alias("d"),
-            F.round(avg_price, 4).alias("avg_price"),
-            F.round(depth, 4).alias("depth"),
+            # Unrounded rationals of exact cent ints (half-boundary trap).
+            avg_price.alias("avg_price"),
+            depth.alias("depth"),
         )
         .orderBy("d")
     )
@@ -446,8 +447,8 @@ def win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                CAST(count(*) AS BIGINT) AS n_gaps,
                CAST(max(gap_us) AS BIGINT) AS max_gap_us,
-               round(CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0,
-                     4) AS avg_gap_s
+               CAST(sum(gap_us) AS DOUBLE) / count(*) / 1000000.0
+                   AS avg_gap_s
         FROM q
         WHERE gap_us IS NOT NULL
         GROUP BY user_id
@@ -479,11 +480,12 @@ def bidask_quote_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_gaps"),
             F.max("gap_us").cast("long").alias("max_gap_us"),
-            F.round(
+            # Unrounded rational of exact microsecond ints
+            # (half-boundary trap).
+            (
                 F.sum("gap_us").cast("double")
                 / F.count(F.lit(1))
-                / 1000000.0,
-                4,
+                / 1000000.0
             ).alias("avg_gap_s"),
         )
         .orderBy("user_id")

@@ -124,7 +124,7 @@ def win_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                rank() OVER w AS rnk,
                dense_rank() OVER w AS drnk,
                ntile(4) OVER w AS quartile,
-               round(percent_rank() OVER w, 4) AS prank
+               percent_rank() OVER w AS prank
         FROM customer
         WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
         ORDER BY c_custkey
@@ -143,7 +143,8 @@ def win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.rank().over(w).alias("rnk"),
         F.dense_rank().over(w).alias("drnk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 4).alias("prank"),
+        # Unrounded rational (rank-1)/(n-1) — half-boundary trap.
+        F.percent_rank().over(w).alias("prank"),
     ).orderBy("c_custkey")
 
 
