@@ -393,3 +393,638 @@ def win_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "drawdown_cents"
         ),
     ).orderBy("day_us")
+
+
+@staged7(
+    "agg_corr_matrix_pairwise",
+    oracle_sql="""
+        WITH v AS (
+            SELECT CAST(l_quantity AS BIGINT) AS q,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+                   CAST(round(l_discount * 100) AS BIGINT) AS d
+            FROM lineitem
+        ), s AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(p) AS BIGINT) AS sp,
+                   CAST(sum(d) AS BIGINT) AS sd,
+                   CAST(sum(q * q) AS BIGINT) AS sqq,
+                   CAST(sum(p * p) AS HUGEINT) AS spp,
+                   CAST(sum(d * d) AS BIGINT) AS sdd,
+                   CAST(sum(q * p) AS BIGINT) AS sqp,
+                   CAST(sum(q * d) AS BIGINT) AS sqd,
+                   CAST(sum(p * d) AS HUGEINT) AS spd
+            FROM v
+        )
+        SELECT pair, round(num / sqrt(dxx) / sqrt(dyy), 6) AS corr
+        FROM (
+            SELECT 'price_discount' AS pair,
+                   CAST(CAST(n AS HUGEINT) * spd
+                        - CAST(sp AS HUGEINT) * sd AS DOUBLE) AS num,
+                   CAST(CAST(n AS HUGEINT) * spp
+                        - CAST(sp AS HUGEINT) * sp AS DOUBLE) AS dxx,
+                   CAST(CAST(n AS HUGEINT) * sdd
+                        - CAST(sd AS HUGEINT) * sd AS DOUBLE) AS dyy
+            FROM s
+            UNION ALL
+            SELECT 'qty_discount',
+                   CAST(CAST(n AS HUGEINT) * sqd
+                        - CAST(sq AS HUGEINT) * sd AS DOUBLE),
+                   CAST(CAST(n AS HUGEINT) * sqq
+                        - CAST(sq AS HUGEINT) * sq AS DOUBLE),
+                   CAST(CAST(n AS HUGEINT) * sdd
+                        - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+            FROM s
+            UNION ALL
+            SELECT 'qty_price',
+                   CAST(CAST(n AS HUGEINT) * sqp
+                        - CAST(sq AS HUGEINT) * sp AS DOUBLE),
+                   CAST(CAST(n AS HUGEINT) * sqq
+                        - CAST(sq AS HUGEINT) * sq AS DOUBLE),
+                   CAST(CAST(n AS HUGEINT) * spp
+                        - CAST(sp AS HUGEINT) * sp AS DOUBLE)
+            FROM s
+        )
+        ORDER BY pair
+    """,
+    description="Pairwise correlation matrix of three lineitem metrics "
+    "(quantity, price, discount) from ONE pass of exact power sums: "
+    "the nine sums reduce map-side (price-squared sums exceed int64 at "
+    "bench scale, so the cross-moment matrix builds in 128-bit "
+    "integers — DECIMAL(38,0) / HUGEINT, same discipline as the OLS "
+    "normal equations), and each correlation evaluates as one float "
+    "expression with two sqrts, rounded at 6dp per the irrational "
+    "policy. The feature-correlation screen every modeling pipeline "
+    "runs, computed without builtin corr() so partial aggregates merge "
+    "losslessly across 1000 executors (float Welford states don't). "
+    "Scale: one aggregate, nine int128 cells, three output rows.",
+)
+def agg_corr_matrix_pairwise(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    v = load(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("q"),
+        scaled_long("l_extendedprice", 100).alias("p"),
+        scaled_long("l_discount", 100).alias("d"),
+    )
+    dec = "decimal(38,0)"
+    s = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum("p").cast("long").alias("sp"),
+        F.sum("d").cast("long").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        F.sum(F.col("p").cast(dec) * F.col("p").cast(dec))
+        .cast(dec)
+        .alias("spp"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).cast("long").alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).cast("long").alias("sqd"),
+        F.sum(F.col("p").cast(dec) * F.col("d").cast(dec))
+        .cast(dec)
+        .alias("spd"),
+    )
+
+    def cell(pair, sxy, sx, sy, sxx, syy):
+        n = F.col("n").cast(dec)
+        num = (n * F.col(sxy).cast(dec) - F.col(sx).cast(dec) * F.col(sy).cast(dec)).cast("double")
+        dxx = (n * F.col(sxx).cast(dec) - F.col(sx).cast(dec) * F.col(sx).cast(dec)).cast("double")
+        dyy = (n * F.col(syy).cast(dec) - F.col(sy).cast(dec) * F.col(sy).cast(dec)).cast("double")
+        return s.select(
+            F.lit(pair).alias("pair"),
+            F.round(num / F.sqrt(dxx) / F.sqrt(dyy), 6).alias("corr"),
+        )
+
+    return (
+        cell("price_discount", "spd", "sp", "sd", "spp", "sdd")
+        .unionByName(cell("qty_discount", "sqd", "sq", "sd", "sqq", "sdd"))
+        .unionByName(cell("qty_price", "sqp", "sq", "sp", "sqq", "spp"))
+        .orderBy("pair")
+    )
+
+
+@staged7(
+    "bidask_kyle_lambda_daily",
+    oracle_sql="""
+        WITH px AS (
+            SELECT date_trunc('day', ts) AS day_d,
+                   CAST(round(value * 100) AS BIGINT) AS p, ts, event_id
+            FROM events WHERE event_type = 'purchase'
+        ), d1 AS (
+            SELECT day_d, p, ts, event_id,
+                   p - lag(p) OVER (
+                       PARTITION BY day_d ORDER BY ts, event_id
+                   ) AS dp
+            FROM px
+        ), flow AS (
+            SELECT day_d, dp,
+                   CASE WHEN dp > 0 THEN p
+                        WHEN dp < 0 THEN -p ELSE 0 END AS x
+            FROM d1 WHERE dp IS NOT NULL
+        ), s AS (
+            SELECT day_d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(dp) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x * dp) AS BIGINT) AS sxy
+            FROM flow GROUP BY day_d
+        )
+        SELECT CAST(epoch_us(day_d) AS BIGINT) AS day_us, n,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                   CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+               END AS kyle_lambda
+        FROM s
+        WHERE n >= 3
+        ORDER BY day_us
+    """,
+    description="Kyle (1985) lambda per day: the price-impact slope "
+    "from regressing tick-to-tick price changes on signed order flow "
+    "(tick-rule signed trade value — buys positive, sells negative, "
+    "zero-ticks zero). The single-factor exact-OLS pattern: all five "
+    "sums per day are exact int64 on the cent grid, the slope is the "
+    "unrounded ratio of two exact int64s (one IEEE division, "
+    "bit-identical across engines — rounding a rational is the "
+    "half-boundary trap), and the zero-variance day (no nonzero "
+    "flow) emits NULL on both engines. Scale: per-day partitions, "
+    "one lag + one aggregate each — embarrassingly parallel, "
+    "map-side combinable.",
+)
+def bidask_kyle_lambda_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    px = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").alias("day_d"),
+            scaled_long("value", 100).alias("p"),
+            "ts",
+            "event_id",
+        )
+    )
+    w = Window.partitionBy("day_d").orderBy("ts", "event_id")
+    d1 = px.select(
+        "day_d", "p", (F.col("p") - F.lag("p").over(w)).alias("dp")
+    )
+    flow = d1.where(F.col("dp").isNotNull()).select(
+        "day_d",
+        "dp",
+        F.when(F.col("dp") > 0, F.col("p"))
+        .when(F.col("dp") < 0, -F.col("p"))
+        .otherwise(F.lit(0))
+        .alias("x"),
+    )
+    s = flow.groupBy("day_d").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("dp").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("dp")).cast("long").alias("sxy"),
+    )
+    var = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        s.where(F.col("n") >= 3)
+        .select(
+            F.unix_micros("day_d").alias("day_us"),
+            "n",
+            F.when(
+                var > 0,
+                (
+                    F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / var.cast("double"),
+            ).alias("kyle_lambda"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged7(
+    "graph_kcore_peel",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), deg0 AS (
+            SELECT x, count(*) AS deg FROM (
+                SELECT u AS x FROM edges
+                UNION ALL SELECT v FROM edges
+            ) GROUP BY x
+        ), keep1 AS (SELECT x FROM deg0 WHERE deg >= 2),
+        e1 AS (
+            SELECT u, v FROM edges
+            WHERE u IN (SELECT x FROM keep1)
+              AND v IN (SELECT x FROM keep1)
+        ), deg1 AS (
+            SELECT x, count(*) AS deg FROM (
+                SELECT u AS x FROM e1 UNION ALL SELECT v FROM e1
+            ) GROUP BY x
+        ), keep2 AS (SELECT x FROM deg1 WHERE deg >= 2),
+        e2 AS (
+            SELECT u, v FROM e1
+            WHERE u IN (SELECT x FROM keep2)
+              AND v IN (SELECT x FROM keep2)
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS peel,
+                   (SELECT CAST(count(*) AS BIGINT) FROM deg0) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM edges) AS n_edges
+            UNION ALL
+            SELECT 1, (SELECT count(*) FROM keep1),
+                      (SELECT count(*) FROM e1)
+            UNION ALL
+            SELECT 2, (SELECT count(*) FROM keep2),
+                      (SELECT count(*) FROM e2)
+        )
+        ORDER BY peel
+    """,
+    description="2-core peeling (two bounded rounds): the hourly "
+    "co-purchase graph loses degree<2 nodes, the induced subgraph "
+    "recomputes degrees, and peels once more — each round's "
+    "node/edge census is the graded output. K-core is the standard "
+    "dense-community preprocessor (spam rings, bot cliques) and the "
+    "canonical iterate-to-fixpoint algorithm; like the repo's "
+    "connected-components and power-iteration ops, the iteration "
+    "count is FIXED and documented (2 peels — the census after each "
+    "is exact regardless of whether the fixpoint is reached), which "
+    "is what makes the op deterministic and oracle-checkable. Scale: "
+    "each peel is a degree aggregate + two semi joins on the edge "
+    "key — all shuffle-partitioned by vertex, no driver iteration "
+    "state beyond the loop counter.",
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+
+    def census(e, peel):
+        deg = (
+            e.select(F.col("u").alias("x"))
+            .unionByName(e.select(F.col("v").alias("x")))
+            .groupBy("x")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        row = nodes.crossJoin(F.broadcast(n_e)).select(
+            F.lit(peel).cast("long").alias("peel"), "n_nodes", "n_edges"
+        )
+        keep = deg.where(F.col("deg") >= 2).select("x")
+        e_next = e.join(
+            keep.withColumnRenamed("x", "u"), "u", "semi"
+        ).join(keep.withColumnRenamed("x", "v"), "v", "semi").select(
+            "u", "v"
+        )
+        return row, e_next
+
+    r0, e1 = census(edges, 0)
+    r1, e2 = census(e1, 1)
+    # peel-2 census counts the kept nodes and induced edges only
+    deg2 = (
+        e2.select(F.col("u").alias("x"))
+        .unionByName(e2.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    n2 = deg2.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ne2 = e2.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r2 = n2.crossJoin(F.broadcast(ne2)).select(
+        F.lit(2).cast("long").alias("peel"), "n_nodes", "n_edges"
+    )
+    return r0.unionByName(r1).unionByName(r2).orderBy("peel")
+
+
+@staged7(
+    "embed_hubness_reverse_knn",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), dots AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   sum(a.x * b.x) AS dot,
+                   sum(a.x * a.x) AS na2,
+                   sum(b.x * b.x) AS nb2
+            FROM exp a JOIN exp b
+              ON a.i = b.i AND a.label = b.label
+             AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2
+        ), ranked AS (
+            SELECT a_id, b_id,
+                   row_number() OVER (
+                       PARTITION BY a_id
+                       ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC, b_id
+                   ) AS rk
+            FROM dots
+        ), indeg AS (
+            SELECT e.vec_id,
+                   CAST(count(r.b_id) AS BIGINT) AS in_degree
+            FROM embeddings e
+            LEFT JOIN ranked r ON r.b_id = e.vec_id AND r.rk <= 3
+            GROUP BY e.vec_id
+        )
+        SELECT in_degree, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM indeg
+        GROUP BY in_degree
+        ORDER BY in_degree
+    """,
+    description="Hubness audit via reverse-kNN in-degree: every vector "
+    "takes its top-3 cosine neighbors within its label block "
+    "(tie-broken on neighbor id), and the histogram of how often each "
+    "vector is CHOSEN (including never — the left join keeps "
+    "0-in-degree antihubs) is the graded output. Skewed in-degree is "
+    "the classic high-dimensional pathology that silently corrupts "
+    "kNN-based dedup and retrieval — a few hub vectors absorb "
+    "everyone's neighbor lists — so this is the diagnostic to run "
+    "before trusting embedding dedup at corpus scale. Scale: the "
+    "pairwise stage is the label-blocked postings join the kNN "
+    "family already bounds (never all-pairs global); the rank window "
+    "partitions per vector; the in-degree aggregate reduces on "
+    "vec_id.",
+)
+def embed_hubness_reverse_knn(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double, cosine
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double("embedding").alias("v")
+    )
+    a = emb.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("v").alias("va"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        F.col("v").alias("vb"),
+    )
+    dots = a.join(
+        b,
+        (F.col("a_label") == F.col("b_label"))
+        & (F.col("a_id") != F.col("b_id")),
+    ).select("a_id", "b_id", cosine(F.col("va"), F.col("vb")).alias("sim"))
+    ranked = dots.select(
+        "a_id",
+        "b_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
+        )
+        .alias("rk"),
+    ).where(F.col("rk") <= 3)
+    indeg = (
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .join(ranked, F.col("vec_id") == F.col("b_id"), "left")
+        .groupBy("vec_id")
+        .agg(F.count("b_id").cast("long").alias("in_degree"))
+    )
+    return (
+        indeg.groupBy("in_degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("in_degree")
+    )
+
+
+@staged7(
+    "text_readability_score",
+    oracle_sql="""
+        WITH per_doc AS (
+            SELECT lang,
+                   len(string_split(text, ' ')) AS w,
+                   greatest(len(regexp_extract_all(text, '[.!?]')), 1)
+                       AS sents,
+                   len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+                       AS syl
+            FROM documents
+            WHERE len(text) > 0
+        ), scored AS (
+            SELECT lang, w,
+                   CAST(round((0.39 * w / sents
+                               + 11.8 * CAST(syl AS DOUBLE) / w
+                               - 15.59) * 1000000) AS BIGINT) AS fk_e6
+            FROM per_doc WHERE w > 0
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(fk_e6) AS DOUBLE) / count(*) / 1000000.0
+                   AS avg_fk_grade
+        FROM scored
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Flesch-Kincaid-style readability per language: words "
+    "from whitespace tokens, sentences from terminal punctuation "
+    "(floored at 1 — the fixture corpus is unpunctuated), syllables "
+    "proxied by vowel groups, combined by the standard FK grade "
+    "formula. Parity discipline for a float DERIVED PER ROW but "
+    "AGGREGATED across rows: the per-doc grade quantizes to an exact "
+    "1e-6-grid int64 (per-row IEEE chains are identical in both "
+    "engines, so the quantization is identical), the SUM is exact "
+    "integer — immune to float-summation order across 1000 "
+    "executors — and the final average is one unrounded division. "
+    "This is the quality-scoring shape (text_quality_score's cousin) "
+    "with a named formula. Scale: map-only row scoring + one "
+    "map-side-combinable aggregate per language.",
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").where(F.length("text") > 0)
+    w = F.size(F.split("text", " "))
+    sents = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]', 0)")), F.lit(1)
+    )
+    syl = F.size(F.expr("regexp_extract_all(text, '[aeiouyAEIOUY]+', 0)"))
+    per_doc = docs.select(
+        "lang", w.alias("w"), sents.alias("sents"), syl.alias("syl")
+    ).where(F.col("w") > 0)
+    fk = (
+        0.39 * F.col("w") / F.col("sents")
+        + 11.8 * F.col("syl").cast("double") / F.col("w")
+        - 15.59
+    )
+    scored = per_doc.select(
+        "lang", F.floor(fk * 1000000 + 0.5).cast("long").alias("fk_e6")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (
+                F.sum("fk_e6").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0
+            ).alias("avg_fk_grade"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged7(
+    "etl_compaction_plan",
+    oracle_sql="""
+        WITH files AS (
+            SELECT year(l_shipdate) AS part_year,
+                   l_suppkey % 20 AS file_id,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY part_year, file_id
+        ), packed AS (
+            SELECT part_year, file_id, n_rows,
+                   coalesce(sum(n_rows) OVER (
+                       PARTITION BY part_year ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) // 30000 AS target_file
+            FROM files
+        )
+        SELECT CAST(part_year AS BIGINT) AS part_year,
+               CAST(target_file AS BIGINT) AS target_file,
+               CAST(count(*) AS BIGINT) AS n_source_files,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               CAST(min(file_id) AS BIGINT) AS first_file,
+               CAST(max(file_id) AS BIGINT) AS last_file
+        FROM packed
+        GROUP BY part_year, target_file
+        ORDER BY part_year, target_file
+    """,
+    description="Small-file compaction planner: per partition (ship "
+    "year), source files (synthesized as suppkey-bucket row groups) "
+    "pack into ~30k-row target files by deterministic cumulative-size "
+    "division — the bin-packing manifest a lakehouse maintenance job "
+    "(OPTIMIZE / rewriteDataFiles) executes, with contiguous "
+    "file-id ranges per target so rewrites stream sequentially. The "
+    "same pre-row prefix-sum shape as multimodal_shard_manifest and "
+    "pack_token_sequences, applied to the table-maintenance problem; "
+    "all values are exact int64. Scale: file metadata is orders of "
+    "magnitude smaller than data (one row per file), so the per-"
+    "partition prefix sums are trivially bounded; the plan never "
+    "touches the data files themselves.",
+)
+def etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.year("l_shipdate").alias("part_year"),
+            (F.col("l_suppkey") % 20).alias("file_id"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    w = (
+        Window.partitionBy("part_year")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = files.select(
+        "part_year",
+        "file_id",
+        "n_rows",
+        F.expr(
+            "coalesce(sum(n_rows) over (partition by part_year "
+            "order by file_id rows between unbounded preceding "
+            "and 1 preceding), 0) div 30000"
+        ).alias("target_file"),
+    )
+    return (
+        packed.groupBy(
+            F.col("part_year").cast("long").alias("part_year"),
+            F.col("target_file").cast("long").alias("target_file"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_source_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.min("file_id").cast("long").alias("first_file"),
+            F.max("file_id").cast("long").alias("last_file"),
+        )
+        .orderBy("part_year", "target_file")
+    )
+
+
+@staged7(
+    "sql_window_clause_shared",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER w AS rk,
+                   CAST(count(*) OVER (PARTITION BY l_suppkey) AS BIGINT)
+                       AS n_items,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        OVER (PARTITION BY l_suppkey) AS BIGINT)
+                       AS total_cents
+            FROM lineitem
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY CAST(round(l_extendedprice * 100)
+                                       AS BIGINT) DESC,
+                                  l_orderkey, l_linenumber)
+        )
+        SELECT l_suppkey,
+               CAST(cents AS DOUBLE) / 100.0 AS top_price,
+               n_items,
+               CAST(total_cents AS DOUBLE) / 100.0 AS supplier_revenue
+        FROM ranked WHERE rk = 1
+        ORDER BY l_suppkey
+    """,
+    description="Named WINDOW clause shared across functions (SQL "
+    "surface): a ranking and two unordered partition aggregates over "
+    "the same PARTITION BY key, expressed once and reused — the "
+    "SQL:2003 WINDOW clause Spark SQL supports verbatim, exercised "
+    "through spark.sql() rather than the DataFrame API so the parser "
+    "surface itself is graded. The plan property that matters at "
+    "scale: all three functions share one hash partition of the data "
+    "(Catalyst collapses same-spec windows into a single Window "
+    "node over a single Exchange), so adding metrics to a window "
+    "costs zero extra shuffles. Exact cents end to end; full "
+    "(cents, orderkey, linenumber) tie-break.",
+)
+def sql_window_clause_shared(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_wv"
+    )
+    return spark.sql(
+        """
+        WITH ranked AS (
+            SELECT l_suppkey,
+                   floor(l_extendedprice * 100 + 0.5) AS cents,
+                   row_number() OVER w AS rk,
+                   CAST(count(*) OVER (PARTITION BY l_suppkey) AS LONG)
+                       AS n_items,
+                   CAST(sum(floor(l_extendedprice * 100 + 0.5))
+                        OVER (PARTITION BY l_suppkey) AS LONG)
+                       AS total_cents
+            FROM lineitem_wv
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY floor(l_extendedprice * 100 + 0.5) DESC,
+                                  l_orderkey, l_linenumber)
+        )
+        SELECT l_suppkey,
+               CAST(cents AS DOUBLE) / 100.0 AS top_price,
+               n_items,
+               CAST(total_cents AS DOUBLE) / 100.0 AS supplier_revenue
+        FROM ranked WHERE rk = 1
+        ORDER BY l_suppkey
+        """
+    )
