@@ -19,6 +19,26 @@ z-scores): their boundary hits are measure-zero, and dyadic rationals —
 the only small-denominator values that land exactly on the grid — are
 binary-exact so both engines agree.
 
+**Rationals of exact integers must NOT be rounded either** (learned
+live in round 5: ``round(S1/n, 4)`` with the true value 47.75375 gave
+47.7538 on Spark and 47.7537 on DuckDB). A ratio like k/32 lands
+EXACTLY on the 4-dp half boundary whenever the reduced denominator
+divides 2*10^dp — reachable with realistic counts (windows of 24/32
+rows, 16/64-hash sketches, small partitions). The correct emission for
+``int_a / int_b`` is the UNROUNDED double: both engines perform the
+same single IEEE division on the same integers and produce the same
+bits, so no rounding decision is ever needed. The same holds for any
+longer float chain whose inputs are exact integers and whose operation
+sequence is textually congruent on both sides (OLS Cramer ratios,
+Bollinger band formulas). When a per-row float must be AGGREGATED
+across rows (summation order is not deterministic on a cluster),
+quantize the per-row value to an exact integer grid first
+(``floor(x*1e6 + 0.5)``), sum the integers exactly, and divide once —
+see text_readability_score for the pattern. A protective ``round()``
+stays ONLY where the value is produced by an order-sensitive float
+aggregate we deliberately exercise (builtin var_pop/corr, float sums),
+where it suppresses last-ulp noise.
+
 Each helper documents the DuckDB SQL it must be paired with; the pairing
 is what makes the hash match, so keep both sides textually in sync.
 """

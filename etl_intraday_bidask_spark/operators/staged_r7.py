@@ -416,7 +416,10 @@ def win_drawdown_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(p * d) AS HUGEINT) AS spd
             FROM v
         )
-        SELECT pair, round(num / sqrt(dxx) / sqrt(dyy), 6) AS corr
+        SELECT pair,
+               CASE WHEN dxx > 0 AND dyy > 0
+                    THEN round(num / sqrt(dxx) / sqrt(dyy), 6)
+               END AS corr
         FROM (
             SELECT 'price_discount' AS pair,
                    CAST(CAST(n AS HUGEINT) * spd
@@ -490,9 +493,14 @@ def agg_corr_matrix_pairwise(
         num = (n * F.col(sxy).cast(dec) - F.col(sx).cast(dec) * F.col(sy).cast(dec)).cast("double")
         dxx = (n * F.col(sxx).cast(dec) - F.col(sx).cast(dec) * F.col(sx).cast(dec)).cast("double")
         dyy = (n * F.col(syy).cast(dec) - F.col(sy).cast(dec) * F.col(sy).cast(dec)).cast("double")
+        # Zero-variance guard (constant column => dxx == 0): NULL on
+        # both engines instead of an engine-dependent inf/NaN.
         return s.select(
             F.lit(pair).alias("pair"),
-            F.round(num / F.sqrt(dxx) / F.sqrt(dyy), 6).alias("corr"),
+            F.when(
+                (dxx > 0) & (dyy > 0),
+                F.round(num / F.sqrt(dxx) / F.sqrt(dyy), 6),
+            ).alias("corr"),
         )
 
     return (

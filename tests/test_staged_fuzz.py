@@ -16,6 +16,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
+from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+
+# Merge wave C into the fuzz-drivable spec pool (separate dicts by
+# design; see staged_r7.py).
+_ALL_STAGED = {**STAGED, **STAGED_R7}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,
@@ -31,6 +36,10 @@ EVENT_STAGED = [
     "events_seasonality_profile",
     "bidask_roll_spread",
     "agg_heavy_hitters_cms",
+    "bidask_kyle_lambda_daily",
+    "graph_kcore_peel",
+    "win_bollinger_bands",
+    "win_drawdown_duration",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -55,6 +64,8 @@ DOC_STAGED = [
     "dedup_cross_source_exact",
     "sample_importance_reweight",
     "multimodal_shard_manifest",
+    "sample_largest_remainder_alloc",
+    "text_readability_score",
 ]
 
 ORDER_STAGED = [
@@ -70,6 +81,7 @@ ORDER_STAGED = [
     "agg_concurrent_intervals",
     "agg_histogram_equi_depth",
     "join_bitemporal_pit",
+    "dq_benford_first_digit",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
@@ -77,6 +89,10 @@ ORDER_STAGED = [
 # det==0 guard this list exists to exercise.
 LINEITEM_STAGED = [
     "agg_ols_normal_equations",
+    "agg_corr_matrix_pairwise",
+    "join_exists_flag_mark",
+    "etl_compaction_plan",
+    "sql_window_clause_shared",
 ]
 
 
@@ -93,7 +109,7 @@ def _assert_staged_parity(spark, variant: str, ops: list[str]) -> None:
         )
     try:
         for op in ops:
-            spec = STAGED[op]
+            spec = _ALL_STAGED[op]
             df = spec.spark_fn(spark, variant)
             s_rows, s_cols = df.collect(), df.columns
             rel = con.sql(spec.oracle_sql)
