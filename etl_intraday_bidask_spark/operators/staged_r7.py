@@ -1036,3 +1036,663 @@ def sql_window_clause_shared(
         ORDER BY l_suppkey
         """
     )
+
+
+@staged7(
+    "dq_duplicate_payment_detect",
+    oracle_sql="""
+        WITH o AS (
+            SELECT o_orderkey, o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   o_orderdate
+            FROM orders
+        ), pairs AS (
+            SELECT a.o_custkey,
+                   a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+                   a.cents,
+                   CAST(datediff('day', a.o_orderdate, b.o_orderdate)
+                        AS BIGINT) AS gap_days
+            FROM o a JOIN o b
+              ON a.o_custkey = b.o_custkey
+             AND a.cents = b.cents
+             AND a.o_orderkey < b.o_orderkey
+             AND b.o_orderdate >= a.o_orderdate
+             AND b.o_orderdate <= a.o_orderdate + INTERVAL 7 DAY
+        )
+        SELECT o_custkey, key_a, key_b,
+               CAST(cents AS DOUBLE) / 100.0 AS amount, gap_days
+        FROM pairs
+        ORDER BY o_custkey, key_a, key_b
+    """,
+    description="Duplicate-payment detection: order pairs from the "
+    "same customer with the IDENTICAL exact-cent amount within 7 days "
+    "— the accounts-payable audit every finance DQ suite runs "
+    "(double-submitted invoices, retried payments). The join is equi "
+    "on (custkey, cents) — the amount match IS the blocking key, so "
+    "the pair space is bounded by per-(customer, amount) duplication, "
+    "never all-pairs — with the 7-day window as a post-join band "
+    "predicate and a < key tie-break to emit each pair once. At "
+    "100 TB the equi keys shuffle-partition; skewed amounts (e.g. "
+    "round subscription prices) are the known hazard and AQE "
+    "skew-split or salting applies unchanged.",
+)
+def dq_duplicate_payment_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        scaled_long("o_totalprice", 100).alias("cents"),
+        "o_orderdate",
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.o_custkey") == F.col("b.o_custkey"))
+        & (F.col("a.cents") == F.col("b.cents"))
+        & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+        & (F.col("b.o_orderdate") >= F.col("a.o_orderdate"))
+        & (
+            F.col("b.o_orderdate")
+            <= F.col("a.o_orderdate") + F.expr("INTERVAL 7 DAY")
+        ),
+    )
+    return pairs.select(
+        F.col("a.o_custkey").alias("o_custkey"),
+        F.col("a.o_orderkey").alias("key_a"),
+        F.col("b.o_orderkey").alias("key_b"),
+        (F.col("a.cents").cast("double") / 100.0).alias("amount"),
+        F.datediff(F.col("b.o_orderdate"), F.col("a.o_orderdate"))
+        .cast("long")
+        .alias("gap_days"),
+    ).orderBy("o_custkey", "key_a", "key_b")
+
+
+@staged7(
+    "cep_top_paths",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT user_id, date_trunc('day', ts) AS d,
+                   string_agg(substr(event_type, 1, 1), '>'
+                              ORDER BY ts, event_id) AS path
+            FROM events
+            GROUP BY user_id, d
+        ), capped AS (
+            SELECT CASE WHEN len(path) > 15
+                        THEN substr(path, 1, 15) ELSE path END AS path8
+            FROM seq
+        )
+        SELECT path8 AS path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM capped
+        GROUP BY path8
+        ORDER BY n_sessions DESC, path
+        LIMIT 10
+    """,
+    description="Top user paths: each user-day's event sequence "
+    "collapses to an ordered initial-letter path string (capped at 8 "
+    "events = 15 chars, so a pathological mega-session cannot blow "
+    "up a row), and the 10 most common paths are the graded output — "
+    "the journey-analysis view (v>v>c>p...) product teams read "
+    "alongside the funnel and transition-matrix ops. Ordering inside "
+    "the path carries the full (ts, event_id) tie-break; both "
+    "engines build the string with an ORDER BY inside the aggregate "
+    "(collect_list + array_sort on Spark via the established "
+    "cep_funnel_pattern machinery). Scale: per-(user, day) "
+    "aggregation — map-side combinable after one shuffle on a high-"
+    "cardinality composite key; the top-10 collapses via "
+    "TakeOrderedAndProject.",
+)
+def cep_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seq = (
+        load(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("d"),
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.substring("event_type", 1, 1).alias("c"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(F.collect_list("ev")), lambda e: e["c"]
+                ),
+            ).alias("path")
+        )
+    )
+    capped = seq.select(
+        F.when(
+            F.length("path") > 15, F.substring("path", 1, 15)
+        )
+        .otherwise(F.col("path"))
+        .alias("path")
+    )
+    return (
+        capped.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(10)
+    )
+
+
+@staged7(
+    "orders_sla_breach_by_priority",
+    oracle_sql="""
+        WITH latency AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   CAST(datediff('day', o.o_orderdate, min(l.l_shipdate))
+                        AS BIGINT) AS days_to_first_ship
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        ), judged AS (
+            SELECT o_orderpriority, days_to_first_ship,
+                   CASE o_orderpriority
+                        WHEN '1-URGENT' THEN 30
+                        WHEN '2-HIGH' THEN 60
+                        ELSE 90 END AS sla_days
+            FROM latency
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(count(*) FILTER (WHERE days_to_first_ship > sla_days)
+                    AS BIGINT) AS n_breached,
+               CAST(count(*) FILTER (WHERE days_to_first_ship > sla_days)
+                    * 10000 // count(*) AS BIGINT) AS breach_floor_bp,
+               CAST(max(days_to_first_ship) AS BIGINT) AS worst_days
+        FROM judged
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="SLA breach report: order-to-first-shipment latency "
+    "judged against a priority-dependent SLA (urgent 30d / high 60d / "
+    "rest 90d), with breach rates in floor basis points — exact "
+    "integer division, no float rate is ever rounded. The "
+    "operations-dashboard shape: min-aggregate per order (map-side "
+    "combinable on the co-partitioned orderkey join), a CASE-mapped "
+    "threshold, and a tiny priority rollup. All values int64.",
+)
+def orders_sla_breach_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    latency = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.min("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_to_first_ship")
+        )
+    )
+    sla = (
+        F.when(F.col("o_orderpriority") == "1-URGENT", 30)
+        .when(F.col("o_orderpriority") == "2-HIGH", 60)
+        .otherwise(90)
+    )
+    judged = latency.select(
+        "o_orderpriority",
+        "days_to_first_ship",
+        sla.alias("sla_days"),
+    )
+    breached = F.sum(
+        F.when(
+            F.col("days_to_first_ship") > F.col("sla_days"), 1
+        ).otherwise(0)
+    )
+    return (
+        judged.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            breached.cast("long").alias("n_breached"),
+            F.expr(
+                "sum(case when days_to_first_ship > sla_days then 1 "
+                "else 0 end) * 10000 div count(*)"
+            )
+            .cast("long")
+            .alias("breach_floor_bp"),
+            F.max("days_to_first_ship").cast("long").alias("worst_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@staged7(
+    "bidask_bar_resample_check",
+    oracle_sql="""
+        WITH raw AS (
+            SELECT ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS p
+            FROM events WHERE event_type = 'purchase'
+        ), ticks AS (
+            -- pre-dedup to one tick per instant (max-event_id wins), the
+            -- as-of family's duplicate-timestamp armor: makes ts a valid
+            -- scalar arg_min/arg_max order key on both engines
+            SELECT ts, arg_max(p, event_id) AS p,
+                   count(*) AS n_raw
+            FROM raw GROUP BY ts
+        ), direct AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   arg_min(p, ts) AS o,
+                   max(p) AS hi, min(p) AS lo,
+                   arg_max(p, ts) AS c,
+                   sum(p) AS vol, sum(n_raw) AS n
+            FROM ticks GROUP BY h
+        ), five AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   epoch(ts)::BIGINT // 300 * 300 AS b5,
+                   arg_min(p, ts) AS o,
+                   max(p) AS hi, min(p) AS lo,
+                   arg_max(p, ts) AS c,
+                   sum(p) AS vol, sum(n_raw) AS n
+            FROM ticks GROUP BY h, b5
+        ), rolled AS (
+            SELECT h,
+                   arg_min(o, b5) AS o, max(hi) AS hi, min(lo) AS lo,
+                   arg_max(c, b5) AS c, sum(vol) AS vol, sum(n) AS n
+            FROM five GROUP BY h
+        )
+        SELECT CAST(epoch_us(d.h) AS BIGINT) AS bucket_us,
+               CAST(d.o AS BIGINT) AS open_c,
+               CAST(d.hi AS BIGINT) AS high_c,
+               CAST(d.lo AS BIGINT) AS low_c,
+               CAST(d.c AS BIGINT) AS close_c,
+               CAST(d.n AS BIGINT) AS n_ticks,
+               CAST(d.o = r.o AND d.hi = r.hi AND d.lo = r.lo
+                    AND d.c = r.c AND d.vol = r.vol AND d.n = r.n
+                    AS BIGINT) AS resample_consistent
+        FROM direct d JOIN rolled r ON d.h = r.h
+        ORDER BY bucket_us
+    """,
+    description="Bar-resample associativity check: hourly OHLCV bars "
+    "computed DIRECTLY from ticks and computed by ROLLING UP 5-minute "
+    "bars must be identical — open = open of first sub-bar, close = "
+    "close of last, high/low/volume merge as max/min/sum. The "
+    "resample_consistent flag is graded per hour (the oracle computes "
+    "both paths too, so a broken merge rule — e.g. taking min(open) "
+    "instead of first-sub-bar open — fails the hash). This identity "
+    "is precisely what makes OHLC a mergeable aggregate: at 100 TB, "
+    "partial bars build map-side per partition and merge "
+    "hierarchically (partition -> node -> cluster) with no tick ever "
+    "crossing the network twice; ties break on (ts, event_id) "
+    "everywhere. All values exact integer cents.",
+)
+def bidask_bar_resample_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    raw = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "ts", "event_id", scaled_long("value", 100).alias("p")
+        )
+    )
+    # Pre-dedup to one tick per instant (max-event_id wins) so ts is a
+    # total scalar order key — the as-of family's duplicate-timestamp
+    # armor, mirrored in the oracle.
+    ticks = raw.groupBy("ts").agg(
+        F.max_by("p", "event_id").alias("p"),
+        F.count(F.lit(1)).alias("n_raw"),
+    )
+    ous = F.unix_micros("ts")
+    direct = ticks.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        F.min_by("p", ous).alias("o"),
+        F.max("p").alias("hi"),
+        F.min("p").alias("lo"),
+        F.max_by("p", ous).alias("c"),
+        F.sum("p").alias("vol"),
+        F.sum("n_raw").alias("n"),
+    )
+    five = ticks.groupBy(
+        F.date_trunc("hour", "ts").alias("h"),
+        (F.floor(F.unix_seconds("ts") / 300) * 300)
+        .cast("long")
+        .alias("b5"),
+    ).agg(
+        F.min_by("p", ous).alias("o"),
+        F.max("p").alias("hi"),
+        F.min("p").alias("lo"),
+        F.max_by("p", ous).alias("c"),
+        F.sum("p").alias("vol"),
+        F.sum("n_raw").alias("n"),
+    )
+    rolled = five.groupBy("h").agg(
+        F.min_by("o", "b5").alias("o"),
+        F.max("hi").alias("hi"),
+        F.min("lo").alias("lo"),
+        F.max_by("c", "b5").alias("c"),
+        F.sum("vol").alias("vol"),
+        F.sum("n").alias("n"),
+    )
+    d = direct.alias("d")
+    r = rolled.alias("r")
+    consistent = (
+        (F.col("d.o") == F.col("r.o"))
+        & (F.col("d.hi") == F.col("r.hi"))
+        & (F.col("d.lo") == F.col("r.lo"))
+        & (F.col("d.c") == F.col("r.c"))
+        & (F.col("d.vol") == F.col("r.vol"))
+        & (F.col("d.n") == F.col("r.n"))
+    )
+    return (
+        d.join(r, F.col("d.h") == F.col("r.h"))
+        .select(
+            F.unix_micros("d.h").alias("bucket_us"),
+            F.col("d.o").cast("long").alias("open_c"),
+            F.col("d.hi").cast("long").alias("high_c"),
+            F.col("d.lo").cast("long").alias("low_c"),
+            F.col("d.c").cast("long").alias("close_c"),
+            F.col("d.n").cast("long").alias("n_ticks"),
+            consistent.cast("long").alias("resample_consistent"),
+        )
+        .orderBy("bucket_us")
+    )
+
+
+@staged7(
+    "parts_abc_xyz_matrix",
+    oracle_sql="""
+        WITH part_month AS (
+            SELECT l_partkey, date_trunc('month', l_shipdate) AS m,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY l_partkey, m
+        ), part_stats AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_m,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM part_month GROUP BY l_partkey
+        ), part_value AS (
+            SELECT l_partkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev
+            FROM lineitem GROUP BY l_partkey
+        ), ranked AS (
+            SELECT v.l_partkey, v.rev, s.n_m, s.sq, s.sqq,
+                   coalesce(sum(v.rev) OVER (
+                       ORDER BY v.rev DESC, v.l_partkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_before,
+                   sum(v.rev) OVER () AS total
+            FROM part_value v JOIN part_stats s
+              ON v.l_partkey = s.l_partkey
+        ), classed AS (
+            SELECT CASE WHEN cum_before * 5 < total * 4 THEN 'A'
+                        WHEN cum_before * 20 < total * 19 THEN 'B'
+                        ELSE 'C' END AS abc,
+                   CASE WHEN n_m * sqq - sq * sq <= 0 THEN 'X'
+                        WHEN 4 * n_m * (n_m * sqq - sq * sq) <= sq * sq
+                             THEN 'X'
+                        WHEN n_m * (n_m * sqq - sq * sq) <= sq * sq
+                             THEN 'Y'
+                        ELSE 'Z' END AS xyz,
+                   rev
+            FROM ranked
+        )
+        SELECT abc, xyz,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(rev) AS DOUBLE) / 100.0 AS class_revenue
+        FROM classed
+        GROUP BY abc, xyz
+        ORDER BY abc, xyz
+    """,
+    description="ABC-XYZ inventory matrix: parts classed by revenue "
+    "concentration (A = top 80% of cumulative revenue, B = next 15%, "
+    "C = tail — the same exact-integer cum*5<total*4 thresholds as "
+    "agg_pareto_cumshare) crossed with demand variability from "
+    "monthly quantities (X/Y/Z by coefficient of variation — but the "
+    "CV thresholds cv<=0.5 and cv<=1 are evaluated as EXACT integer "
+    "inequalities on the power sums: cv^2 = n*var/mean^2 <= 1/4 "
+    "rearranges to 4*n*(n*sqq-sq^2) <= sq^2, so no float is ever "
+    "compared). The supply-chain segmentation classic, graded with "
+    "zero float decisions. Scale: two part-grain aggregates + one "
+    "global revenue-rank window over the part grain (bounded, "
+    "dimension-sized), all map-side combinable.",
+)
+def parts_abc_xyz_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part_month = li.groupBy(
+        "l_partkey", F.date_trunc("month", "l_shipdate").alias("m")
+    ).agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    part_stats = part_month.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_m"),
+        F.sum("q").cast("long").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+    )
+    part_value = li.groupBy("l_partkey").agg(
+        F.sum(scaled_long("l_extendedprice", 100)).alias("rev")
+    )
+    w_run = Window.orderBy(F.desc("rev"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_tot = Window.partitionBy()
+    ranked = part_value.join(part_stats, "l_partkey").select(
+        "l_partkey",
+        "rev",
+        "n_m",
+        "sq",
+        "sqq",
+        F.coalesce(F.sum("rev").over(w_run), F.lit(0)).alias(
+            "cum_before"
+        ),
+        F.sum("rev").over(w_tot).alias("total"),
+    )
+    var_n2 = F.col("n_m") * F.col("sqq") - F.col("sq") * F.col("sq")
+    abc = (
+        F.when(F.col("cum_before") * 5 < F.col("total") * 4, "A")
+        .when(F.col("cum_before") * 20 < F.col("total") * 19, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(var_n2 <= 0, "X")
+        .when(
+            4 * F.col("n_m") * var_n2 <= F.col("sq") * F.col("sq"), "X"
+        )
+        .when(F.col("n_m") * var_n2 <= F.col("sq") * F.col("sq"), "Y")
+        .otherwise("Z")
+    )
+    return (
+        ranked.select(abc.alias("abc"), xyz.alias("xyz"), "rev")
+        .groupBy("abc", "xyz")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            (F.sum("rev").cast("double") / 100.0).alias("class_revenue"),
+        )
+        .orderBy("abc", "xyz")
+    )
+
+
+@staged7(
+    "graph_link_prediction_jaccard",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), adj AS (
+            SELECT u AS x, v AS nbr FROM edges
+            UNION ALL SELECT v, u FROM edges
+        ), deg AS (
+            SELECT x, count(*) AS d FROM adj GROUP BY x
+        ), common AS (
+            SELECT a.x AS u, b.x AS v, count(*) AS cn
+            FROM adj a JOIN adj b
+              ON a.nbr = b.nbr AND a.x < b.x
+            GROUP BY a.x, b.x
+        ), cand AS (
+            SELECT c.u, c.v, c.cn, da.d AS du, db.d AS dv
+            FROM common c
+            JOIN deg da ON c.u = da.x
+            JOIN deg db ON c.v = db.x
+            LEFT JOIN edges e ON c.u = e.u AND c.v = e.v
+            WHERE e.u IS NULL
+        )
+        SELECT u, v, CAST(cn AS BIGINT) AS common_neighbors,
+               CAST(cn AS DOUBLE) / (du + dv - cn) AS jaccard_score
+        FROM cand
+        ORDER BY common_neighbors DESC, jaccard_score DESC, u, v
+        LIMIT 20
+    """,
+    description="Link prediction by neighbor-set Jaccard: for every "
+    "NON-adjacent user pair sharing at least one co-purchase "
+    "neighbor, score |N(u) n N(v)| / |N(u) u N(v)| and emit the 20 "
+    "strongest predicted links — the classic common-neighbors "
+    "recommender baseline, and structurally the graph twin of the "
+    "token-postings Jaccard dedup family (the shared-neighbor join "
+    "IS a postings self-join on the adjacency list, so the same "
+    "df-squared work bound applies; hub vertices are the skew "
+    "hazard, handled the same way as hot tokens). The anti-join "
+    "removes existing edges — predictions must be NEW links. "
+    "jaccard_score is an unrounded rational of exact counts; "
+    "deterministic (score, u, v) tie-break on the top-20.",
+)
+def graph_link_prediction_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    adj = edges.select(F.col("u").alias("x"), F.col("v").alias("nbr")).unionByName(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("d"))
+    pa, pb = adj.alias("pa"), adj.alias("pb")
+    common = (
+        pa.join(
+            pb,
+            (F.col("pa.nbr") == F.col("pb.nbr"))
+            & (F.col("pa.x") < F.col("pb.x")),
+        )
+        .groupBy(F.col("pa.x").alias("u"), F.col("pb.x").alias("v"))
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    da = deg.select(F.col("x").alias("u"), F.col("d").alias("du"))
+    db = deg.select(F.col("x").alias("v"), F.col("d").alias("dv"))
+    cand = (
+        common.join(da, "u")
+        .join(db, "v")
+        .join(edges, ["u", "v"], "anti")
+    )
+    return (
+        cand.select(
+            "u",
+            "v",
+            F.col("cn").cast("long").alias("common_neighbors"),
+            (
+                F.col("cn").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("cn"))
+            ).alias("jaccard_score"),
+        )
+        .orderBy(
+            F.desc("common_neighbors"), F.desc("jaccard_score"), "u", "v"
+        )
+        .limit(20)
+    )
+
+
+@staged7(
+    "sample_purged_time_folds",
+    oracle_sql="""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+        ), numbered AS (
+            SELECT d, row_number() OVER (ORDER BY d) - 1 AS i,
+                   count(*) OVER () AS nd
+            FROM days
+        ), folds AS (
+            SELECT d, i, nd,
+                   least(i * 5 // nd, 4) AS fold,
+                   CASE WHEN least(i * 5 // nd, 4)
+                             <> least((i + 1) * 5 // nd, 4)
+                          OR least(i * 5 // nd, 4)
+                             <> least((i - 1) * 5 // nd, 4)
+                        THEN 1 ELSE 0 END AS is_embargo
+            FROM numbered
+        ), tagged AS (
+            SELECT e.event_id, f.fold, f.is_embargo
+            FROM events e
+            JOIN folds f ON date_trunc('day', e.ts) = f.d
+        )
+        SELECT CAST(fold AS BIGINT) AS fold,
+               CAST(is_embargo AS BIGINT) AS is_embargo,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM tagged
+        GROUP BY fold, is_embargo
+        ORDER BY fold, is_embargo
+    """,
+    description="Purged time-series cross-validation folds (de Prado): "
+    "the day spine splits into 5 contiguous temporal folds by exact "
+    "integer division of the day index, and boundary days (adjacent "
+    "to a fold transition on either side) are flagged as embargo — "
+    "the rows a leakage-safe financial ML pipeline EXCLUDES from "
+    "training when the adjacent fold is the test set, because "
+    "overlapping-horizon labels straddle the boundary. Fold "
+    "assignment is a pure integer function of the day rank, so "
+    "membership is deterministic and mergeable; the grade counts "
+    "events per (fold, embargo) cell. Scale: the spine ranking "
+    "windows over the calendar grain; events join the tiny "
+    "broadcast spine on their day key — map-only.",
+)
+def sample_purged_time_folds(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    days = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+    )
+    numbered = days.select(
+        "d",
+        (F.row_number().over(Window.orderBy("d")) - 1).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    fold_of = lambda idx: F.least(  # noqa: E731
+        F.expr(f"{idx} * 5 div nd"), F.lit(4)
+    )
+    folds = numbered.select(
+        "d",
+        fold_of("i").alias("fold"),
+        F.when(
+            (fold_of("i") != fold_of("(i + 1)"))
+            | (fold_of("i") != fold_of("(i - 1)")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_embargo"),
+    )
+    tagged = (
+        load(spark, sf_dir, "events")
+        .select(F.date_trunc("day", "ts").alias("d"), "event_id")
+        .join(F.broadcast(folds), "d")
+    )
+    return (
+        tagged.groupBy(
+            F.col("fold").cast("long").alias("fold"),
+            F.col("is_embargo").cast("long").alias("is_embargo"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .orderBy("fold", "is_embargo")
+    )
