@@ -40,6 +40,10 @@ EVENT_STAGED = [
     "graph_kcore_peel",
     "win_bollinger_bands",
     "win_drawdown_duration",
+    "cep_top_paths",
+    "bidask_bar_resample_check",
+    "graph_link_prediction_jaccard",
+    "sample_purged_time_folds",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -82,6 +86,7 @@ ORDER_STAGED = [
     "agg_histogram_equi_depth",
     "join_bitemporal_pit",
     "dq_benford_first_digit",
+    "dq_duplicate_payment_detect",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
@@ -93,6 +98,8 @@ LINEITEM_STAGED = [
     "join_exists_flag_mark",
     "etl_compaction_plan",
     "sql_window_clause_shared",
+    "parts_abc_xyz_matrix",
+    "orders_sla_breach_by_priority",
 ]
 
 
