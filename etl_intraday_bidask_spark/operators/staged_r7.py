@@ -1696,3 +1696,563 @@ def sample_purged_time_folds(
         .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
         .orderBy("fold", "is_embargo")
     )
+
+
+@staged7(
+    "stream_topk_per_window",
+    oracle_sql="""
+        WITH m AS (
+            SELECT max(ts) AS mx FROM events
+        ), w AS (
+            SELECT date_trunc('hour', ts) AS ws, event_type,
+                   count(*) AS n
+            FROM events GROUP BY ws, event_type
+        ), closed AS (
+            SELECT ws, event_type, n FROM w, m
+            WHERE ws + INTERVAL 1 HOUR <= mx - INTERVAL 1 HOUR
+        ), ranked AS (
+            SELECT ws, event_type, n,
+                   row_number() OVER (
+                       PARTITION BY ws ORDER BY n DESC, event_type
+                   ) AS rk
+            FROM closed
+        )
+        SELECT CAST(epoch_us(ws) AS BIGINT) AS bucket_us,
+               event_type, CAST(n AS BIGINT) AS n,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 2
+        ORDER BY bucket_us, rk
+    """,
+    description="Streaming top-k per closed window: the append-mode "
+    "tumbling aggregate (1-hour watermark — windows emit exactly once "
+    "when the watermark closes them, state evicted) feeds a rank-"
+    "per-window top-2 on the emitted set. This is the production "
+    "'trending now' shape: the unbounded stateful part is the "
+    "windowed count (bounded state under the watermark), and the "
+    "rank runs on the CLOSED windows only — ranking an open window "
+    "would retract. Emitted set is deterministic on the availableNow "
+    "replay (watermark = max(ts) - 1h, same convention as "
+    "stream_tumbling_append_closed), so the oracle reconstructs it; "
+    "(n DESC, event_type) tie-break. Scale: rank partitions per "
+    "window key over a #event-types-bounded set.",
+)
+def stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.streaming.replay import (
+        _read_events_stream,
+        _run_to_memory,
+    )
+
+    ev = _read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_micros("w.start").alias("bucket_us"),
+            "event_type",
+            "n",
+        )
+    )
+    emitted = _run_to_memory(agg, "append")
+    ranked = emitted.select(
+        "bucket_us",
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.row_number()
+        .over(
+            Window.partitionBy("bucket_us").orderBy(
+                F.desc("n"), "event_type"
+            )
+        )
+        .cast("long")
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 2).orderBy("bucket_us", "rk")
+
+
+@staged7(
+    "etl_lineage_provenance_hash",
+    oracle_sql="""
+        WITH target AS (
+            SELECT o_orderkey,
+                   md5(o_orderkey || '|' || o_custkey || '|' ||
+                       CAST(round(o_totalprice * 100) AS BIGINT))
+                       AS prov,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        )
+        SELECT substr(prov, 1, 1) AS prov_bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS bucket_revenue,
+               CAST(count(DISTINCT prov) AS BIGINT) AS n_distinct_prov
+        FROM target
+        GROUP BY prov_bucket
+        ORDER BY prov_bucket
+    """,
+    description="Row-level lineage provenance: every derived row "
+    "carries md5 over its (key | source fields) — the audit tag that "
+    "lets a regulator or debugger trace any output row back to the "
+    "exact source tuple that produced it — and the grade rolls the "
+    "tags up by hash-prefix bucket (counts, revenue, distinct tags "
+    "per bucket: a tag collision or a dropped/duplicated row shifts "
+    "a bucket). The hash input is canonicalized through exact "
+    "integer cents — never a float repr, which differs between "
+    "engines. Scale: map-only tagging (md5 in codegen), one "
+    "16-bucket rollup; the provenance column itself would be "
+    "written alongside the data at ingest (parse-once discipline, "
+    "like etl_json_ingest_normalize).",
+)
+def etl_lineage_provenance_hash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    target = load(spark, sf_dir, "orders").select(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("o_orderkey"),
+                F.col("o_custkey"),
+                scaled_long("o_totalprice", 100),
+            )
+        ).alias("prov"),
+        scaled_long("o_totalprice", 100).alias("cents"),
+    )
+    return (
+        target.groupBy(F.substring("prov", 1, 1).alias("prov_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            (F.sum("cents").cast("double") / 100.0).alias(
+                "bucket_revenue"
+            ),
+            F.countDistinct("prov").cast("long").alias("n_distinct_prov"),
+        )
+        .orderBy("prov_bucket")
+    )
+
+
+@staged7(
+    "etl_merkle_reconcile",
+    oracle_sql="""
+        WITH replica AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 13 = 0
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT) + 1
+                        ELSE CAST(round(o_totalprice * 100) AS BIGINT)
+                   END AS cents
+            FROM orders
+        ), primary_b AS (
+            SELECT o_orderkey % 64 AS bucket,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                       o_orderkey || ':' ||
+                       CAST(round(o_totalprice * 100) AS BIGINT)),
+                       1, 12)) AS BIGINT)) AS BIGINT) AS digest,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY bucket
+        ), replica_b AS (
+            SELECT o_orderkey % 64 AS bucket,
+                   CAST(sum(CAST(('0x' || substr(md5(
+                       o_orderkey || ':' || cents),
+                       1, 12)) AS BIGINT)) AS BIGINT) AS digest,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM replica GROUP BY bucket
+        )
+        SELECT CAST(p.bucket AS BIGINT) AS bucket, p.n AS n_rows,
+               CAST(p.digest = r.digest AS BIGINT) AS consistent
+        FROM primary_b p JOIN replica_b r ON p.bucket = r.bucket
+        WHERE p.digest <> r.digest
+        ORDER BY bucket
+    """,
+    description="Merkle-style replica reconciliation: primary and a "
+    "drifted replica (every 13th key's amount off by one cent — the "
+    "deterministic fault injection) summarize each of 64 key-range "
+    "buckets as the SUM of per-row md5-derived digests, and only "
+    "buckets whose digests disagree are reported — the anti-entropy "
+    "pattern (DynamoDB/Cassandra repair, cross-region audit) that "
+    "finds row-level drift while exchanging only bucket digests. "
+    "Sum-of-hashes is ORDER-INDEPENDENT and mergeable (the whole "
+    "point: partial digests combine map-side, compare with O(buckets) "
+    "traffic, recurse only into dirty buckets at 100 TB). Digest "
+    "input canonicalizes through exact cents; emitted rows are the "
+    "dirty buckets with their row counts.",
+)
+def etl_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", scaled_long("o_totalprice", 100).alias("cents")
+    )
+    replica = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.col("cents") + 1
+        )
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+
+    def bucket_digest(df):
+        # 48-bit per-row digests: int64 sums stay exact to ~2^15 rows
+        # per bucket (documented bound; at larger bucket fills the sum
+        # moves to DECIMAL(38,0) unchanged).
+        row_h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_orderkey"), F.col("cents"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.groupBy((F.col("o_orderkey") % 64).alias("bucket")).agg(
+            F.sum(row_h).cast("long").alias("digest"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+
+    p = bucket_digest(orders).alias("p")
+    r = bucket_digest(replica).alias("r")
+    return (
+        p.join(r, F.col("p.bucket") == F.col("r.bucket"))
+        .where(F.col("p.digest") != F.col("r.digest"))
+        .select(
+            F.col("p.bucket").cast("long").alias("bucket"),
+            F.col("p.n").alias("n_rows"),
+            (F.col("p.digest") == F.col("r.digest"))
+            .cast("long")
+            .alias("consistent"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@staged7(
+    "subquery_correlated_scalar",
+    oracle_sql="""
+        SELECT o_orderkey, o_custkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+               CAST((SELECT sum(CAST(round(o2.o_totalprice * 100)
+                                     AS BIGINT))
+                     FROM orders o2
+                     WHERE o2.o_custkey = o.o_custkey) AS BIGINT)
+                   AS cust_lifetime_cents,
+               CAST(round(o_totalprice * 100) AS BIGINT) * 10000
+                   // (SELECT sum(CAST(round(o2.o_totalprice * 100)
+                                       AS BIGINT))
+                       FROM orders o2
+                       WHERE o2.o_custkey = o.o_custkey)
+                   AS share_floor_bp
+        FROM orders o
+        ORDER BY o_orderkey
+        LIMIT 100
+    """,
+    description="Correlated scalar subquery in the SELECT list: every "
+    "order is enriched with its customer's lifetime spend and its own "
+    "share of it (floor basis points — exact integer division) "
+    "WITHOUT filtering rows — the enrichment twin of "
+    "subquery_scalar_agg's predicate form. Spark expresses it as the "
+    "decorrelated plan directly (a window sum over the correlation "
+    "key — one shuffle, no per-row subquery execution), while the "
+    "oracle states the naive correlated form; the hash proves the "
+    "decorrelation is semantics-preserving, which is exactly what "
+    "Catalyst's RewriteCorrelatedScalarSubquery must guarantee at "
+    "scale. Deterministic first-100 by orderkey.",
+)
+def subquery_correlated_scalar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        scaled_long("o_totalprice", 100).alias("cents"),
+    )
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            "cents",
+            F.sum("cents").over(w).cast("long").alias(
+                "cust_lifetime_cents"
+            ),
+            F.expr(
+                "cents * 10000 div sum(cents) over "
+                "(partition by o_custkey)"
+            )
+            .cast("long")
+            .alias("share_floor_bp"),
+        )
+        .orderBy("o_orderkey")
+        .limit(100)
+    )
+
+
+@staged7(
+    "pivot_multi_metric",
+    oracle_sql="""
+        SELECT o_orderpriority,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'O')
+                    AS BIGINT) AS o_n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) / 100.0
+                   AS o_rev,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'F')
+                    AS BIGINT) AS f_n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 100.0
+                   AS f_rev,
+               CAST(count(*) FILTER (WHERE o_orderstatus = 'P')
+                    AS BIGINT) AS p_n,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) / 100.0
+                   AS p_rev
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Multi-metric pivot: priority x status matrix carrying "
+    "TWO aggregates per cell (count and exact revenue) — the pivot "
+    "shape that actually ships in dashboards, where Spark's "
+    "pivot(values).agg(m1, m2) emits column pairs per pivot value. "
+    "The explicit status list keeps the single-scan single-aggregate "
+    "plan (implicit pivot adds a distinct-values job — a full scan "
+    "at lake scale, same note as pivot_status_matrix); nulls from "
+    "empty cells are canonicalized to 0 counts on both engines. "
+    "Revenue stays exact integer cents until one final division per "
+    "cell.",
+)
+def pivot_multi_metric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pv = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(scaled_long("o_totalprice", 100)).alias("cents"),
+        )
+    )
+    cols = [F.col("o_orderpriority")]
+    for st in ("O", "F", "P"):
+        cols.append(
+            F.coalesce(F.col(f"{st}_n"), F.lit(0))
+            .cast("long")
+            .alias(f"{st.lower()}_n")
+        )
+        cols.append(
+            (F.col(f"{st}_cents").cast("double") / 100.0).alias(
+                f"{st.lower()}_rev"
+            )
+        )
+    return pv.select(*cols).orderBy("o_orderpriority")
+
+
+@staged7(
+    "bidask_quote_trade_ratio",
+    oracle_sql="""
+        WITH h AS (
+            SELECT date_trunc('hour', ts) AS hh,
+                   count(*) FILTER (WHERE event_type = 'view')
+                       AS n_quotes,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_trades
+            FROM events
+            WHERE event_type IN ('view', 'purchase')
+            GROUP BY hh
+        )
+        SELECT CAST(epoch_us(hh) AS BIGINT) AS bucket_us,
+               CAST(n_quotes AS BIGINT) AS n_quotes,
+               CAST(n_trades AS BIGINT) AS n_trades,
+               CAST(CASE WHEN n_trades > 0
+                         THEN n_quotes * 100 // n_trades END AS BIGINT)
+                   AS qt_ratio_pct,
+               CAST(CASE WHEN n_trades > 0
+                          AND n_quotes * 100 // n_trades > 1500
+                         THEN 1 ELSE 0 END AS BIGINT) AS excessive_flag
+        FROM h
+        ORDER BY bucket_us
+    """,
+    description="Quote-to-trade ratio surveillance: per hour, quote "
+    "updates (views as the quote proxy) per executed trade, in exact "
+    "floor percent (integer division — no float ratio is rounded), "
+    "with the excessive-messaging flag regulators actually monitor "
+    "(quote stuffing screens flag sustained ratios above ~15:1). "
+    "Trade-free hours emit NULL ratio and no flag on both engines. "
+    "Scale: one conditional aggregate onto the calendar hour grain, "
+    "map-side combinable; the filter pushes the two event types to "
+    "the scan.",
+)
+def bidask_quote_trade_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    h = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .groupBy(F.date_trunc("hour", "ts").alias("hh"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            ).alias("n_quotes"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("n_trades"),
+        )
+    )
+    ratio = F.expr(
+        "case when n_trades > 0 then n_quotes * 100 div n_trades end"
+    )
+    return h.select(
+        F.unix_micros("hh").alias("bucket_us"),
+        F.col("n_quotes").cast("long").alias("n_quotes"),
+        F.col("n_trades").cast("long").alias("n_trades"),
+        ratio.cast("long").alias("qt_ratio_pct"),
+        F.when((F.col("n_trades") > 0) & (ratio > 1500), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("excessive_flag"),
+    ).orderBy("bucket_us")
+
+
+@staged7(
+    "embed_drift_split_halves",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT label, vec_id % 2 AS half,
+                   generate_subscripts(embedding, 1) AS i,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                        AS BIGINT) AS x_e4
+            FROM embeddings
+        ), cent AS (
+            SELECT label, half, i,
+                   CAST(sum(x_e4) AS BIGINT) AS sx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM exp GROUP BY label, half, i
+        ), paired AS (
+            SELECT a.label, a.i,
+                   CAST(a.sx AS DOUBLE) / a.n
+                   - CAST(b.sx AS DOUBLE) / b.n AS dcomp
+            FROM cent a JOIN cent b
+              ON a.label = b.label AND a.i = b.i
+             AND a.half = 0 AND b.half = 1
+        )
+        SELECT label,
+               round(sqrt(sum(dcomp * dcomp)) / 10000.0, 6)
+                   AS centroid_drift
+        FROM paired
+        GROUP BY label
+        ORDER BY label
+    """,
+    description="Embedding distribution drift by split halves: each "
+    "label's vectors split deterministically (vec_id parity — the "
+    "stand-in for yesterday's batch vs today's), per-half centroids "
+    "build from exact 1e-4-grid integer component sums, and the "
+    "L2 distance between the halves' centroids is the drift score — "
+    "the monitoring metric that catches an embedding-model or "
+    "upstream-corpus change before it silently degrades every "
+    "downstream kNN/dedup consumer (healthy same-distribution halves "
+    "drift near 0). Per-component differences are identical-IEEE "
+    "divisions of exact ints; the final sqrt rounds at 6dp per the "
+    "irrational policy. The ORDER-SENSITIVE float sum over "
+    "components runs inside a per-(label) group of dim-bounded size "
+    "with a deterministic component key on both engines. Scale: one "
+    "|labels| x 2 x dim aggregate, map-side combinable — never "
+    "materializes pairs.",
+)
+def embed_drift_split_halves(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(as_double("embedding")).alias("i0", "xd"),
+        )
+        .select(
+            "label",
+            "half",
+            (F.col("i0") + 1).alias("i"),
+            F.floor(F.col("xd") * 10000 + 0.5).cast("long").alias("x_e4"),
+        )
+    )
+    cent = exp.groupBy("label", "half", "i").agg(
+        F.sum("x_e4").cast("long").alias("sx"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    a = cent.where(F.col("half") == 0).alias("a")
+    b = cent.where(F.col("half") == 1).alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label"))
+        & (F.col("a.i") == F.col("b.i")),
+    ).select(
+        F.col("a.label").alias("label"),
+        (
+            F.col("a.sx").cast("double") / F.col("a.n")
+            - F.col("b.sx").cast("double") / F.col("b.n")
+        ).alias("dcomp"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.round(
+                F.sqrt(F.sum(F.col("dcomp") * F.col("dcomp"))) / 10000.0,
+                6,
+            ).alias("centroid_drift")
+        )
+        .orderBy("label")
+    )
+
+
+@staged7(
+    "ts_seasonal_naive_residuals",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY h
+        ), resid AS (
+            SELECT h, n,
+                   n - lag(n, 168) OVER (ORDER BY h) AS r
+            FROM hourly
+        )
+        SELECT CAST(epoch_us(date_trunc('day', h)) AS BIGINT) AS day_us,
+               CAST(count(r) AS BIGINT) AS n_hours,
+               CAST(sum(abs(r)) AS BIGINT) AS sum_abs_resid,
+               CAST(max(abs(r)) AS BIGINT) AS max_abs_resid
+        FROM resid
+        WHERE r IS NOT NULL
+        GROUP BY day_us
+        ORDER BY day_us
+    """,
+    description="Seasonal-naive residuals: hourly traffic minus the "
+    "same hour one week earlier (lag 168 over the hour spine) — the "
+    "baseline every seasonality-aware anomaly detector is measured "
+    "against, and the residual the hour-of-week profile op predicts "
+    "should be small. Daily rollup of absolute residuals, all exact "
+    "int64 (counts and differences of counts). The lag runs over the "
+    "calendar-bounded hourly grain — the global window is bounded by "
+    "time, not data volume; at true scale it partitions by "
+    "(hour-of-week) into 168 independent series with lag 1, same "
+    "semantics, documented here as the migration.",
+)
+def ts_seasonal_naive_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    resid = hourly.select(
+        "h",
+        (F.col("n") - F.lag("n", 168).over(Window.orderBy("h"))).alias(
+            "r"
+        ),
+    ).where(F.col("r").isNotNull())
+    return (
+        resid.groupBy(
+            F.unix_micros(F.date_trunc("day", "h")).alias("day_us")
+        )
+        .agg(
+            F.count("r").cast("long").alias("n_hours"),
+            F.sum(F.abs("r")).cast("long").alias("sum_abs_resid"),
+            F.max(F.abs("r")).cast("long").alias("max_abs_resid"),
+        )
+        .orderBy("day_us")
+    )

@@ -44,6 +44,9 @@ EVENT_STAGED = [
     "bidask_bar_resample_check",
     "graph_link_prediction_jaccard",
     "sample_purged_time_folds",
+    "stream_topk_per_window",
+    "bidask_quote_trade_ratio",
+    "ts_seasonal_naive_residuals",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -87,6 +90,10 @@ ORDER_STAGED = [
     "join_bitemporal_pit",
     "dq_benford_first_digit",
     "dq_duplicate_payment_detect",
+    "etl_lineage_provenance_hash",
+    "etl_merkle_reconcile",
+    "subquery_correlated_scalar",
+    "pivot_multi_metric",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
