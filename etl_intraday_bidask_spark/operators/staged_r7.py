@@ -2256,3 +2256,587 @@ def ts_seasonal_naive_residuals(
         )
         .orderBy("day_us")
     )
+
+
+@staged7(
+    "orders_seasonal_index_monthly",
+    oracle_sql="""
+        WITH monthly AS (
+            SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY y, m
+        ), yearly AS (
+            SELECT y,
+                   CAST(sum(cents) AS BIGINT) AS y_cents,
+                   CAST(count(*) AS BIGINT) AS n_months
+            FROM monthly GROUP BY y
+        )
+        SELECT CAST(mo.m AS BIGINT) AS month,
+               CAST(count(*) AS BIGINT) AS n_years,
+               CAST(sum(CAST(mo.cents AS HUGEINT) * 10000 * yr.n_months
+                        // yr.y_cents) AS BIGINT) AS sum_index_bp,
+               CAST(sum(CAST(mo.cents AS HUGEINT) * 10000 * yr.n_months
+                        // yr.y_cents) // count(*) AS BIGINT)
+                   AS avg_index_floor_bp
+        FROM monthly mo JOIN yearly yr ON mo.y = yr.y
+        GROUP BY mo.m
+        ORDER BY month
+    """,
+    description="Monthly seasonal index: each (year, month)'s revenue "
+    "relative to that year's monthly average, in exact floor basis "
+    "points (cents*10000*n_months div year_cents — the numerator "
+    "needs 128-bit headroom, so the per-month index is computed in "
+    "HUGEINT/DECIMAL(38,0) then floored to an int64 bp), averaged "
+    "across years per calendar month — the demand-planning index "
+    "(index 10000 = an exactly average month; partial years "
+    "normalize by their own month count). Every graded value is "
+    "int64; no float ratio ever exists. Scale: two calendar-bounded "
+    "aggregates and a year-key join of month rows — trivially "
+    "map-side combinable.",
+)
+def orders_seasonal_index_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("y"),
+            F.month("o_orderdate").alias("m"),
+        )
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    yearly = monthly.groupBy("y").agg(
+        F.sum("cents").alias("y_cents"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    dec = "decimal(38,0)"
+    joined = monthly.join(yearly, "y").select(
+        "m",
+        F.floor(
+            (
+                F.col("cents").cast(dec)
+                * F.lit(10000).cast(dec)
+                * F.col("n_months").cast(dec)
+            )
+            / F.col("y_cents").cast(dec)
+        )
+        .cast("long")
+        .alias("index_bp"),
+    )
+    return (
+        joined.groupBy(F.col("m").cast("long").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_years"),
+            F.sum("index_bp").cast("long").alias("sum_index_bp"),
+            F.expr("sum(index_bp) div count(*)")
+            .cast("long")
+            .alias("avg_index_floor_bp"),
+        )
+        .orderBy("month")
+    )
+
+
+@staged7(
+    "dedup_incremental_batch",
+    oracle_sql="""
+        WITH existing AS (
+            SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0
+        ), incoming AS (
+            SELECT doc_id, lang, md5(text) AS h
+            FROM documents WHERE doc_id % 2 = 1
+        ), judged AS (
+            SELECT i.lang,
+                   CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END
+                       AS dup_vs_existing
+            FROM incoming i
+            LEFT JOIN (SELECT DISTINCT h FROM existing) e ON i.h = e.h
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_incoming,
+               CAST(sum(dup_vs_existing) AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(dup_vs_existing) AS BIGINT) AS n_kept
+        FROM judged
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Incremental batch dedup: the arriving batch (odd "
+    "doc_ids) is deduplicated ONLY against the existing corpus (even "
+    "doc_ids) by exact content hash — the production dedup shape, "
+    "where the daily crawl joins against the historical hash index "
+    "instead of re-deduping the whole corpus (old-vs-old pairs are "
+    "never recomputed; cost is O(batch) probes, not O(corpus^2)). "
+    "The left join against the DISTINCTed existing-hash set is the "
+    "mark-join pattern (no fan-out even if a hash repeats in the "
+    "index); kept/dropped counts per language are the graded "
+    "output. Scale: the hash index is the only state carried "
+    "between batches — bucketed by hash prefix at 100 TB so probe "
+    "joins are co-located.",
+)
+def dedup_incremental_batch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    existing = (
+        docs.where(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    incoming = docs.where(F.col("doc_id") % 2 == 1).select(
+        "lang", F.md5("text").alias("h")
+    )
+    judged = incoming.join(
+        existing.withColumnRenamed("h", "eh"),
+        incoming.h == F.col("eh"),
+        "left",
+    ).select(
+        "lang",
+        F.when(F.col("eh").isNotNull(), 1).otherwise(0).alias("dup"),
+    )
+    return (
+        judged.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_incoming"),
+            F.sum("dup").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("dup"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged7(
+    "text_boilerplate_prefix_detect",
+    oracle_sql="""
+        WITH prefixes AS (
+            SELECT doc_id, source,
+                   array_to_string(string_split(text, ' ')[1:5], ' ')
+                       AS prefix
+            FROM documents WHERE len(string_split(text, ' ')) >= 5
+        ), src_n AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM prefixes GROUP BY source
+        ), freq AS (
+            SELECT p.source, p.prefix,
+                   CAST(count(*) AS BIGINT) AS n_occ
+            FROM prefixes p GROUP BY p.source, p.prefix
+        )
+        SELECT f.source, f.prefix, f.n_occ, s.n_docs,
+               CAST(f.n_occ * 10000 // s.n_docs AS BIGINT)
+                   AS share_floor_bp
+        FROM freq f JOIN src_n s ON f.source = s.source
+        WHERE f.n_occ * 100 >= s.n_docs * 2
+        ORDER BY f.source, f.n_occ DESC, f.prefix
+    """,
+    description="Boilerplate prefix detection: the leading 5-token "
+    "prefix of every document, counted per source, with prefixes "
+    "covering >=2% of a source's documents reported — the template/"
+    "navigation-chrome detector web-corpus cleaning runs before "
+    "training (boilerplate inflates n-gram counts and poisons "
+    "dedup). The share threshold is an exact integer inequality "
+    "(n_occ*100 >= n_docs*2) and the reported share is floor basis "
+    "points — no float decision anywhere. Scale: prefix extraction "
+    "is map-only; the (source, prefix) count is map-side "
+    "combinable; at 100 TB the same plan runs per (source, "
+    "prefix-hash-bucket).",
+)
+def text_boilerplate_prefix_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.split("text", " ").alias("toks")
+    )
+    prefixes = docs.where(F.size("toks") >= 5).select(
+        "source",
+        F.concat_ws(" ", F.slice("toks", 1, 5)).alias("prefix"),
+    )
+    src_n = prefixes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    freq = prefixes.groupBy("source", "prefix").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    return (
+        freq.join(src_n, "source")
+        .where(F.col("n_occ") * 100 >= F.col("n_docs") * 2)
+        .select(
+            "source",
+            "prefix",
+            "n_occ",
+            "n_docs",
+            F.expr("n_occ * 10000 div n_docs")
+            .cast("long")
+            .alias("share_floor_bp"),
+        )
+        .orderBy("source", F.desc("n_occ"), "prefix")
+    )
+
+
+@staged7(
+    "events_lifecycle_stages",
+    oracle_sql="""
+        WITH weeks AS (
+            SELECT user_id, date_trunc('week', ts) AS w
+            FROM events GROUP BY user_id, w
+        ), bounds AS (
+            SELECT user_id, min(w) AS first_w FROM weeks GROUP BY user_id
+        ), spine AS (SELECT DISTINCT w FROM weeks),
+        states AS (
+            SELECT s.w, b.user_id,
+                   CASE
+                     WHEN b.first_w = s.w THEN 'new'
+                     WHEN EXISTS (SELECT 1 FROM weeks a
+                                  WHERE a.user_id = b.user_id
+                                    AND a.w = s.w)
+                      AND EXISTS (SELECT 1 FROM weeks a
+                                  WHERE a.user_id = b.user_id
+                                    AND a.w = s.w - INTERVAL 7 DAY)
+                         THEN 'active'
+                     WHEN EXISTS (SELECT 1 FROM weeks a
+                                  WHERE a.user_id = b.user_id
+                                    AND a.w = s.w) THEN 'resurrected'
+                     WHEN EXISTS (SELECT 1 FROM weeks a
+                                  WHERE a.user_id = b.user_id
+                                    AND a.w = s.w - INTERVAL 7 DAY)
+                         THEN 'churned'
+                   END AS stage
+            FROM spine s JOIN bounds b ON b.first_w <= s.w
+        )
+        SELECT CAST(epoch_us(w) AS BIGINT) AS week_us, stage,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM states WHERE stage IS NOT NULL
+        GROUP BY week_us, stage
+        ORDER BY week_us, stage
+    """,
+    description="User lifecycle stages per week (growth accounting): "
+    "new (first-ever week), active (this week AND last week), "
+    "resurrected (this week, not last), churned (last week, not "
+    "this) — the standard growth-accounting identity (active_t = "
+    "new + retained + resurrected; churn balances the ledger). "
+    "Spark computes it set-wise: the distinct (user, week) grain "
+    "self-joined one week apart via a full outer join on the shifted "
+    "key — never a per-user scan — while the oracle states the "
+    "EXISTS semantics directly; the hash proves the set algebra "
+    "matches the quantifier form. Dormant-user state is bounded by "
+    "the week spine (users are only evaluated from their first "
+    "week). Scale: the grain is pre-reduced, the self-join is "
+    "shuffle-partitioned on (user, week), the rollup is tiny.",
+)
+def events_lifecycle_stages(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    weeks = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("w"))
+        .distinct()
+    )
+    bounds = weeks.groupBy("user_id").agg(F.min("w").alias("first_w"))
+    cur = weeks.select("user_id", F.col("w").alias("cw"))
+    prev = weeks.select(
+        "user_id", (F.col("w") + F.expr("INTERVAL 7 DAY")).alias("cw")
+    )
+    activity = (
+        cur.withColumn("in_cur", F.lit(1))
+        .join(
+            prev.withColumn("in_prev", F.lit(1)),
+            ["user_id", "cw"],
+            "full",
+        )
+        .select(
+            "user_id",
+            F.col("cw").alias("w"),
+            F.coalesce("in_cur", F.lit(0)).alias("in_cur"),
+            F.coalesce("in_prev", F.lit(0)).alias("in_prev"),
+        )
+    )
+    spine = weeks.select("w").distinct()
+    scoped = activity.join(F.broadcast(spine), "w", "semi").join(
+        bounds, "user_id"
+    )
+    stage = (
+        F.when(F.col("first_w") == F.col("w"), "new")
+        .when((F.col("in_cur") == 1) & (F.col("in_prev") == 1), "active")
+        .when(F.col("in_cur") == 1, "resurrected")
+        .when(F.col("in_prev") == 1, "churned")
+    )
+    return (
+        scoped.select(
+            F.unix_micros("w").alias("week_us"), stage.alias("stage")
+        )
+        .where(F.col("stage").isNotNull())
+        .groupBy("week_us", "stage")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("week_us", "stage")
+    )
+
+
+@staged7(
+    "orders_aging_buckets",
+    oracle_sql="""
+        WITH cutoff AS (
+            SELECT max(o_orderdate) AS cut FROM orders
+        ), aged AS (
+            SELECT o_orderpriority,
+                   datediff('day', o_orderdate, cut) AS age_d
+            FROM orders, cutoff
+            WHERE o_orderstatus = 'O'
+        )
+        SELECT o_orderpriority,
+               CAST(CASE WHEN age_d <= 180 THEN 0
+                         WHEN age_d <= 365 THEN 1
+                         WHEN age_d <= 730 THEN 2
+                         ELSE 3 END AS BIGINT) AS age_bucket,
+               CAST(count(*) AS BIGINT) AS n_open,
+               CAST(min(age_d) AS BIGINT) AS min_age_d,
+               CAST(max(age_d) AS BIGINT) AS max_age_d
+        FROM aged
+        GROUP BY o_orderpriority, age_bucket
+        ORDER BY o_orderpriority, age_bucket
+    """,
+    description="Open-order aging report: orders still open (status "
+    "'O') bucketed by age as of the data's own high-water date "
+    "(<=180d / <=365d / <=730d / older) per priority — the "
+    "receivables/backlog-aging table every operations review reads. "
+    "The cutoff derives from the data (max order date, a broadcast "
+    "scalar), so the op is replayable on any snapshot; ages and "
+    "bucket boundaries are exact integer day arithmetic. Scale: "
+    "scalar subquery broadcast + one map-side-combinable aggregate; "
+    "the status filter pushes to the scan.",
+)
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cutoff = orders.agg(F.max("o_orderdate").alias("cut"))
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(cutoff))
+        .select(
+            "o_orderpriority",
+            F.datediff("cut", "o_orderdate").alias("age_d"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_d") <= 180, 0)
+        .when(F.col("age_d") <= 365, 1)
+        .when(F.col("age_d") <= 730, 2)
+        .otherwise(3)
+    )
+    return (
+        aged.groupBy(
+            "o_orderpriority", bucket.cast("long").alias("age_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_open"),
+            F.min("age_d").cast("long").alias("min_age_d"),
+            F.max("age_d").cast("long").alias("max_age_d"),
+        )
+        .orderBy("o_orderpriority", "age_bucket")
+    )
+
+
+@staged7(
+    "dq_categorical_entropy",
+    oracle_sql="""
+        WITH counts AS (
+            SELECT o_orderpriority AS grp, o_orderstatus AS val,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY grp, val
+        ), tot AS (
+            SELECT grp, CAST(sum(n) AS BIGINT) AS t FROM counts
+            GROUP BY grp
+        )
+        SELECT c.grp AS o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_values,
+               round(ln(CAST(t.t AS DOUBLE))
+                     - CAST(sum(CAST(round(
+                           CAST(c.n AS DOUBLE) * ln(CAST(c.n AS DOUBLE))
+                           * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000.0 / t.t, 4) AS entropy_nats
+        FROM counts c JOIN tot t ON c.grp = t.grp
+        GROUP BY c.grp, t.t
+        ORDER BY o_orderpriority
+    """,
+    description="Categorical-distribution entropy per group (order "
+    "status within priority): H = ln(N) - sum(n*ln(n))/N in nats — "
+    "the drift/imbalance metric a DQ monitor tracks per partition "
+    "date (a status distribution collapsing toward one value drops "
+    "entropy sharply). Parity discipline from text_entropy_token: "
+    "each per-value term n*ln(n) quantizes to an exact 1e-4-grid "
+    "int64 (identical per-value IEEE chains), the cross-value SUM is "
+    "exact integer — summation-order-proof — and the final float "
+    "expression rounds at 4dp per the irrational policy. Scale: "
+    "value-grain counts are map-side combinable; groups x values is "
+    "tiny.",
+)
+def dq_categorical_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            F.col("o_orderstatus").alias("val"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = counts.groupBy("grp").agg(F.sum("n").cast("long").alias("t"))
+    term_e4 = F.floor(
+        F.col("n").cast("double") * F.log(F.col("n").cast("double")) * 10000
+        + 0.5
+    ).cast("long")
+    return (
+        counts.join(tot, "grp")
+        .groupBy(F.col("grp").alias("o_orderpriority"), "t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.round(
+                F.log(F.col("t").cast("double"))
+                - F.sum(term_e4).cast("double") / 10000.0 / F.col("t"),
+                4,
+            ).alias("entropy_nats"),
+        )
+        .drop("t")
+        .orderBy("o_orderpriority")
+    )
+
+
+@staged7(
+    "embed_norm_histogram",
+    oracle_sql="""
+        WITH comp AS (
+            SELECT vec_id, label,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                        AS BIGINT) AS x_e4
+            FROM embeddings
+        ), norms AS (
+            SELECT vec_id, label,
+                   CAST(sum(x_e4 * x_e4) AS BIGINT) AS ss_e8
+            FROM comp GROUP BY vec_id, label
+        )
+        SELECT label,
+               CAST(least(CAST(floor(sqrt(CAST(ss_e8 AS DOUBLE)) / 10000.0
+                                     / 0.25) AS BIGINT), 7) AS BIGINT)
+                   AS norm_bucket,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM norms
+        GROUP BY label, norm_bucket
+        ORDER BY label, norm_bucket
+    """,
+    description="Embedding norm histogram per label: squared norms "
+    "accumulate as exact int64 sums of 1e-4-grid component squares, "
+    "and each vector lands in a 0.25-wide norm bucket (capped at 7) "
+    "— the embedding-health profile that catches unnormalized "
+    "batches, collapsed vectors, and scale drift before they poison "
+    "cosine-based dedup/retrieval (a cosine index assumes unit-ish "
+    "norms; a bimodal histogram says two incompatible model versions "
+    "wrote this table). The bucket boundary decision floor(norm/"
+    "0.25) takes identical sqrt-of-exact-int doubles through an "
+    "identical floor on both engines — a boundary flip would need "
+    "the sqrt to land within one ulp of a multiple of 0.25 AND "
+    "differ between engines, which identical inputs exclude. Scale: "
+    "map-only per-vector reduction, tiny rollup.",
+)
+def embed_norm_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    comp = (
+        load(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "label",
+            F.explode(as_double("embedding")).alias("xd"),
+        )
+        .select(
+            "vec_id",
+            "label",
+            F.floor(F.col("xd") * 10000 + 0.5).cast("long").alias("x_e4"),
+        )
+    )
+    norms = comp.groupBy("vec_id", "label").agg(
+        F.sum(F.col("x_e4") * F.col("x_e4")).cast("long").alias("ss_e8")
+    )
+    bucket = F.least(
+        F.floor(
+            F.sqrt(F.col("ss_e8").cast("double")) / 10000.0 / 0.25
+        ).cast("long"),
+        F.lit(7),
+    )
+    return (
+        norms.groupBy("label", bucket.cast("long").alias("norm_bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("label", "norm_bucket")
+    )
+
+
+@staged7(
+    "graph_degree_distribution",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), deg AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+            ) GROUP BY x
+        )
+        SELECT d AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(count(*)) OVER (
+                   ORDER BY d DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_nodes_at_least
+        FROM deg
+        GROUP BY d
+        ORDER BY degree
+    """,
+    description="Degree distribution with complementary cumulative "
+    "counts: node degrees of the co-purchase graph, the histogram, "
+    "and for each degree the count of nodes with AT LEAST that "
+    "degree (the CCDF — the curve whose log-log straightness is the "
+    "power-law/scale-free diagnostic, and the direct input to "
+    "hub-risk decisions: how many vertices exceed the skew-join "
+    "salting threshold). All exact ints; the CCDF is a running sum "
+    "over the degree-value grain (bounded by max degree, not node "
+    "count). Scale: degree aggregate is map-side combinable; the "
+    "window runs over the tiny degree-histogram grain.",
+)
+def graph_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    hist = deg.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    w = Window.orderBy(F.desc("degree")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "degree",
+        "n_nodes",
+        F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
+    ).orderBy("degree")

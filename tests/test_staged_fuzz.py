@@ -47,6 +47,9 @@ EVENT_STAGED = [
     "stream_topk_per_window",
     "bidask_quote_trade_ratio",
     "ts_seasonal_naive_residuals",
+    "events_lifecycle_stages",
+    "graph_degree_distribution",
+    "embed_drift_split_halves",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -73,6 +76,8 @@ DOC_STAGED = [
     "multimodal_shard_manifest",
     "sample_largest_remainder_alloc",
     "text_readability_score",
+    "dedup_incremental_batch",
+    "text_boilerplate_prefix_detect",
 ]
 
 ORDER_STAGED = [
@@ -94,6 +99,9 @@ ORDER_STAGED = [
     "etl_merkle_reconcile",
     "subquery_correlated_scalar",
     "pivot_multi_metric",
+    "orders_seasonal_index_monthly",
+    "orders_aging_buckets",
+    "dq_categorical_entropy",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
