@@ -2840,3 +2840,513 @@ def graph_degree_distribution(
         "n_nodes",
         F.sum("n_nodes").over(w).cast("long").alias("n_nodes_at_least"),
     ).orderBy("degree")
+
+
+@staged7(
+    "bidask_market_beta_per_user",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT user_id, date_trunc('hour', ts) AS h,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS u_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, h
+        ), market AS (
+            SELECT h, CAST(sum(u_cents) AS BIGINT) AS m_cents
+            FROM hourly GROUP BY h
+        ), joined AS (
+            SELECT u.user_id, u.u_cents AS x_u,
+                   m.m_cents - u.u_cents AS x_m
+            FROM hourly u JOIN market m ON u.h = m.h
+        ), s AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x_u) AS BIGINT) AS su,
+                   CAST(sum(x_m) AS BIGINT) AS sm,
+                   CAST(sum(CAST(x_m AS HUGEINT) * x_m) AS HUGEINT)
+                       AS smm,
+                   CAST(sum(CAST(x_u AS HUGEINT) * x_m) AS HUGEINT)
+                       AS sum_
+            FROM joined GROUP BY user_id
+        )
+        SELECT user_id, n,
+               CASE WHEN CAST(n AS HUGEINT) * smm
+                         - CAST(sm AS HUGEINT) * sm > 0 THEN
+                   CAST(CAST(n AS HUGEINT) * sum_
+                        - CAST(su AS HUGEINT) * sm AS DOUBLE)
+                   / CAST(CAST(n AS HUGEINT) * smm
+                          - CAST(sm AS HUGEINT) * sm AS DOUBLE)
+               END AS beta
+        FROM s
+        WHERE n >= 12
+        ORDER BY user_id
+    """,
+    description="Per-user market beta: each user's hourly purchase "
+    "flow regressed on the REST-of-market flow for the same hours "
+    "(leave-one-out market = total minus the user, so a whale's beta "
+    "is not mechanically inflated by regressing on itself) — the "
+    "cross-sectional factor-model shape, one independent exact OLS "
+    "per key. Cross-moments build in 128-bit integers (market cents "
+    "per hour exceed the int64 product headroom); the slope is the "
+    "unrounded ratio of two exact integers; users with under 12 "
+    "active hours or zero market variance emit no/NULL beta on both "
+    "engines. Scale: the market series is a tiny broadcast join onto "
+    "the (user, hour) grain; per-user sums are map-side combinable.",
+)
+def bidask_market_beta_per_user(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hourly = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.sum(scaled_long("value", 100)).alias("u_cents"))
+    )
+    market = hourly.groupBy("h").agg(
+        F.sum("u_cents").alias("m_cents")
+    )
+    joined = hourly.join(F.broadcast(market), "h").select(
+        "user_id",
+        F.col("u_cents").alias("x_u"),
+        (F.col("m_cents") - F.col("u_cents")).alias("x_m"),
+    )
+    dec = "decimal(38,0)"
+    s = joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x_u").cast("long").alias("su"),
+        F.sum("x_m").cast("long").alias("sm"),
+        F.sum(F.col("x_m").cast(dec) * F.col("x_m").cast(dec))
+        .cast(dec)
+        .alias("smm"),
+        F.sum(F.col("x_u").cast(dec) * F.col("x_m").cast(dec))
+        .cast(dec)
+        .alias("sum_"),
+    )
+    var = (
+        F.col("n").cast(dec) * F.col("smm")
+        - F.col("sm").cast(dec) * F.col("sm").cast(dec)
+    )
+    cov = (
+        F.col("n").cast(dec) * F.col("sum_")
+        - F.col("su").cast(dec) * F.col("sm").cast(dec)
+    )
+    return (
+        s.where(F.col("n") >= 12)
+        .select(
+            "user_id",
+            "n",
+            F.when(
+                var > 0, cov.cast("double") / var.cast("double")
+            ).alias("beta"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@staged7(
+    "orders_fill_rate",
+    oracle_sql="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(count(*) FILTER (WHERE l_linestatus = 'F')
+                        AS BIGINT) AS n_filled
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(n_filled * 10 // n_lines AS BIGINT)
+                   AS fill_decile,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(n_lines) AS BIGINT) AS total_lines,
+               CAST(sum(n_filled) AS BIGINT) AS total_filled
+        FROM per_order
+        GROUP BY fill_decile
+        ORDER BY fill_decile
+    """,
+    description="Order fill-rate distribution: per order, the share "
+    "of its lines already in final status, bucketed into exact "
+    "deciles by integer division (n_filled*10 div n_lines — the "
+    "fully-filled order is its own bucket 10, partials spread below) "
+    "— the fulfillment-health histogram operations teams track, with "
+    "line totals per bucket so the aggregate fill rate reconciles. "
+    "No float share is ever computed. Scale: one orderkey-grain "
+    "aggregate (map-side combinable) + a tiny 11-bucket rollup.",
+)
+def orders_fill_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_order = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_filled"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            F.expr("n_filled * 10 div n_lines")
+            .cast("long")
+            .alias("fill_decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("total_lines"),
+            F.sum("n_filled").cast("long").alias("total_filled"),
+        )
+        .orderBy("fill_decile")
+    )
+
+
+@staged7(
+    "events_power_user_curve",
+    oracle_sql="""
+        WITH per_user AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT n,
+                   ntile(10) OVER (ORDER BY n DESC, user_id) AS decile,
+                   CAST(sum(n) OVER () AS BIGINT) AS total
+            FROM per_user
+        )
+        SELECT CAST(decile AS BIGINT) AS user_decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(n) * 10000 // max(total) AS BIGINT)
+                   AS share_floor_bp
+        FROM ranked
+        GROUP BY decile
+        ORDER BY user_decile
+    """,
+    description="Power-user contribution curve: users ranked into "
+    "activity deciles (ntile with user_id tie-break), each decile's "
+    "share of total events in exact floor basis points — the "
+    "whale-curve/engagement-concentration view (decile 1 carrying "
+    "half the traffic is both a product fact and a skew-join "
+    "warning for every user_id-keyed operator in this engine). All "
+    "integer arithmetic. Scale: user-grain aggregate, one global "
+    "ntile over the user grain (dimension-sized; two-pass "
+    "range-partitioned rank at true scale, same migration note as "
+    "orders_rfm_segments), 10-row rollup.",
+)
+def events_power_user_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ranked = per_user.select(
+        "n",
+        F.ntile(10)
+        .over(Window.orderBy(F.desc("n"), "user_id"))
+        .alias("decile"),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.groupBy(F.col("decile").cast("long").alias("user_decile"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.expr("sum(n) * 10000 div max(total)")
+            .cast("long")
+            .alias("share_floor_bp"),
+        )
+        .orderBy("user_decile")
+    )
+
+
+@staged7(
+    "merge_upsert_scd3",
+    oracle_sql="""
+        WITH updates AS (
+            SELECT c_custkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) + 500
+                       AS new_bal_cents
+            FROM customer WHERE c_custkey % 3 = 0
+        ), merged AS (
+            SELECT t.c_custkey, t.c_nationkey,
+                   coalesce(u.new_bal_cents,
+                            CAST(round(t.c_acctbal * 100) AS BIGINT))
+                       AS cur_cents,
+                   CASE WHEN u.c_custkey IS NOT NULL
+                        THEN CAST(round(t.c_acctbal * 100) AS BIGINT)
+                   END AS prev_cents
+            FROM customer t LEFT JOIN updates u
+              ON t.c_custkey = u.c_custkey
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(count(prev_cents) AS BIGINT) AS n_changed,
+               CAST(sum(cur_cents) AS DOUBLE) / 100.0 AS total_current,
+               CAST(sum(coalesce(prev_cents, cur_cents)) AS DOUBLE)
+                   / 100.0 AS total_as_before
+        FROM merged
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    description="SCD Type-3 merge: an update batch (every third "
+    "customer's balance shifted by a deterministic amount) applies "
+    "with previous-value RETENTION — the changed rows keep their "
+    "prior balance in a prev column, giving one generation of "
+    "history inline (Type 1 overwrites it, Type 2 grows rows; Type "
+    "3 is the fixed-width compromise dimensional models use for "
+    "'current vs previous' reporting). The grade reconciles both "
+    "generations per nation: total_as_before must equal the "
+    "pre-merge total — an accounting identity a wrong coalesce "
+    "direction breaks. Exact cents throughout. Scale: one left join "
+    "on the dimension key + a nation rollup.",
+)
+def merge_upsert_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        scaled_long("c_acctbal", 100).alias("bal_cents"),
+    )
+    updates = customer.where(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("u_key"),
+        (F.col("bal_cents") + 500).alias("new_bal_cents"),
+    )
+    merged = customer.join(
+        updates, customer.c_custkey == updates.u_key, "left"
+    ).select(
+        "c_nationkey",
+        F.coalesce("new_bal_cents", "bal_cents").alias("cur_cents"),
+        F.when(F.col("u_key").isNotNull(), F.col("bal_cents")).alias(
+            "prev_cents"
+        ),
+    )
+    return (
+        merged.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.count("prev_cents").cast("long").alias("n_changed"),
+            (F.sum("cur_cents").cast("double") / 100.0).alias(
+                "total_current"
+            ),
+            (
+                F.sum(F.coalesce("prev_cents", "cur_cents")).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("total_as_before"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@staged7(
+    "dq_key_gap_detect",
+    oracle_sql="""
+        WITH keys AS (
+            SELECT DISTINCT o_orderkey AS k FROM orders
+        ), gaps AS (
+            SELECT k,
+                   lead(k) OVER (ORDER BY k) AS nxt
+            FROM keys
+        )
+        SELECT CAST(k AS BIGINT) AS gap_start_after,
+               CAST(nxt AS BIGINT) AS next_key,
+               CAST(nxt - k - 1 AS BIGINT) AS n_missing
+        FROM gaps
+        WHERE nxt - k > 1
+        ORDER BY gap_start_after
+        LIMIT 50
+    """,
+    description="Primary-key gap detection: holes in the orderkey "
+    "sequence (lead over the sorted distinct keys; a gap means "
+    "records lost upstream, a partial load, or an id-generator "
+    "restart — the completeness check a DQ suite runs on every "
+    "sequential-id feed). Emits the first 50 gaps with their exact "
+    "missing counts. The global ordering runs over the DISTINCT key "
+    "grain; at 100 TB the same semantics partition into key-range "
+    "buckets (gap-within-bucket via lead, gap-across-bucket via "
+    "per-bucket min/max boundary join — the sweep-line trick), "
+    "documented here as the migration. All int64.",
+)
+def dq_key_gap_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = (
+        load(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    gaps = keys.select(
+        "k", F.lead("k").over(Window.orderBy("k")).alias("nxt")
+    )
+    return (
+        gaps.where(F.col("nxt") - F.col("k") > 1)
+        .select(
+            F.col("k").cast("long").alias("gap_start_after"),
+            F.col("nxt").cast("long").alias("next_key"),
+            (F.col("nxt") - F.col("k") - 1).cast("long").alias(
+                "n_missing"
+            ),
+        )
+        .orderBy("gap_start_after")
+        .limit(50)
+    )
+
+
+@staged7(
+    "graph_clustering_coefficient",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), deg AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS x FROM edges UNION ALL SELECT v FROM edges
+            ) GROUP BY x
+        ), tri AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_tri
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), triads AS (
+            SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_open
+            FROM deg
+        )
+        SELECT t.n_tri AS n_triangles,
+               td.n_open AS n_triads,
+               CASE WHEN td.n_open > 0 THEN
+                   CAST(3 * t.n_tri AS DOUBLE) / td.n_open
+               END AS global_clustering
+        FROM tri t, triads td
+    """,
+    description="Global clustering coefficient: 3 x triangles / "
+    "connected triples — the transitivity measure that separates "
+    "community-structured graphs from random ones (and, "
+    "operationally, predicts how much the triangle join amplifies: "
+    "high clustering means wedge checks mostly hit). Triangles "
+    "reuse graph_triangle_count's ordered three-way edge join; open "
+    "triads are sum(d choose 2) over the degree table — d(d-1)/2 is "
+    "always an exact integer (consecutive-integer product). The "
+    "coefficient is an unrounded rational of exact counts; "
+    "triangle-free graphs emit 0, edgeless graphs NULL. Scale: the "
+    "edge joins shuffle on vertex keys; degrees reduce map-side.",
+)
+def graph_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u"))
+            & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    deg = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    triads = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long"))
+        .cast("long")
+        .alias("n_triads")
+    )
+    return tri.crossJoin(F.broadcast(triads)).select(
+        "n_triangles",
+        "n_triads",
+        F.when(
+            F.col("n_triads") > 0,
+            (3 * F.col("n_triangles")).cast("double") / F.col("n_triads"),
+        ).alias("global_clustering"),
+    )
+
+
+@staged7(
+    "dq_split_leakage_check",
+    oracle_sql="""
+        WITH keyed AS (
+            SELECT md5(text) AS h,
+                   CASE WHEN (doc_id * 2654435761) % 100 < 80
+                        THEN 'train' ELSE 'eval' END AS split,
+                   lang
+            FROM documents
+        ), train_h AS (
+            SELECT DISTINCT lang, h FROM keyed WHERE split = 'train'
+        ), eval_h AS (
+            SELECT DISTINCT lang, h FROM keyed WHERE split = 'eval'
+        )
+        SELECT e.lang,
+               CAST(count(*) AS BIGINT) AS n_eval_hashes,
+               CAST(count(t.h) AS BIGINT) AS n_leaked
+        FROM eval_h e LEFT JOIN train_h t
+          ON e.lang = t.lang AND e.h = t.h
+        GROUP BY e.lang
+        ORDER BY e.lang
+    """,
+    description="Train/eval leakage check: documents split by the "
+    "same deterministic Knuth-hash bucket as "
+    "sample_stratified_split, then eval-side content hashes probed "
+    "against the train side — a nonzero n_leaked means verbatim "
+    "duplicates straddle the split (the id-hash split guarantees "
+    "disjoint IDS, not disjoint CONTENT; duplicate texts leak "
+    "evaluation data into training and inflate benchmarks, the "
+    "precise failure decontamination pipelines exist to catch). "
+    "Mark-join against the distinct train hash set — no fan-out "
+    "from repeated hashes. Scale: hash-grain semi structure, "
+    "bucketed by hash prefix at 100 TB, same as "
+    "dedup_incremental_batch.",
+)
+def dq_split_leakage_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    keyed = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("h"),
+        F.when(
+            (F.col("doc_id") * 2654435761) % 100 < 80, "train"
+        )
+        .otherwise("eval")
+        .alias("split"),
+        "lang",
+    )
+    train_h = (
+        keyed.where(F.col("split") == "train")
+        .select("lang", F.col("h").alias("th"))
+        .distinct()
+    )
+    eval_h = (
+        keyed.where(F.col("split") == "eval").select("lang", "h").distinct()
+    )
+    return (
+        eval_h.join(
+            train_h,
+            (eval_h.lang == train_h.lang) & (eval_h.h == F.col("th")),
+            "left",
+        )
+        .groupBy(eval_h.lang)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_hashes"),
+            F.count("th").cast("long").alias("n_leaked"),
+        )
+        .orderBy("lang")
+    )

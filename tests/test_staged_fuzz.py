@@ -50,6 +50,9 @@ EVENT_STAGED = [
     "events_lifecycle_stages",
     "graph_degree_distribution",
     "embed_drift_split_halves",
+    "bidask_market_beta_per_user",
+    "events_power_user_curve",
+    "graph_clustering_coefficient",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -78,6 +81,7 @@ DOC_STAGED = [
     "text_readability_score",
     "dedup_incremental_batch",
     "text_boilerplate_prefix_detect",
+    "dq_split_leakage_check",
 ]
 
 ORDER_STAGED = [
@@ -102,6 +106,8 @@ ORDER_STAGED = [
     "orders_seasonal_index_monthly",
     "orders_aging_buckets",
     "dq_categorical_entropy",
+    "dq_key_gap_detect",
+    "merge_upsert_scd3",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
@@ -115,6 +121,7 @@ LINEITEM_STAGED = [
     "sql_window_clause_shared",
     "parts_abc_xyz_matrix",
     "orders_sla_breach_by_priority",
+    "orders_fill_rate",
 ]
 
 
