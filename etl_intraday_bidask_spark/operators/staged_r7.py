@@ -3350,3 +3350,637 @@ def dq_split_leakage_check(
         )
         .orderBy("lang")
     )
+
+
+def _lsh_sweep_oracle() -> str:
+    """Oracle built at import via the shared minhash constants, so the
+    sweep and dedup_minhash_lsh can never drift apart."""
+    from etl_intraday_bidask_spark.operators.dedup_advanced import (
+        MINHASH_P,
+        _PARAMS_SQL,
+        _TID_SQL,
+    )
+
+    return f"""
+        WITH tok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        params(i, a, b) AS (
+            VALUES {_PARAMS_SQL}
+        ),
+        mh AS (
+            SELECT t.doc_id, p.i,
+                   min((p.a * ({_TID_SQL}) + p.b) % {MINHASH_P}) AS mhv
+            FROM tok t CROSS JOIN params p
+            GROUP BY 1, 2
+        ),
+        configs(cfg, rows_per_band) AS (
+            VALUES ('2x8', 8), ('4x4', 4), ('8x2', 2)
+        ),
+        bands AS (
+            SELECT c.cfg, m.doc_id, m.i // c.rows_per_band AS band,
+                   string_agg(CAST(m.mhv AS VARCHAR), '-' ORDER BY m.i)
+                       AS sig
+            FROM mh m CROSS JOIN configs c
+            GROUP BY c.cfg, m.doc_id, band
+        ),
+        cands AS (
+            SELECT DISTINCT x.cfg, x.doc_id AS doc_lo, y.doc_id AS doc_hi
+            FROM bands x JOIN bands y
+              ON x.cfg = y.cfg AND x.band = y.band AND x.sig = y.sig
+             AND x.doc_id < y.doc_id
+        )
+        SELECT cfg, CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(count(DISTINCT doc_lo) AS BIGINT) AS n_docs_lo
+        FROM cands
+        GROUP BY cfg
+        ORDER BY cfg
+    """
+
+
+def _lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_intraday_bidask_spark.operators.dedup_advanced import (
+        MINHASH_P,
+        MINHASH_PARAMS,
+        _tid_col,
+    )
+
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .distinct()
+    )
+    params = spark.createDataFrame(
+        MINHASH_PARAMS, ["i", "a", "b"]
+    )
+    mh = (
+        tok.crossJoin(F.broadcast(params))
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                (F.col("a") * _tid_col("token") + F.col("b")) % MINHASH_P
+            ).alias("mhv")
+        )
+    )
+    configs = spark.createDataFrame(
+        [("2x8", 8), ("4x4", 4), ("8x2", 2)], ["cfg", "rows_per_band"]
+    )
+    bands = (
+        mh.crossJoin(F.broadcast(configs))
+        .groupBy(
+            "cfg",
+            "doc_id",
+            F.expr("i div rows_per_band").alias("band"),
+        )
+        .agg(
+            F.concat_ws(
+                "-",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("i", "mhv"))
+                    ),
+                    lambda s: s["mhv"].cast("string"),
+                ),
+            ).alias("sig")
+        )
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.cfg") == F.col("y.cfg"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.cfg").alias("cfg"),
+            F.col("x.doc_id").alias("doc_lo"),
+            F.col("y.doc_id").alias("doc_hi"),
+        )
+        .distinct()
+    )
+    return (
+        cands.groupBy("cfg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.countDistinct("doc_lo").cast("long").alias("n_docs_lo"),
+        )
+        .orderBy("cfg")
+    )
+
+
+STAGED_R7["dedup_lsh_band_sweep"] = QuerySpec(
+    "dedup_lsh_band_sweep",
+    _lsh_band_sweep,
+    _lsh_sweep_oracle(),
+    "LSH operating-curve sweep: the SAME 16 minhash values banded "
+    "three ways (2 bands x 8 rows / 4x4 / 8x2) in one pass, emitting "
+    "candidate-pair counts per configuration — the tuning table that "
+    "picks the band shape for a target similarity threshold (more "
+    "bands with shorter signatures fire earlier on lower Jaccard: "
+    "candidate counts must be monotone 2x8 <= 4x4 <= 8x2, and the "
+    "grade pins all three points of the curve). Signature "
+    "construction reuses dedup_minhash_lsh's exact integer universal "
+    "hashes; the band join is string-equality on aggregated "
+    "signatures. Scale: the sweep multiplies the BAND table (doc x "
+    "config grain), never the token postings — the minhash pass "
+    "itself is shared.",
+)
+
+
+@staged7(
+    "dq_orphan_rate_monthly",
+    oracle_sql="""
+        WITH loaded_orders AS (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderdate < TIMESTAMP '2000-01-01'
+        ), judged AS (
+            SELECT date_trunc('month', l.l_shipdate) AS m,
+                   CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END
+                       AS orphan
+            FROM lineitem l
+            LEFT JOIN loaded_orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= TIMESTAMP '1999-01-01'
+        )
+        SELECT strftime(m, '%Y-%m') AS ship_month,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(orphan) AS BIGINT) AS n_orphans,
+               CAST(sum(orphan) * 10000 // count(*) AS BIGINT)
+                   AS orphan_floor_bp
+        FROM judged
+        GROUP BY m
+        ORDER BY ship_month
+    """,
+    description="Referential-integrity orphan TREND: with the orders "
+    "dimension frozen at a load cutoff (orders before 2000 — the "
+    "deterministic simulation of a dim lagging its fact feed), the "
+    "orphan rate of 1999+ shipments is tracked per ship month — "
+    "rising orphan rates toward the cutoff are exactly how a "
+    "late-loading dimension shows up in production, and the trend "
+    "(not dq_checks' single snapshot count) is what pages the "
+    "on-call. Mark join against the frozen key set; rates in exact "
+    "floor basis points. Scale: orderkey-partitioned join, "
+    "calendar-bounded rollup.",
+)
+def dq_orphan_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    loaded = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp"))
+        .select("o_orderkey")
+    )
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    judged = li.join(
+        loaded, li.l_orderkey == loaded.o_orderkey, "left"
+    ).select(
+        F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+            "ship_month"
+        ),
+        F.when(F.col("o_orderkey").isNull(), 1).otherwise(0).alias(
+            "orphan"
+        ),
+    )
+    return (
+        judged.groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum("orphan").cast("long").alias("n_orphans"),
+            F.expr("sum(orphan) * 10000 div count(*)")
+            .cast("long")
+            .alias("orphan_floor_bp"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@staged7(
+    "orders_mix_shift_yoy",
+    oracle_sql="""
+        WITH banded AS (
+            SELECT year(o_orderdate) AS y,
+                   least(CAST(round(o_totalprice * 100) AS BIGINT)
+                         // 5000000, 5) AS band
+            FROM orders
+            WHERE year(o_orderdate) IN (1995, 1996)
+        ), counts AS (
+            SELECT y, band, CAST(count(*) AS BIGINT) AS n
+            FROM banded GROUP BY y, band
+        ), tot AS (
+            SELECT y, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY y
+        ), shares AS (
+            SELECT c.band,
+                   CAST(sum(CASE WHEN c.y = 1995
+                            THEN c.n * 10000 // t.t END) AS BIGINT)
+                       AS bp_1995,
+                   CAST(sum(CASE WHEN c.y = 1996
+                            THEN c.n * 10000 // t.t END) AS BIGINT)
+                       AS bp_1996
+            FROM counts c JOIN tot t ON c.y = t.y
+            GROUP BY c.band
+        )
+        SELECT CAST(band AS BIGINT) AS price_band,
+               coalesce(bp_1995, 0) AS bp_1995,
+               coalesce(bp_1996, 0) AS bp_1996,
+               coalesce(bp_1996, 0) - coalesce(bp_1995, 0) AS shift_bp
+        FROM shares
+        ORDER BY price_band
+    """,
+    description="Order-value mix shift year over year: orders banded "
+    "into fixed $50k price bands (capped at band 5), each year's "
+    "band shares in exact floor basis points, and the per-band share "
+    "shift — the composition-drift view that explains a revenue "
+    "change no average can (same total, different mix). Every graded "
+    "value is an int64; bands are exact integer division of cents. "
+    "Scale: one conditional aggregate per (year, band) — map-side "
+    "combinable onto a 2x6 grid.",
+)
+def orders_mix_shift_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = (
+        load(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate").isin(1995, 1996))
+        .select(
+            F.year("o_orderdate").alias("y"),
+            F.least(
+                F.expr(
+                    "floor(o_totalprice * 100 + 0.5) div 5000000"
+                ).cast("long"),
+                F.lit(5),
+            ).alias("band"),
+        )
+    )
+    counts = banded.groupBy("y", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = counts.groupBy("y").agg(F.sum("n").cast("long").alias("t"))
+    shares = (
+        counts.join(tot, "y")
+        .groupBy("band")
+        .agg(
+            F.sum(
+                F.when(F.col("y") == 1995, F.expr("n * 10000 div t"))
+            )
+            .cast("long")
+            .alias("bp_1995"),
+            F.sum(
+                F.when(F.col("y") == 1996, F.expr("n * 10000 div t"))
+            )
+            .cast("long")
+            .alias("bp_1996"),
+        )
+    )
+    return shares.select(
+        F.col("band").cast("long").alias("price_band"),
+        F.coalesce("bp_1995", F.lit(0)).alias("bp_1995"),
+        F.coalesce("bp_1996", F.lit(0)).alias("bp_1996"),
+        (
+            F.coalesce("bp_1996", F.lit(0))
+            - F.coalesce("bp_1995", F.lit(0))
+        ).alias("shift_bp"),
+    ).orderBy("price_band")
+
+
+@staged7(
+    "events_cumulative_uniques",
+    oracle_sql="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('day', ts)) AS first_d
+            FROM events GROUP BY user_id
+        ), per_day AS (
+            SELECT first_d AS d, CAST(count(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY first_d
+        )
+        SELECT CAST(epoch_us(d) AS BIGINT) AS day_us,
+               n_new,
+               CAST(sum(n_new) OVER (
+                   ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_uniques
+        FROM per_day
+        ORDER BY day_us
+    """,
+    description="Cumulative unique users (the growth curve): each "
+    "user's first-seen day, new-user counts per day, and the running "
+    "total — the all-time-uniques series every growth chart plots, "
+    "and the one a naive per-day distinct count CANNOT produce "
+    "(cumulative distincts are not additive; first-seen attribution "
+    "makes them additive by construction — each user counts exactly "
+    "once, on their first day). All exact ints; the running sum "
+    "windows over the calendar day grain. Scale: the min-aggregate "
+    "reduces per user map-side; nothing global beyond the tiny day "
+    "series.",
+)
+def events_cumulative_uniques(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    firsts = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("first_d"))
+    )
+    per_day = firsts.groupBy(F.col("first_d").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_day.select(
+        F.unix_micros("d").alias("day_us"),
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_uniques"),
+    ).orderBy("day_us")
+
+
+@staged7(
+    "text_unicode_profile",
+    oracle_sql="""
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]')))
+                    AS BIGINT) AS n_ascii_letters,
+               CAST(sum(len(regexp_extract_all(text, '[0-9]')))
+                    AS BIGINT) AS n_digits,
+               CAST(sum(len(text) - len(regexp_replace(text, ' ', '',
+                                                       'g')))
+                    AS BIGINT) AS n_spaces,
+               CAST(sum(len(regexp_extract_all(text, '[^\\x00-\\x7F]')))
+                    AS BIGINT) AS n_non_ascii
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    description="Unicode character-class profile per language: exact "
+    "counts of ASCII letters, digits, spaces, and non-ASCII "
+    "codepoints — the encoding-health fingerprint that catches "
+    "mojibake, double-encoding, and mislabeled languages before "
+    "tokenization bakes them in (an 'en' corpus whose non-ASCII "
+    "count jumps between crawls has an ingest bug, not new "
+    "vocabulary). Character classes are spelled in explicit ranges "
+    "([a-zA-Z], [^\\x00-\\x7F]) that mean the same thing in Java "
+    "regex and RE2 — no \\p{...} dialect dependence; space counting "
+    "is length difference under literal-space removal on both "
+    "engines (len() counts codepoints, not bytes, in both). All "
+    "int64. Scale: map-only per-row counting, map-side-combinable "
+    "rollup.",
+)
+def text_unicode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    def cnt(pat):
+        return F.size(F.expr(f"regexp_extract_all(text, '{pat}', 0)"))
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(cnt("[a-zA-Z]")).cast("long").alias("n_ascii_letters"),
+            F.sum(cnt("[0-9]")).cast("long").alias("n_digits"),
+            F.sum(
+                F.length("text")
+                - F.length(F.regexp_replace("text", " ", ""))
+            )
+            .cast("long")
+            .alias("n_spaces"),
+            F.sum(cnt("[^\\\\x00-\\\\x7F]"))
+            .cast("long")
+            .alias("n_non_ascii"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged7(
+    "events_hazard_curve",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(epoch_us(ts)
+                        - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          )) AS BIGINT) AS gap_us
+            FROM events
+        ), bucketed AS (
+            SELECT least(gap_us // 3600000000, 5) AS b
+            FROM gaps WHERE gap_us IS NOT NULL
+        ), hist AS (
+            SELECT b, CAST(count(*) AS BIGINT) AS n FROM bucketed
+            GROUP BY b
+        ), surv AS (
+            SELECT b, n,
+                   CAST(sum(n) OVER (
+                       ORDER BY b DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS at_risk
+            FROM hist
+        )
+        SELECT CAST(b AS BIGINT) AS gap_hours_bucket, n,
+               at_risk,
+               CAST(n * 10000 // at_risk AS BIGINT) AS hazard_floor_bp
+        FROM surv
+        ORDER BY gap_hours_bucket
+    """,
+    description="Inter-event hazard curve (discrete survival "
+    "analysis): waiting times between a user's consecutive events, "
+    "bucketed by hour (capped at 5+), with the empirical hazard per "
+    "bucket — events in the bucket over spells still 'at risk' "
+    "(reverse-cumulative counts), in exact floor basis points. A "
+    "rising hazard says users who have been quiet longer are MORE "
+    "likely to act (re-engagement dynamics); falling says silence "
+    "predicts churn — the statistical backbone of every "
+    "time-to-return model. All integers end to end; at-risk is a "
+    "running sum over the 6-row bucket grain. Scale: per-user lag "
+    "partitions, tiny rollup.",
+)
+def events_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = load(spark, sf_dir, "events").select(
+        (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+        ).alias("gap_us")
+    )
+    bucketed = gaps.where(F.col("gap_us").isNotNull()).select(
+        F.least(
+            F.expr("gap_us div 3600000000").cast("long"), F.lit(5)
+        ).alias("b")
+    )
+    hist = bucketed.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_rev = Window.orderBy(F.desc("b")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        hist.select(
+            F.col("b").cast("long").alias("gap_hours_bucket"),
+            "n",
+            F.sum("n").over(w_rev).cast("long").alias("at_risk"),
+        )
+        .select(
+            "gap_hours_bucket",
+            "n",
+            "at_risk",
+            F.expr("n * 10000 div at_risk")
+            .cast("long")
+            .alias("hazard_floor_bp"),
+        )
+        .orderBy("gap_hours_bucket")
+    )
+
+
+@staged7(
+    "etl_retention_prune_plan",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        SELECT CAST(CASE WHEN rn <= 3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS keep_flag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS DOUBLE) / 100.0 AS revenue
+        FROM ranked
+        GROUP BY keep_flag
+        ORDER BY keep_flag
+    """,
+    description="Version-retention prune plan: keep each customer's 3 "
+    "newest orders (row_number over (orderdate DESC, orderkey DESC) "
+    "— the full tie-break makes keep/purge membership "
+    "deterministic), report rows/customers/revenue on each side — "
+    "the dry-run a TTL or keep-last-N retention job publishes before "
+    "deleting (GDPR minimization, snapshot pruning, compacted-topic "
+    "semantics). The purge side's revenue quantifies what history "
+    "is lost. Scale: one rank window per customer partition — no "
+    "global ordering; the plan is the grade, the delete itself "
+    "would be a partition-pruned anti-join write.",
+)
+def etl_retention_prune_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ranked = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        scaled_long("o_totalprice", 100).alias("cents"),
+        F.row_number()
+        .over(
+            Window.partitionBy("o_custkey").orderBy(
+                F.desc("o_orderdate"), F.desc("o_orderkey")
+            )
+        )
+        .alias("rn"),
+    )
+    return (
+        ranked.groupBy(
+            F.when(F.col("rn") <= 3, 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("keep_flag")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+            (F.sum("cents").cast("double") / 100.0).alias("revenue"),
+        )
+        .orderBy("keep_flag")
+    )
+
+
+@staged7(
+    "dq_bot_regularity_detect",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST((epoch_us(ts)
+                        - epoch_us(lag(ts) OVER (
+                              PARTITION BY user_id ORDER BY ts, event_id
+                          ))) // 1000000 AS BIGINT) AS gap_s
+            FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(count(gap_s) AS BIGINT) AS n,
+                   CAST(sum(gap_s) AS BIGINT) AS sg,
+                   CAST(sum(CAST(gap_s AS HUGEINT) * gap_s) AS HUGEINT)
+                       AS sgg
+            FROM gaps WHERE gap_s IS NOT NULL
+            GROUP BY user_id
+        ), judged AS (
+            SELECT user_id, n,
+                   CASE WHEN n >= 20
+                         AND CAST(n AS HUGEINT) * sgg
+                             - CAST(sg AS HUGEINT) * sg
+                             < CAST(n AS HUGEINT) * n * 900
+                        THEN 1 ELSE 0 END AS bot_flag
+            FROM per_user
+        )
+        SELECT CAST(bot_flag AS BIGINT) AS bot_flag,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(n) AS BIGINT) AS n_gaps,
+               CAST(max(n) AS BIGINT) AS max_gaps_per_user
+        FROM judged
+        GROUP BY bot_flag
+        ORDER BY bot_flag
+    """,
+    description="Bot detection by timing regularity: users whose "
+    "inter-event gaps are hyper-regular (population variance under "
+    "900 s^2, i.e. stddev under 30 s, across 20+ gaps) are flagged — "
+    "humans are bursty, schedulers are metronomes; this is the "
+    "traffic-hygiene filter a training-data pipeline runs before "
+    "engagement signals are trusted (bot sessions poison CTR labels "
+    "and corpus quality weights alike). The variance threshold is "
+    "evaluated as an EXACT 128-bit integer inequality on second-"
+    "grid power sums (n*Sgg - Sg^2 < n^2*900) — no float variance "
+    "is ever compared. Scale: per-user lag partitions + map-side-"
+    "combinable power sums; the flag rollup is two rows.",
+)
+def dq_bot_regularity_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "(unix_micros(ts) - unix_micros(lag(ts) over "
+            "(partition by user_id order by ts, event_id))) div 1000000"
+        ).alias("gap_s"),
+    )
+    dec = "decimal(38,0)"
+    per_user = (
+        gaps.where(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("gap_s").cast("long").alias("n"),
+            F.sum("gap_s").cast("long").alias("sg"),
+            F.sum(F.col("gap_s").cast(dec) * F.col("gap_s").cast(dec))
+            .cast(dec)
+            .alias("sgg"),
+        )
+    )
+    var_n2 = (
+        F.col("n").cast(dec) * F.col("sgg")
+        - F.col("sg").cast(dec) * F.col("sg").cast(dec)
+    )
+    bot = F.when(
+        (F.col("n") >= 20)
+        & (
+            var_n2
+            < F.col("n").cast(dec) * F.col("n").cast(dec) * F.lit(900).cast(dec)
+        ),
+        1,
+    ).otherwise(0)
+    return (
+        per_user.select(bot.cast("long").alias("bot_flag"), "n")
+        .groupBy("bot_flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("n").cast("long").alias("n_gaps"),
+            F.max("n").cast("long").alias("max_gaps_per_user"),
+        )
+        .orderBy("bot_flag")
+    )

@@ -53,6 +53,9 @@ EVENT_STAGED = [
     "bidask_market_beta_per_user",
     "events_power_user_curve",
     "graph_clustering_coefficient",
+    "events_cumulative_uniques",
+    "events_hazard_curve",
+    "dq_bot_regularity_detect",
     "bidask_tick_rule_signed_volume",
     "win_first_touch_attribution",
     "agg_funnel_time_to_convert",
@@ -82,6 +85,8 @@ DOC_STAGED = [
     "dedup_incremental_batch",
     "text_boilerplate_prefix_detect",
     "dq_split_leakage_check",
+    "text_unicode_profile",
+    "dedup_lsh_band_sweep",
 ]
 
 ORDER_STAGED = [
@@ -108,6 +113,8 @@ ORDER_STAGED = [
     "dq_categorical_entropy",
     "dq_key_gap_detect",
     "merge_upsert_scd3",
+    "orders_mix_shift_yoy",
+    "etl_retention_prune_plan",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
@@ -122,6 +129,7 @@ LINEITEM_STAGED = [
     "parts_abc_xyz_matrix",
     "orders_sla_breach_by_priority",
     "orders_fill_rate",
+    "dq_orphan_rate_monthly",
 ]
 
 
