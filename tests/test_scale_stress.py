@@ -212,3 +212,57 @@ def test_transition_matrix_oracle_parity_10x(spark, duck_big, big_dir):
     tie-break divergence in the lag ordering shows up as a count shift."""
     n = staged_parity_10x(spark, duck_big, big_dir, "cep_transition_matrix")
     assert n > 0
+
+
+# --- staged wave-C stress (STAGED_R7; unregistered until r7) ---
+
+from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+
+
+def staged7_parity_10x(spark, duck_big, big_dir, name):
+    spec = STAGED_R7[name]
+    df = spec.spark_fn(spark, big_dir)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = duck_big.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows), (
+        f"{name}@10x: spark={len(s_rows)} duckdb={len(d_rows)}"
+    )
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+        f"{name}@10x: value mismatch"
+    )
+    return len(s_rows)
+
+
+def test_market_beta_oracle_parity_10x(spark, duck_big, big_dir):
+    """Per-user exact OLS at 1M events / 5x key cardinality: the
+    128-bit cross moments and leave-one-out market join must stay
+    exact when hourly market cents grow 10x."""
+    n = staged7_parity_10x(
+        spark, duck_big, big_dir, "bidask_market_beta_per_user"
+    )
+    assert n > 0
+
+
+def test_hazard_curve_oracle_parity_10x(spark, duck_big, big_dir):
+    """Survival hazard over 1M events: denser per-user sequences shift
+    mass into the low buckets; reverse-cumulative at-risk counts and
+    integer hazards must match exactly."""
+    n = staged7_parity_10x(spark, duck_big, big_dir, "events_hazard_curve")
+    assert n > 0
+
+
+def test_incremental_dedup_oracle_parity_10x(spark, duck_big, big_dir):
+    """Incremental batch dedup over 10x documents: the replica blocks
+    guarantee every odd-id incoming doc has an even-id twin with
+    identical text somewhere, so the existing-hash probe join carries
+    real duplicate mass at scale. (The LSH band sweep is NOT stressed
+    at 10x: its minhash build is O(n tokens x 16 hashes) x 3 configs
+    on BOTH engines and blows the wall-clock budget; its scale
+    behavior is already proven at sf0.1 and its machinery is shared
+    with dedup_minhash_lsh.)"""
+    n = staged7_parity_10x(
+        spark, duck_big, big_dir, "dedup_incremental_batch"
+    )
+    assert n > 0
