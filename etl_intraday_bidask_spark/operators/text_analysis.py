@@ -303,13 +303,23 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("token")
     ).where(F.col("token") != "")
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # One (doc_id, token) aggregate serves BOTH tf and df: document
+    # frequency is a plain count over the already-deduplicated pair
+    # grain, which deletes the countDistinct Expand pass a naive df
+    # needs. The ranked side filters to 10 docs and BROADCASTS into
+    # the df join, so the full vocabulary table is probed map-side —
+    # never shuffled for the join. (Same results verified identical;
+    # at 100 TB this removes one full-vocab exchange and a distinct.)
+    pairs = tok.groupBy("doc_id", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    tf10 = pairs.where(F.col("doc_id") < 10)
     scored = (
-        tf.join(dfreq, "token")
+        F.broadcast(tf10)
+        .join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
-        .where(F.col("doc_id") < 10)
         .select(
             "doc_id",
             "token",
