@@ -41,6 +41,9 @@ EVENT_OPS = [
     "bidask_quote_staleness",
     "win_pattern_vshape",
     "agg_bitmap_distinct_rollup",
+    "agg_histogram_width_bucket",
+    "agg_median_abs_deviation",
+    "win_interval_range_frame",
     "json_get",
     "sessionize_gaps_islands",
     "funnel_conversion",
@@ -56,6 +59,10 @@ DOC_OPS = [
     "corpus_quality_composite_filter",
     "text_ngram_topk_per_lang",
     "sample_reservoir_per_key",
+    "text_winsorize_quality",
+    "text_chunk_overlap_stride",
+    "corpus_source_quota_cap",
+    "dedup_minhash_est_error",
 ]
 
 BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (µs)
@@ -187,6 +194,12 @@ ORDER_OPS = [
     "join_interval_overlap_bucketed",
     "q13_order_count_distribution",
     "subquery_in_any_all",
+    "sql_identifier_groupby_all",
+    # sql_pivot_dynamic_values is deliberately NOT fuzzed: its contract
+    # is that pivot columns are DISCOVERED from the data while the
+    # oracle hardcodes the full priority domain, so a fixture missing a
+    # priority FAILS LOUDLY by design (see its docstring) — the fuzz
+    # micro-fixtures trigger exactly that documented loud failure.
 ]
 
 
@@ -276,6 +289,9 @@ LINEITEM_OPS = [
     "q20_promotion_part_suppliers",
     "q11_important_stock",
     "q16_supplier_part_types",
+    "q15_top_supplier",
+    "q9_profit_by_nation_year",
+    "win_yoy_nation_revenue",
 ]
 
 
