@@ -2204,9 +2204,10 @@ def win_rank_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY 1, 2
         )
         SELECT label_a, label_b,
-               CASE WHEN label_a = label_b
+               CASE WHEN label_a = label_b AND na.n >= 2
                     THEN (CAST(dot_e12 AS DOUBLE) / 1e12 - na.n)
                          / (CAST(na.n AS DOUBLE) * na.n - na.n)
+                    WHEN label_a = label_b THEN NULL
                     ELSE CAST(dot_e12 AS DOUBLE) / 1e12
                          / (CAST(na.n AS DOUBLE) * nb.n)
                END AS mean_cosine
@@ -2267,14 +2268,16 @@ def embed_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Unrounded: rationals of exact 1e-6-grid ints — identical IEEE
     # chains are bit-identical across engines; round() is the
     # half-boundary trap (see functions/parity.py).
+    # Single-vector labels have zero intra-class pairs: NULL, not a
+    # divide-by-zero (found by the embeddings fuzz battery).
     mean_cos = F.when(
-        diag,
+        diag & (F.col("na.n") >= 2),
         (F.col("dot_e12").cast("double") / 1e12 - F.col("na.n"))
         / (
             F.col("na.n").cast("double") * F.col("na.n")
             - F.col("na.n")
         ),
-    ).otherwise(
+    ).when(diag, F.lit(None).cast("double")).otherwise(
         F.col("dot_e12").cast("double")
         / 1e12
         / (F.col("na.n").cast("double") * F.col("nb.n"))
