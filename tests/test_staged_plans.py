@@ -103,3 +103,71 @@ def test_revenue_bridge_pushes_year_filter(spark):
     assert "o_orderdate" in pushed, (
         "two-year range predicate not pushed to the Parquet scan"
     )
+
+
+# --- wave C (staged_r7) plan audits ---
+
+from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+
+
+def staged7_plan(spark, name: str) -> str:
+    df = STAGED_R7[name].spark_fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_merkle_digests_are_pure_aggregates(spark):
+    """etl_merkle_reconcile's whole point is mergeable sum-of-digest
+    buckets: hash aggregates + one equi join on bucket, no Python
+    eval, no nested loop, no window."""
+    plan = staged7_plan(spark, "etl_merkle_reconcile")
+    for banned in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "Window",
+    ):
+        assert banned not in plan, f"{banned} in merkle plan"
+    assert "HashAggregate" in plan
+
+
+def test_market_beta_broadcasts_market_series(spark):
+    """The hourly market series must BROADCAST onto the (user, hour)
+    grain — shuffling the fact side against a calendar-bounded series
+    would be backwards."""
+    plan = staged7_plan(spark, "bidask_market_beta_per_user")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ols_and_corr_are_join_free_single_aggregates(spark):
+    """The exact-moment statistics reduce in one pass: no joins in the
+    moment computation (corr's 3-row assembly unions scalar rows)."""
+    for name in ("agg_corr_matrix_pairwise",):
+        plan = staged7_plan(spark, name)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "HashAggregate" in plan
+
+
+def test_dup_payment_join_is_equi_on_amount(spark):
+    """dq_duplicate_payment_detect claims amount-as-blocking-key: the
+    self-join must be a hash/sort-merge EQUI join (custkey, cents),
+    never a nested loop over all order pairs."""
+    plan = staged7_plan(spark, "dq_duplicate_payment_detect")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+def test_cumulative_uniques_windows_on_day_grain_only(spark):
+    """The growth curve's running sum must consume the per-day
+    aggregate, not raw events: a HashAggregate must sit below the
+    Window."""
+    plan = staged7_plan(spark, "events_cumulative_uniques")
+    assert "HashAggregate" in plan
+    assert plan.count("Exchange") >= 1
+    assert "CartesianProduct" not in plan
