@@ -161,6 +161,67 @@ _DEFER_NEW_R5 = [
 ]
 
 
+# Wave B, activated in round 6: the 50 staged_r6/staged_r6b operators.
+# All 50 are never-driver-graded, so they occupy the entire round-6
+# 50-slot window (everything previously registered has a green r1-r5
+# grade and rotates behind them). Listed explicitly so the window
+# composition is deterministic and guard-testable, like the earlier
+# waves; ordering within the wave puts the JSON-ingest structural fix
+# first (VERDICT r5 item 3: lead with etl_json_ingest_normalize).
+_DEFER_NEW_R6 = [
+    "etl_json_ingest_normalize",
+    "agg_bitmap_rollup_multigrain",
+    "anomaly_winsorized_zscore",
+    "sessionize_cross_device",
+    "bidask_l2_depth_imbalance",
+    "udtf_table_argument",
+    "corpus_cross_lingual_contamination",
+    "etl_incremental_materialize",
+    "text_zipf_fit",
+    "corpus_dedup_cluster_stats",
+    "sample_importance_reweight",
+    "bidask_returns_acf",
+    "bidask_volume_clock",
+    "dq_freshness_sla",
+    "join_asof_nearest",
+    "set_intersect_except_all",
+    "scan_metadata_columns",
+    "text_vocab_overlap_matrix",
+    "corpus_ngram_novelty_rate",
+    "multimodal_shard_manifest",
+    "join_dim_snapshot_asof",
+    "win_first_touch_attribution",
+    "etl_late_arriving_dim_repair",
+    "graph_triangle_count",
+    "win_median_sliding_hourly",
+    "text_code_detect_heuristic",
+    "bidask_tick_rule_signed_volume",
+    "dedup_cross_source_exact",
+    "orders_market_basket_lift",
+    "win_rank_migration",
+    "embed_class_separation",
+    "win_share_of_parent_nested",
+    "q6_sensitivity_whatif",
+    "date_spine_business_days",
+    "agg_funnel_time_to_convert",
+    "orders_cohort_retention",
+    "orders_rfm_segments",
+    "cep_transition_matrix",
+    "events_active_users_rolling",
+    "agg_pareto_cumshare",
+    "agg_gini_concentration",
+    "agg_concurrent_intervals",
+    "orders_revenue_bridge",
+    "dq_cusum_shift_detect",
+    "events_seasonality_profile",
+    "bidask_roll_spread",
+    "agg_histogram_equi_depth",
+    "agg_heavy_hitters_cms",
+    "join_bitemporal_pit",
+    "agg_ols_normal_equations",
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -238,6 +299,12 @@ def rotation_order(
     deferred.update(
         {n: len(_DEFER_NEW_R4) + i for i, n in enumerate(_DEFER_NEW_R5)}
     )
+    deferred.update(
+        {
+            n: len(_DEFER_NEW_R4) + len(_DEFER_NEW_R5) + i
+            for i, n in enumerate(_DEFER_NEW_R6)
+        }
+    )
     return sorted(
         keys,
         key=lambda k: (
@@ -257,7 +324,9 @@ def _ordered_registry():
     missing = [n for n in _GRADING_PRIORITY if n not in registry]
     assert not missing, f"priority list names unknown operators: {missing}"
     missing_defer = [
-        n for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 if n not in registry
+        n
+        for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 + _DEFER_NEW_R6
+        if n not in registry
     ]
     assert not missing_defer, (
         f"defer list names unknown operators: {missing_defer}"

@@ -34,6 +34,24 @@ HEADLINE = [
     "text_tfidf_topk",
 ]
 
+# DuckDB 1.0.0 anchors at sf0.1, same machine/fixtures (BASELINE.md,
+# measured 2026-08-13, median ms). Embedded so the per-query ratio is
+# machine-readable in the BENCH artifact itself (VERDICT r5 item 4);
+# only valid at sf0.1 — suppressed for other SF dirs.
+DUCKDB_MS_SF01 = {
+    "agg_pricing_summary": 94.4,
+    "join_broadcast_dims": 90.7,
+    "win_topk_per_group": 228.3,
+    "stream_tumbling_1h": 22.0,
+    "stream_session_30m": 377.0,
+    "agg_rollup": 39.1,
+    "json_get": 19.2,
+    "array_explode_tokens": 44.1,
+    "knn_cosine_topk": 38.1,
+    "join_asof_bidask": 71.0,
+    "text_tfidf_topk": 75.1,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -114,6 +132,18 @@ def main() -> None:
     marginal = {
         name: round(max(0.0, t - floor), 4) for name, t in timings.items()
     }
+    # Per-query detail incl. the DuckDB anchor and both ratio readings,
+    # so the 2x-gate comparison lives in ONE machine-readable artifact.
+    anchors = DUCKDB_MS_SF01 if sf == 0.1 else {}
+    detail = {}
+    for name, t in timings.items():
+        row = {"wall_sec": t, "marginal_sec": marginal[name]}
+        if name in anchors:
+            d = anchors[name] / 1000.0
+            row["duckdb_sec"] = d
+            row["wall_ratio"] = round(t / d, 2)
+            row["marginal_ratio"] = round(marginal[name] / d, 2)
+        detail[name] = row
     result = {
         "metric": "headline_suite_wall",
         "value": round(sum(timings.values()), 4),
@@ -123,7 +153,17 @@ def main() -> None:
         "floor_sec_per_query": floor,
         "queries_marginal": marginal,
         "marginal_suite_wall": round(sum(marginal.values()), 4),
+        "queries_detail": detail,
     }
+    if anchors:
+        d_suite = sum(anchors.values()) / 1000.0
+        result["duckdb_suite_wall"] = round(d_suite, 4)
+        result["suite_wall_ratio"] = round(
+            sum(timings.values()) / d_suite, 2
+        )
+        result["suite_marginal_ratio"] = round(
+            sum(marginal.values()) / d_suite, 2
+        )
     print(json.dumps(result))
     spark.stop()
 

@@ -39,6 +39,15 @@ from etl_intraday_bidask_spark.operators import (  # noqa: F401
 from etl_intraday_bidask_spark.plans import pipeline  # noqa: E402,F401
 from etl_intraday_bidask_spark.streaming import stateful  # noqa: E402,F401
 
+# Round 6: activate wave B — the 50 staged_r6/staged_r6b operators
+# (parity-tested at sf0.001/0.01/0.1 + fuzz-battered since round 5) join
+# the graded surface as SURVEY.md §2.28. staged_r6 imports staged_r6b at
+# its bottom, so STAGED holds the union of both files.
+from etl_intraday_bidask_spark.operators import staged_r6  # noqa: E402
+from etl_intraday_bidask_spark.registry import activate_staged  # noqa: E402
+
+activate_staged(staged_r6.STAGED)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

@@ -1,21 +1,15 @@
-"""STAGED round-6 operators (SURVEY.md §7 M7) — implemented and
-parity-tested, but NOT yet registered in the global registry.
+"""Round-6 wave-B operators (SURVEY.md §2.28, built under §7 M7).
 
-Why staged: the round-5 grading window is engineered as exactly
-[27 never-graded round-4 keys, 23 round-5 keys] (see
-``__spark_entry__._DEFER_NEW_R5`` and
-tests/test_entry_contract.py::test_round5_window_covers_entire_surface).
-Registering more never-graded keys now would change nothing for round 5
-(they'd sort at slot 51+) but would re-open the implemented-but-
-ungraded gap the round-4 VERDICT flagged. So this wave ships as code +
-oracle + tests (tests/test_staged_r6.py imports this module directly),
-and round 6 activates it by (1) importing it from ``operators/
-__init__.py``, (2) moving STAGED into the global registry via the
-normal ``register`` calls, (3) adding the keys to a ``_DEFER_NEW_R6``
-list, and (4) adding the SURVEY §2.28 rows + inventory count.
+Staged during round 5 (implemented + parity-tested at three SFs +
+fuzz-battered, deliberately unregistered so the engineered round-5
+window stayed exactly 27+23), then ACTIVATED in round 6:
+``operators/__init__`` promotes the ``STAGED`` dict (this file's 35 ops
+plus ``staged_r6b``'s 15) into the global registry via
+``registry.activate_staged``, and ``__spark_entry__._DEFER_NEW_R6``
+pins the wave as the round-6 50-slot grading window.
 
 Each op follows the full house discipline (scaled-integer parity,
-oracle SQL, scale notes) so activation is a mechanical rename.
+oracle SQL, scale notes).
 """
 
 from __future__ import annotations

@@ -206,7 +206,6 @@ def cep_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    row_total = Window.partitionBy("prev_type")
     return pairs.select(
         "prev_type",
         "next_type",

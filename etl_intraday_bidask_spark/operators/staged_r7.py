@@ -684,40 +684,42 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    def census(e, peel):
-        deg = (
+    def degrees(e):
+        return (
             e.select(F.col("u").alias("x"))
             .unionByName(e.select(F.col("v").alias("x")))
             .groupBy("x")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-        n_e = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-        row = nodes.crossJoin(F.broadcast(n_e)).select(
+
+    def induced(e, keep):
+        return (
+            e.join(keep.withColumnRenamed("x", "u"), "u", "semi")
+            .join(keep.withColumnRenamed("x", "v"), "v", "semi")
+            .select("u", "v")
+        )
+
+    def row(peel, nodes_df, e):
+        n = nodes_df.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        ne = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        return n.crossJoin(F.broadcast(ne)).select(
             F.lit(peel).cast("long").alias("peel"), "n_nodes", "n_edges"
         )
-        keep = deg.where(F.col("deg") >= 2).select("x")
-        e_next = e.join(
-            keep.withColumnRenamed("x", "u"), "u", "semi"
-        ).join(keep.withColumnRenamed("x", "v"), "v", "semi").select(
-            "u", "v"
-        )
-        return row, e_next
 
-    r0, e1 = census(edges, 0)
-    r1, e2 = census(e1, 1)
-    # peel-2 census counts the kept nodes and induced edges only
-    deg2 = (
-        e2.select(F.col("u").alias("x"))
-        .unionByName(e2.select(F.col("v").alias("x")))
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    n2 = deg2.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
-    ne2 = e2.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
-    r2 = n2.crossJoin(F.broadcast(ne2)).select(
-        F.lit(2).cast("long").alias("peel"), "n_nodes", "n_edges"
-    )
+    # Peel semantics (matches the oracle's keep-set census): peel p's
+    # n_nodes is the KEPT set (deg >= 2 in the prior graph) — a kept
+    # node whose edges all died stays counted this peel and falls out
+    # next peel, so census(keep) and census(edge-incident) genuinely
+    # differ (path a-b-c: keep1 = {b}, e1 = {} → peel 1 is (1, 0)).
+    deg0 = degrees(edges)
+    keep1 = deg0.where(F.col("deg") >= 2).select("x")
+    e1 = induced(edges, keep1)
+    deg1 = degrees(e1)
+    keep2 = deg1.where(F.col("deg") >= 2).select("x")
+    e2 = induced(e1, keep2)
+    r0 = row(0, deg0, edges)
+    r1 = row(1, keep1, e1)
+    r2 = row(2, keep2, e2)
     return r0.unionByName(r1).unionByName(r2).orderBy("peel")
 
 
@@ -2311,18 +2313,23 @@ def orders_seasonal_index_monthly(
         F.count(F.lit(1)).alias("n_months"),
     )
     dec = "decimal(38,0)"
-    joined = monthly.join(yearly, "y").select(
-        "m",
-        F.floor(
+    # Integral `div` on DECIMAL(38,0) — NOT `/` + floor: Spark's decimal
+    # `/` rounds the quotient HALF_UP to scale 6 before floor, so a true
+    # fractional part >= 0.9999995 would floor one higher than DuckDB's
+    # exact HUGEINT `//` (ADVICE r5). `div` truncates exactly, and all
+    # values are positive, so truncation == floor on both engines.
+    joined = (
+        monthly.join(yearly, "y")
+        .select(
+            "m",
             (
                 F.col("cents").cast(dec)
                 * F.lit(10000).cast(dec)
                 * F.col("n_months").cast(dec)
-            )
-            / F.col("y_cents").cast(dec)
+            ).alias("num"),
+            F.col("y_cents").cast(dec).alias("den"),
         )
-        .cast("long")
-        .alias("index_bp"),
+        .select("m", F.expr("num div den").cast("long").alias("index_bp"))
     )
     return (
         joined.groupBy(F.col("m").cast("long").alias("month"))

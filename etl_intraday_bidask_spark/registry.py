@@ -56,6 +56,17 @@ def register(
     return deco
 
 
+def activate_staged(staged: dict[str, QuerySpec]) -> None:
+    """Promote a staged wave (a dict of pre-verified QuerySpecs built by a
+    ``staged_r*`` module) into the global registry. Same duplicate check
+    as :func:`register`; called from ``operators/__init__`` when a wave's
+    grading round arrives."""
+    for name, spec in staged.items():
+        if name in REGISTRY:
+            raise ValueError(f"duplicate operator registration: {name}")
+        REGISTRY[name] = spec
+
+
 def load_all_operators() -> dict[str, QuerySpec]:
     """Import every operator module (triggering registration) and return
     the populated registry."""

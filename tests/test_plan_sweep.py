@@ -54,7 +54,7 @@ EXECUTES_ON_BUILD = {
     "observe_pipeline_metrics",
 }
 
-# The declared Python-boundary surface (SURVEY.md §2.11, §2.13).
+# The declared Python-boundary surface (SURVEY.md §2.11, §2.13, §2.28).
 PYTHON_ALLOWED = {
     "udf_python_scalar",
     "udf_arrow_scalar",
@@ -63,6 +63,7 @@ PYTHON_ALLOWED = {
     "udaf_cogrouped_pandas",
     "udtf_python_ngrams",
     "udtf_dynamic_analyze",
+    "udtf_table_argument",
     "multimodal_frame_sample",
     "multimodal_meta_extract",
     "multimodal_resize_stub",

@@ -274,3 +274,38 @@ def test_staged_lineitem_ops_fuzzed(spark, tmp_path_factory, rows):
         str(tmp_path_factory.mktemp("sfuzz_li")), "lineitem", tbl
     )
     _assert_staged_parity(spark, variant, LINEITEM_STAGED)
+
+
+def test_kcore_path_graph_counter_example(spark, tmp_path_factory):
+    """ADVICE r5 regression pin: on the path graph a-b, b-c (hour 1:
+    users 1,2 purchase; hour 2: users 2,3), peel 1 keeps {b} but kills
+    both edges — the keep-set census is (1, 0), NOT (0, 0): a kept node
+    whose edges all died stays counted this peel and falls out next
+    peel (peel 2 = (0, 0)). This is exactly where the edge-incident
+    census and the keep-set census diverge."""
+    import datetime as dt
+
+    h1 = dt.datetime(1997, 3, 1, 10, 0, 0)
+    h2 = dt.datetime(1997, 3, 1, 11, 0, 0)
+    rows = [(1, h1), (2, h1), (2, h2), (3, h2)]
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(len(rows)), pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": pa.array(["purchase"] * len(rows), pa.string()),
+            "value": pa.array([10.0] * len(rows), pa.float64()),
+            "props": pa.array([None] * len(rows), pa.string()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("kcore_path")), "events", tbl
+    )
+    got = {
+        r["peel"]: (r["n_nodes"], r["n_edges"])
+        for r in _ALL_STAGED["graph_kcore_peel"]
+        .spark_fn(spark, variant)
+        .collect()
+    }
+    assert got == {0: (3, 2), 1: (1, 0), 2: (0, 0)}
+    _assert_staged_parity(spark, variant, ["graph_kcore_peel"])

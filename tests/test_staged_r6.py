@@ -1,9 +1,9 @@
-"""Parity tests for the STAGED round-6 wave (operators/staged_r6.py).
+"""Parity tests for wave B (operators/staged_r6.py + staged_r6b.py).
 
-These ops are deliberately NOT in the global registry (see the module
-docstring: the round-5 grading window stays exactly 27+23), so the
-registry-driven sweeps skip them; this file drives the same
-oracle-parity check directly so the wave lands in round 6 pre-verified.
+Staged through round 5, ACTIVATED in round 6 — the registry-driven
+sweeps now cover these ops too; this file keeps the direct
+oracle-parity drive (it predates activation and doubles the coverage)
+plus the activation guard that pins the round-6 window composition.
 """
 
 from __future__ import annotations
@@ -33,12 +33,20 @@ def test_staged_parity(spark, duck_small, name):
     )
 
 
-def test_staged_not_registered():
-    """The staged wave must NOT leak into the global registry (and thus
-    the driver's queries()) before round 6 activates it — the round-5
-    window composition depends on it."""
+def test_wave_b_activated():
+    """Round 6 activated wave B: all 50 staged_r6/staged_r6b ops are in
+    the global registry with their exact staged specs, and the wave is
+    exactly the driver's 50-slot window (every key never-graded as of
+    r05, everything else green r1-r5)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.registry import load_all_operators
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED) & set(registry))
-    assert not leaked, f"staged ops leaked into the registry: {leaked}"
+    assert len(STAGED) == 50
+    missing = sorted(set(STAGED) - set(registry))
+    assert not missing, f"wave-B ops not activated: {missing}"
+    for name, spec in STAGED.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R6) == set(STAGED), (
+        "_DEFER_NEW_R6 and the staged wave diverge"
+    )
