@@ -116,11 +116,12 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pos",
         "n_neg",
         "u2",
-        (
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
             F.col("u2").cast("double")
             / 2.0
             / F.col("n_pos")
-            / F.col("n_neg")
+            / F.col("n_neg"),
         ).alias("auc"),
     )
 
@@ -203,7 +204,7 @@ def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("precision_floor_bp"),
-        F.expr("tp * 10000 div n_pos").cast("long").alias(
+        F.expr("tp * 10000 div nullif(n_pos, 0)").cast("long").alias(
             "recall_floor_bp"
         ),
     ).orderBy("threshold_cents")
@@ -593,8 +594,11 @@ def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.select(
         "n_pos",
         "ap_num_ppm",
-        (
-            F.col("ap_num_ppm").cast("double") / 1000000.0 / F.col("n_pos")
+        F.when(
+            F.col("n_pos") > 0,
+            F.col("ap_num_ppm").cast("double")
+            / 1000000.0
+            / F.col("n_pos"),
         ).alias("average_precision"),
     )
 
@@ -669,11 +673,11 @@ def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             F.expr(
                 "sum(n_pos) over (order by dec rows between unbounded "
-                "preceding and current row) * 10000 div pos_tot"
+                "preceding and current row) * 10000 div nullif(pos_tot, 0)"
             )
             .cast("long")
             .alias("cum_gain_floor_bp"),
-            F.expr("n_pos * n_tot * 10000 div (n * pos_tot)")
+            F.expr("n_pos * n_tot * 10000 div nullif(n * pos_tot, 0)")
             .cast("long")
             .alias("lift_floor_bp"),
         )
@@ -757,7 +761,7 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ks_numer"),
             F.expr(
                 "max(abs(cp * n_neg - cn * n_pos)) * 10000 "
-                "div (n_pos * n_neg)"
+                "div nullif(n_pos * n_neg, 0)"
             )
             .cast("long")
             .alias("ks_floor_bp"),
@@ -922,11 +926,12 @@ def eval_group_auc_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_pos_s").cast("long").alias("n_pos"),
             F.sum("n_neg_s").cast("long").alias("n_neg"),
             u2.cast("long").alias("u2"),
-            (
+            F.when(
+                (F.sum("n_pos_s") > 0) & (F.sum("n_neg_s") > 0),
                 u2.cast("double")
                 / 2.0
                 / F.sum("n_pos_s")
-                / F.sum("n_neg_s")
+                / F.sum("n_neg_s"),
             ).alias("auc"),
         )
         .orderBy("dow")
@@ -1003,8 +1008,8 @@ def eval_psi_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bin",
         "n_a",
         "n_b",
-        F.expr("n_a * 1000000 div na_tot").alias("pa_ppm"),
-        F.expr("n_b * 1000000 div nb_tot").alias("pb_ppm"),
+        F.expr("n_a * 1000000 div nullif(na_tot, 0)").alias("pa_ppm"),
+        F.expr("n_b * 1000000 div nullif(nb_tot, 0)").alias("pb_ppm"),
     )
     return shares.select(
         F.col("bin").cast("long").alias("score_bin"),
@@ -1098,8 +1103,8 @@ def eval_information_value_bins(
         "bin",
         "n_pos",
         "n_neg",
-        F.expr("n_pos * 1000000 div pos_tot").alias("dp_ppm"),
-        F.expr("n_neg * 1000000 div neg_tot").alias("dn_ppm"),
+        F.expr("n_pos * 1000000 div nullif(pos_tot, 0)").alias("dp_ppm"),
+        F.expr("n_neg * 1000000 div nullif(neg_tot, 0)").alias("dn_ppm"),
     )
     woe = F.floor(
         F.log(
@@ -1985,7 +1990,7 @@ def eval_auc_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     rep_auc = cum.groupBy("b").agg(
         F.expr(
             "sum(n_pos_s * (2 * neg_below + n_neg_s)) * 500000 "
-            "div (sum(n_pos_s) * sum(n_neg_s))"
+            "div nullif(sum(n_pos_s) * sum(n_neg_s), 0)"
         )
         .cast("long")
         .alias("auc_ppm")
@@ -2808,7 +2813,7 @@ def eval_auc_delta_champion(
         )
         return cum.agg(
             F.expr(
-                "sum(p * (2 * nb + ng)) * 500000 div (sum(p) * sum(ng))"
+                "sum(p * (2 * nb + ng)) * 500000 div nullif(sum(p) * sum(ng), 0)"
             )
             .cast("long")
             .alias("auc_ppm")
@@ -2924,12 +2929,12 @@ def eval_label_flip_sensitivity(
     )
     aucs = cum.agg(
         F.expr(
-            "sum(p0 * (2 * nb0 + n0)) * 500000 div (sum(p0) * sum(n0))"
+            "sum(p0 * (2 * nb0 + n0)) * 500000 div nullif(sum(p0) * sum(n0), 0)"
         )
         .cast("long")
         .alias("clean_auc_ppm"),
         F.expr(
-            "sum(p1 * (2 * nb1 + n1)) * 500000 div (sum(p1) * sum(n1))"
+            "sum(p1 * (2 * nb1 + n1)) * 500000 div nullif(sum(p1) * sum(n1), 0)"
         )
         .cast("long")
         .alias("noisy_auc_ppm"),
@@ -3012,11 +3017,12 @@ def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_b",
         (d * d).cast("long").alias("srm_num"),
         (F.col("n_a") + F.col("n_b")).cast("long").alias("srm_den"),
-        ((d * d).cast("double") / (F.col("n_a") + F.col("n_b"))).alias(
-            "srm_chi2"
-        ),
-        F.expr("pos_a * 10000 div n_a").cast("long").alias("rate_a_bp"),
-        F.expr("pos_b * 10000 div n_b").cast("long").alias("rate_b_bp"),
+        F.when(
+            F.col("n_a") + F.col("n_b") > 0,
+            (d * d).cast("double") / (F.col("n_a") + F.col("n_b")),
+        ).alias("srm_chi2"),
+        F.expr("pos_a * 10000 div nullif(n_a, 0)").cast("long").alias("rate_a_bp"),
+        F.expr("pos_b * 10000 div nullif(n_b, 0)").cast("long").alias("rate_b_bp"),
     )
 
 
@@ -3232,8 +3238,8 @@ def corpus_length_psi_drift(
         "bin",
         "n_a",
         "n_b",
-        F.expr("n_a * 1000000 div na_tot").alias("pa_ppm"),
-        F.expr("n_b * 1000000 div nb_tot").alias("pb_ppm"),
+        F.expr("n_a * 1000000 div nullif(na_tot, 0)").alias("pa_ppm"),
+        F.expr("n_b * 1000000 div nullif(nb_tot, 0)").alias("pb_ppm"),
     )
     return shares.select(
         F.col("bin").cast("long").alias("len_bin"),

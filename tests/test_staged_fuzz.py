@@ -17,10 +17,11 @@ from hypothesis import strategies as st
 
 from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 
-# Merge wave C into the fuzz-drivable spec pool (separate dicts by
-# design; see staged_r7.py).
-_ALL_STAGED = {**STAGED, **STAGED_R7}
+# Merge waves C and D into the fuzz-drivable spec pool (separate dicts
+# by design; see staged_r7.py / staged_r8.py).
+_ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,
@@ -70,9 +71,55 @@ EVENT_STAGED = [
     "date_spine_business_days",
     "graph_triangle_count",
     "scan_metadata_columns",
+    # Wave D (round 6): the ML-evaluation family over the scored
+    # events stream. Degenerate fuzz fixtures (empty, one-class,
+    # single-arm) exercise the nullif/CASE div-by-zero armor: Spark
+    # ANSI errors on a hard zero divisor while DuckDB yields NULL,
+    # so every guard below is load-bearing for parity.
+    "eval_auc_exact",
+    "eval_threshold_sweep",
+    "eval_calibration_bins",
+    "eval_pr_auc_exact",
+    "eval_lift_gain_deciles",
+    "eval_ks_statistic",
+    "eval_f1_threshold_sweep",
+    "eval_group_auc_by_dow",
+    "eval_psi_score_drift",
+    "eval_information_value_bins",
+    "eval_mcnemar_paired_rules",
+    "eval_mrr_first_purchase",
+    "eval_recall_at_k_per_user",
+    "eval_auc_bootstrap_ci",
+    "eval_ndcg_at5_per_user",
+    "eval_brier_binned",
+    "eval_expected_calibration_error",
+    "eval_calibration_per_segment",
+    "feature_chi2_independence",
+    "eval_slice_balance_audit",
+    "eval_auc_rank_identity",
+    "eval_spearman_value_vs_time",
+    "eval_auc_delta_champion",
+    "eval_label_flip_sensitivity",
+    "eval_decile_boundary_drift",
+    "eval_ab_srm_check",
+    "feature_target_encode_loo",
+    "sample_group_kfold",
+    "sample_time_series_cv_expanding",
+    "feature_missingness_profile",
+    "feature_hashed_cross_bucket",
+    "churn_label_weekly",
+    "feature_time_since_last_bucket",
+    "feature_session_position",
+    "feature_serving_freshness_age",
+    "feature_count_encode_type_hour",
+    "sample_negative_hard_mining",
+    "feature_multi_horizon",
+    "graph_two_hop_reach",
 ]
 
 DOC_STAGED = [
+    "corpus_length_psi_drift",
+    "corpus_split_contamination",
     "text_zipf_fit",
     "text_vocab_overlap_matrix",
     "corpus_ngram_novelty_rate",
@@ -90,6 +137,10 @@ DOC_STAGED = [
 ]
 
 ORDER_STAGED = [
+    "eval_entity_split_leakage",
+    "eval_regression_metrics_exact",
+    "orders_forecast_pinball_loss",
+    "feature_pit_rfm_snapshot",
     "set_intersect_except_all",
     "win_share_of_parent_nested",
     "join_dim_snapshot_asof",
