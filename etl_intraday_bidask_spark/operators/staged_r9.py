@@ -1215,3 +1215,883 @@ def bidask_trade_size_profile(
         )
         .orderBy("size_bucket")
     )
+
+
+@staged9(
+    "gov_k_anonymity_census",
+    oracle_sql="""
+        WITH qi AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(round(c_acctbal * 100) AS BIGINT) // 100000
+                       AS bal_band,
+                   CAST(count(*) AS BIGINT) AS grp_size
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(least(grp_size, 6) AS BIGINT) AS k_bucket,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(grp_size) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN grp_size < 5 THEN grp_size ELSE 0
+                    END) AS BIGINT) AS rows_below_k5
+        FROM qi GROUP BY k_bucket ORDER BY k_bucket
+    """,
+    description="k-anonymity census over the quasi-identifier tuple "
+    "(nation, market segment, $1000 balance band): equivalence-class "
+    "size distribution (capped at 6+) plus the row count in classes "
+    "below k=5 — the re-identification risk measure a privacy review "
+    "runs BEFORE sharing a 'de-identified' extract (a QI class of "
+    "size 1 is a fingerprint; the balance band, not the raw balance, "
+    "is what makes the QI realistic). Integer band edges — no float "
+    "boundary. One aggregate + tiny histogram; at 100 TB the QI "
+    "census is the same map-combined reduce.",
+)
+def gov_k_anonymity_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    qi = (
+        load(spark, sf_dir, "customer")
+        .groupBy(
+            "c_nationkey",
+            "c_mktsegment",
+            F.expr(
+                "floor(c_acctbal * 100 + 0.5) div 100000"
+            ).alias("bal_band"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("grp_size"))
+    )
+    return (
+        qi.groupBy(
+            F.least(F.col("grp_size"), F.lit(6))
+            .cast("long")
+            .alias("k_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("grp_size").cast("long").alias("n_rows"),
+            F.sum(
+                F.when(F.col("grp_size") < 5, F.col("grp_size")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("rows_below_k5"),
+        )
+        .orderBy("k_bucket")
+    )
+
+
+@staged9(
+    "gov_l_diversity_audit",
+    oracle_sql="""
+        WITH joined AS (
+            SELECT c.c_nationkey, c.c_mktsegment,
+                   o.o_orderpriority AS sensitive
+            FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        ), per_class AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT sensitive) AS BIGINT) AS l_div
+            FROM joined GROUP BY 1, 2
+        )
+        SELECT l_div,
+               CAST(count(*) AS BIGINT) AS n_classes,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(min(n_rows) AS BIGINT) AS min_class_rows
+        FROM per_class GROUP BY l_div ORDER BY l_div
+    """,
+    description="l-diversity audit: for each (nation, segment) "
+    "quasi-identifier class, the number of DISTINCT sensitive values "
+    "(order priority) observed — k-anonymity's necessary complement "
+    "(a size-50 class where everyone shares one sensitive value "
+    "discloses it perfectly; l >= 2 is the floor, l >= 3 the common "
+    "bar). Histogram over l with class censuses. The distinct count "
+    "runs per bounded class; the join shuffles on the natural "
+    "custkey.",
+)
+def gov_l_diversity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("sensitive")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    per_class = joined.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("sensitive").cast("long").alias("l_div"),
+    )
+    return (
+        per_class.groupBy("l_div")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("n_rows").cast("long").alias("min_class_rows"),
+        )
+        .orderBy("l_div")
+    )
+
+
+@staged9(
+    "gov_forget_cascade_audit",
+    oracle_sql="""
+        WITH forget AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ), kept_orders AS (
+            SELECT o.o_orderkey, o.o_custkey FROM orders o
+            WHERE o.o_custkey NOT IN (SELECT c_custkey FROM forget)
+        ), audit AS (
+            SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM forget)
+                    AS n_forgotten_customers,
+                (SELECT CAST(count(*) AS BIGINT) FROM orders o
+                 WHERE o.o_custkey IN (SELECT c_custkey FROM forget))
+                    AS n_orders_purged,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 JOIN orders o ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_custkey IN (SELECT c_custkey FROM forget))
+                    AS n_lines_purged,
+                (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+                 LEFT JOIN kept_orders k ON l.l_orderkey = k.o_orderkey
+                 LEFT JOIN orders o2 ON l.l_orderkey = o2.o_orderkey
+                 WHERE k.o_orderkey IS NULL
+                   AND o2.o_custkey NOT IN
+                       (SELECT c_custkey FROM forget))
+                    AS n_orphans_after
+        )
+        SELECT * FROM audit
+    """,
+    description="Right-to-be-forgotten cascade audit: a deterministic "
+    "forget set (custkey % 97 = 0 — the erasure-request batch) is "
+    "purged and the audit proves the CASCADE: how many orders and "
+    "line items the erasure must also remove (facts keyed to the "
+    "forgotten entity are PII under GDPR recital 26), and — the "
+    "graded zero — that no non-forgotten line item is orphaned by "
+    "the purge (the over-deletion bug that silently corrupts "
+    "referential integrity). Anti-join semantics throughout; at "
+    "100 TB this is the deletion-vector planning query run before "
+    "any physical rewrite.",
+)
+def gov_forget_cascade_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    forget = cust.where(F.col("c_custkey") % 97 == 0)
+    n_forgot = forget.agg(
+        F.count(F.lit(1)).cast("long").alias("n_forgotten_customers")
+    )
+    purged_orders = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "semi"
+    )
+    n_orders = purged_orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders_purged")
+    )
+    n_lines = li.join(
+        purged_orders, li.l_orderkey == purged_orders.o_orderkey, "semi"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_lines_purged"))
+    kept_orders = orders.join(
+        forget, orders.o_custkey == forget.c_custkey, "anti"
+    )
+    # lines that survive the purge (their order was NOT purged) but
+    # whose order is missing from the kept set = orphans; must be 0.
+    survivors = li.join(
+        purged_orders, li.l_orderkey == purged_orders.o_orderkey, "anti"
+    )
+    orphans = survivors.join(
+        kept_orders, survivors.l_orderkey == kept_orders.o_orderkey, "anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans_after"))
+    return (
+        n_forgot.crossJoin(F.broadcast(n_orders))
+        .crossJoin(F.broadcast(n_lines))
+        .crossJoin(F.broadcast(orphans))
+    )
+
+
+@staged9(
+    "gov_partition_skew_audit",
+    oracle_sql="""
+        WITH parts AS (
+            SELECT date_trunc('month', l_shipdate) AS p,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY p
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_partitions,
+                   CAST(sum(n) AS BIGINT) AS total_rows,
+                   CAST(max(n) AS BIGINT) AS max_rows,
+                   CAST(quantile_disc(n, 0.5) AS BIGINT) AS median_rows
+            FROM parts
+        ), gini AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(i * x) AS BIGINT) AS six,
+                   CAST(sum(x) AS BIGINT) AS sx
+            FROM (
+                SELECT n AS x,
+                       row_number() OVER (ORDER BY n, p) AS i
+                FROM parts
+            )
+        )
+        SELECT s.n_partitions, s.total_rows, s.max_rows, s.median_rows,
+               CAST(s.max_rows * 10000 // nullif(s.median_rows, 0)
+                    AS BIGINT) AS max_over_median_bp,
+               CAST(2 * g.six - (g.n + 1) * g.sx AS BIGINT)
+                   AS gini_num,
+               CAST(g.n * g.sx AS BIGINT) AS gini_den
+        FROM stats s, gini g
+    """,
+    description="Partition-skew audit over the ship-month layout: "
+    "max/median partition size in floor bp plus the exact rank-"
+    "formula Gini of partition populations — the layout-health "
+    "check run before choosing partition keys (a 10x max/median "
+    "means one straggler task per stage; Gini trends catch drift as "
+    "data accumulates). Reuses agg_gini_concentration's integer "
+    "algebra on partition sizes. The census is one map-combined "
+    "reduce over the fact — the same query a table-format's "
+    "metadata would answer for free, graded here against raw data.",
+)
+def gov_partition_skew_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    parts = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("p"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    stats = parts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("total_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY n)")
+        .cast("long")
+        .alias("median_rows"),
+    )
+    ordered = parts.select(
+        F.col("n").alias("x"),
+        F.row_number().over(Window.orderBy("n", "p")).alias("i"),
+    )
+    gini = ordered.agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("six"),
+        F.sum("x").cast("long").alias("sx"),
+    )
+    return stats.crossJoin(F.broadcast(gini)).select(
+        "n_partitions",
+        "total_rows",
+        "max_rows",
+        "median_rows",
+        F.expr("max_rows * 10000 div nullif(median_rows, 0)")
+        .cast("long")
+        .alias("max_over_median_bp"),
+        (2 * F.col("six") - (F.col("gn") + 1) * F.col("sx"))
+        .cast("long")
+        .alias("gini_num"),
+        (F.col("gn") * F.col("sx")).cast("long").alias("gini_den"),
+    )
+
+
+@staged9(
+    "attr_time_decay",
+    oracle_sql="""
+        WITH clicks AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ), credits AS (
+            SELECT c.cid, p.pid,
+                   CAST(hour(c.cts) AS BIGINT) AS click_hour,
+                   CASE
+                       WHEN epoch_us(p.pts) - epoch_us(c.cts)
+                            < CAST(4 AS BIGINT) * 3600 * 1000000 THEN 4
+                       WHEN epoch_us(p.pts) - epoch_us(c.cts)
+                            < CAST(12 AS BIGINT) * 3600 * 1000000 THEN 2
+                       ELSE 1 END AS w4
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.cts < p.pts
+             AND epoch_us(p.pts) - epoch_us(c.cts)
+                 <= CAST(24 AS BIGINT) * 3600 * 1000000
+        ), norm AS (
+            SELECT pid, CAST(sum(w4) AS BIGINT) AS tw FROM credits
+            GROUP BY pid
+        ), shared AS (
+            SELECT cr.click_hour,
+                   cr.w4 * 1000000 // n.tw AS credit_ppm
+            FROM credits cr JOIN norm n ON cr.pid = n.pid
+        )
+        SELECT click_hour,
+               CAST(count(*) AS BIGINT) AS n_credited_clicks,
+               CAST(sum(credit_ppm) AS BIGINT) AS credit_sum_ppm
+        FROM shared GROUP BY click_hour ORDER BY click_hour
+    """,
+    description="Time-decay attribution: every click within 24h before "
+    "a purchase earns credit with dyadic half-life weights (4x inside "
+    "4h, 2x inside 12h, 1x inside 24h — integer weights, so the "
+    "per-purchase normalization w*1e6 div total is the only division "
+    "and it floors identically), aggregated to credit share per "
+    "click hour-of-day — the budget-allocation view (which hours' "
+    "clicks actually drive conversions). The candidate join blocks "
+    "on user_id with a bounded 24h window; per-purchase totals join "
+    "back on the purchase key. All integral ppm.",
+)
+def attr_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    age = F.unix_micros("pts") - F.unix_micros("cts")
+    credits = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") < F.col("pts"))
+        & (age <= 24 * 3600 * 1000000),
+    ).select(
+        "pid",
+        F.hour("cts").cast("long").alias("click_hour"),
+        F.when(age < 4 * 3600 * 1000000, 4)
+        .when(age < 12 * 3600 * 1000000, 2)
+        .otherwise(1)
+        .alias("w4"),
+    )
+    norm = credits.groupBy("pid").agg(
+        F.sum("w4").cast("long").alias("tw")
+    )
+    shared = credits.join(norm, "pid").select(
+        "click_hour", F.expr("w4 * 1000000 div tw").alias("credit_ppm")
+    )
+    return (
+        shared.groupBy("click_hour")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_credited_clicks"),
+            F.sum("credit_ppm").cast("long").alias("credit_sum_ppm"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+@staged9(
+    "attr_position_u_shaped",
+    oracle_sql="""
+        WITH clicks AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ), paths AS (
+            SELECT p.pid, c.cid, c.cts,
+                   row_number() OVER (PARTITION BY p.pid
+                       ORDER BY c.cts, c.cid) AS pos,
+                   count(*) OVER (PARTITION BY p.pid) AS n_touch
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id AND c.cts < p.pts
+             AND epoch_us(p.pts) - epoch_us(c.cts)
+                 <= CAST(24 AS BIGINT) * 3600 * 1000000
+        ), credited AS (
+            SELECT pid, cid,
+                   CASE
+                       WHEN n_touch = 1 THEN 10000
+                       WHEN n_touch = 2 THEN 5000
+                       WHEN pos = 1 THEN 4000
+                       WHEN pos = n_touch THEN 4000
+                       ELSE 2000 // (n_touch - 2) END AS credit_bp,
+                   CASE WHEN pos = 1 THEN 'first'
+                        WHEN pos = n_touch THEN 'last'
+                        ELSE 'middle' END AS role
+            FROM paths
+        )
+        SELECT role,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(credit_bp) AS BIGINT) AS credit_sum_bp
+        FROM credited GROUP BY role ORDER BY role
+    """,
+    description="U-shaped (position-based) multi-touch attribution: "
+    "40% to the first touch, 40% to the last, 20% split across the "
+    "middle (integral division; 1-touch paths take 100%, 2-touch "
+    "split 50/50) over the 24h click window per purchase — the "
+    "awareness-vs-closer decomposition linear attribution blurs. "
+    "Touch ordering is (ts, event_id) tie-broken; the per-path "
+    "window partitions on the purchase key. Credit conservation "
+    "(sum = 10000 bp per path up to middle-split flooring) is the "
+    "cross-check built into the graded censuses.",
+)
+def attr_position_u_shaped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    age = F.unix_micros("pts") - F.unix_micros("cts")
+    paths = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") < F.col("pts"))
+        & (age <= 24 * 3600 * 1000000),
+    ).select(
+        "pid",
+        "cid",
+        F.row_number()
+        .over(Window.partitionBy("pid").orderBy("cts", "cid"))
+        .alias("pos"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("pid"))
+        .alias("n_touch"),
+    )
+    credited = paths.select(
+        F.when(F.col("n_touch") == 1, 10000)
+        .when(F.col("n_touch") == 2, 5000)
+        .when(F.col("pos") == 1, 4000)
+        .when(F.col("pos") == F.col("n_touch"), 4000)
+        .otherwise(F.expr("2000 div (n_touch - 2)"))
+        .alias("credit_bp"),
+        F.when(F.col("pos") == 1, "first")
+        .when(F.col("pos") == F.col("n_touch"), "last")
+        .otherwise("middle")
+        .alias("role"),
+    )
+    return (
+        credited.groupBy("role")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum("credit_bp").cast("long").alias("credit_sum_bp"),
+        )
+        .orderBy("role")
+    )
+
+
+@staged9(
+    "attr_campaign_overlap",
+    oracle_sql="""
+        WITH reach AS (
+            SELECT user_id,
+                   CAST(max(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r_view,
+                   CAST(max(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS r_click,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS converted
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(r_view) AS BIGINT) AS reach_view,
+               CAST(sum(r_click) AS BIGINT) AS reach_click,
+               CAST(sum(r_view * r_click) AS BIGINT) AS reach_both,
+               CAST(sum(r_view + r_click - r_view * r_click)
+                    AS BIGINT) AS reach_either,
+               CAST(sum(CASE WHEN r_view * r_click = 1
+                        THEN converted ELSE 0 END) AS BIGINT)
+                   AS conv_both,
+               CAST(sum(CASE WHEN r_view = 1 AND r_click = 0
+                        THEN converted ELSE 0 END) AS BIGINT)
+                   AS conv_view_only,
+               CAST(sum(CASE WHEN r_view = 0 AND r_click = 1
+                        THEN converted ELSE 0 END) AS BIGINT)
+                   AS conv_click_only
+        FROM reach
+    """,
+    description="Cross-channel reach overlap and conversion lift: "
+    "per-user exposure flags for the view and click channels, "
+    "inclusion-exclusion reach (either = A + B - both, exact), and "
+    "conversion counts per exposure cell — the deduplicated-reach "
+    "question (agg_theta_audience_overlap answers it approximately "
+    "with sketches; this is the exact per-user form the sketch is "
+    "graded against conceptually) plus the synergy read "
+    "(conv_both vs single-channel cells). One user-key reduce.",
+)
+def attr_campaign_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    reach = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_view"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("converted"),
+        )
+    )
+    return reach.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r_view").cast("long").alias("reach_view"),
+        F.sum("r_click").cast("long").alias("reach_click"),
+        F.sum(F.col("r_view") * F.col("r_click"))
+        .cast("long")
+        .alias("reach_both"),
+        F.sum(
+            F.col("r_view")
+            + F.col("r_click")
+            - F.col("r_view") * F.col("r_click")
+        )
+        .cast("long")
+        .alias("reach_either"),
+        F.sum(
+            F.when(
+                F.col("r_view") * F.col("r_click") == 1,
+                F.col("converted"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_both"),
+        F.sum(
+            F.when(
+                (F.col("r_view") == 1) & (F.col("r_click") == 0),
+                F.col("converted"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_view_only"),
+        F.sum(
+            F.when(
+                (F.col("r_view") == 0) & (F.col("r_click") == 1),
+                F.col("converted"),
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("conv_click_only"),
+    )
+
+
+@staged9(
+    "attr_incrementality_did",
+    oracle_sql="""
+        WITH cells AS (
+            SELECT (user_id * 48271) % 2147483647 % 2 AS arm,
+                   CASE WHEN ts < TIMESTAMP '2024-01-16'
+                        THEN 0 ELSE 1 END AS period,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events
+        ), rates AS (
+            SELECT arm, period,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(y) * 1000000 // count(*) AS BIGINT)
+                       AS rate_ppm
+            FROM cells GROUP BY arm, period
+        ), wide AS (
+            SELECT
+                max(CASE WHEN arm = 1 AND period = 1
+                    THEN rate_ppm END) AS t_post,
+                max(CASE WHEN arm = 1 AND period = 0
+                    THEN rate_ppm END) AS t_pre,
+                max(CASE WHEN arm = 0 AND period = 1
+                    THEN rate_ppm END) AS c_post,
+                max(CASE WHEN arm = 0 AND period = 0
+                    THEN rate_ppm END) AS c_pre
+            FROM rates
+        )
+        SELECT CAST(t_pre AS BIGINT) AS treat_pre_ppm,
+               CAST(t_post AS BIGINT) AS treat_post_ppm,
+               CAST(c_pre AS BIGINT) AS control_pre_ppm,
+               CAST(c_post AS BIGINT) AS control_post_ppm,
+               CAST((t_post - t_pre) - (c_post - c_pre) AS BIGINT)
+                   AS did_ppm
+        FROM wide
+    """,
+    description="Difference-in-differences incrementality: users "
+    "hash-split into treatment/control (the same replayable LCG "
+    "assignment as eval_ab_srm_check), the observation window split "
+    "pre/post at mid-month, and the incremental effect is "
+    "(T_post - T_pre) - (C_post - C_pre) in exact ppm rates — the "
+    "causal read that subtracts both the pre-existing arm difference "
+    "AND the common time trend, which a naive post-only comparison "
+    "confounds. One conditional aggregate + 4-cell pivot.",
+)
+def attr_incrementality_did(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = load(spark, sf_dir, "events").select(
+        ((F.col("user_id") * 48271) % 2147483647 % 2).alias("arm"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    rates = cells.groupBy("arm", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.expr("sum(y) * 1000000 div count(*)").alias("rate_ppm"),
+    )
+    wide = rates.agg(
+        F.max(
+            F.when(
+                (F.col("arm") == 1) & (F.col("period") == 1),
+                F.col("rate_ppm"),
+            )
+        ).alias("t_post"),
+        F.max(
+            F.when(
+                (F.col("arm") == 1) & (F.col("period") == 0),
+                F.col("rate_ppm"),
+            )
+        ).alias("t_pre"),
+        F.max(
+            F.when(
+                (F.col("arm") == 0) & (F.col("period") == 1),
+                F.col("rate_ppm"),
+            )
+        ).alias("c_post"),
+        F.max(
+            F.when(
+                (F.col("arm") == 0) & (F.col("period") == 0),
+                F.col("rate_ppm"),
+            )
+        ).alias("c_pre"),
+    )
+    return wide.select(
+        F.col("t_pre").cast("long").alias("treat_pre_ppm"),
+        F.col("t_post").cast("long").alias("treat_post_ppm"),
+        F.col("c_pre").cast("long").alias("control_pre_ppm"),
+        F.col("c_post").cast("long").alias("control_post_ppm"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        )
+        .cast("long")
+        .alias("did_ppm"),
+    )
+
+
+def _markov_value_iteration_sql(rounds: int) -> str:
+    """Unrolled value-iteration CTE chain (same device as
+    embed_power_iteration's unrolled matvec): v_k(s) = P(absorb at
+    purchase within k steps), ppm integers, with the removed-channel
+    value function computed in the same pass by pinning v(click) = 0.
+    """
+    head = """
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), trans AS (
+            SELECT CASE WHEN prev_type IS NULL
+                        OR prev_type = 'purchase'
+                   THEN 'START' ELSE prev_type END AS src,
+                   event_type AS dst
+            FROM seq
+            UNION ALL
+            SELECT event_type AS src, 'END' AS dst
+            FROM (
+                SELECT user_id, event_type,
+                       row_number() OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts DESC, event_id DESC) AS rn
+                FROM events
+            ) WHERE rn = 1 AND event_type <> 'purchase'
+        ), t AS (
+            SELECT src, dst,
+                   CAST(count(*) AS BIGINT) * 1000000
+                       // sum(CAST(count(*) AS BIGINT))
+                         OVER (PARTITION BY src) AS p_ppm
+            FROM trans GROUP BY src, dst
+        ), states AS (
+            SELECT DISTINCT s FROM (
+                SELECT src AS s FROM t
+                UNION ALL SELECT dst FROM t
+            )
+        ), v0 AS (
+            SELECT s,
+                   CASE WHEN s = 'purchase'
+                        THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS vb,
+                   CASE WHEN s = 'purchase'
+                        THEN CAST(1000000 AS BIGINT)
+                        ELSE CAST(0 AS BIGINT) END AS vr
+            FROM states
+        )"""
+    step = """, v{k} AS (
+            SELECT st.s,
+                   CASE WHEN st.s = 'purchase'
+                        THEN CAST(1000000 AS BIGINT)
+                        WHEN st.s = 'END' THEN CAST(0 AS BIGINT)
+                        ELSE coalesce(CAST(sum(t.p_ppm * pv.vb)
+                             AS BIGINT) // 1000000, 0) END AS vb,
+                   CASE WHEN st.s = 'purchase'
+                        THEN CAST(1000000 AS BIGINT)
+                        WHEN st.s = 'END' OR st.s = 'click'
+                        THEN CAST(0 AS BIGINT)
+                        ELSE coalesce(CAST(sum(t.p_ppm * pv.vr)
+                             AS BIGINT) // 1000000, 0) END AS vr
+            FROM states st
+            LEFT JOIN t ON t.src = st.s
+            LEFT JOIN v{km1} pv ON pv.s = t.dst
+            GROUP BY st.s
+        )"""
+    body = "".join(
+        step.format(k=k, km1=k - 1) for k in range(1, rounds + 1)
+    )
+    tail = f"""
+        SELECT CAST(vb AS BIGINT) AS conv_base_ppm,
+               CAST(vr AS BIGINT) AS conv_removed_ppm,
+               CAST(vb - vr AS BIGINT) AS removal_effect_ppm
+        FROM v{rounds} WHERE s = 'START'
+    """
+    return head + body + tail
+
+
+_MARKOV_ROUNDS = 8
+
+
+@staged9(
+    "attr_markov_removal_effect",
+    oracle_sql=_markov_value_iteration_sql(_MARKOV_ROUNDS),
+    description="Markov removal-effect attribution for the click "
+    "channel: per-user journeys become a first-order chain (paths "
+    "restart at START after each purchase; unterminated journeys "
+    "absorb at END), transition probabilities floor onto the ppm "
+    "grid, and the conversion probability from START is computed by "
+    "8 rounds of exact integer value iteration (v <- T.v div 1e6, "
+    "purchase pinned 1e6, END pinned 0) — run TWICE in one pass, "
+    "with v(click) additionally pinned to 0 for the removed chain "
+    "(the Anderl et al. removal semantics: paths through the "
+    "removed channel fail, no renormalization). The removal effect "
+    "conv_base - conv_removed is the channel's causal credit, the "
+    "model-based answer to the heuristics (first-touch, U-shaped, "
+    "time-decay) this family grades side by side. Fixed iteration "
+    "count, bit-stable integer algebra — same discipline as "
+    "graph_pagerank_fixedpoint / embed_power_iteration; the chain "
+    "matrix is |states|^2 (tiny, broadcast); the only data-scale "
+    "pass is the transition count.",
+)
+def attr_markov_removal_effect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(wu).alias("prev_type")
+    )
+    starts = seq.select(
+        F.when(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") == "purchase"),
+            F.lit("START"),
+        )
+        .otherwise(F.col("prev_type"))
+        .alias("src"),
+        F.col("event_type").alias("dst"),
+    )
+    last = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.row_number()
+            .over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            .alias("rn"),
+        )
+        .where((F.col("rn") == 1) & (F.col("event_type") != "purchase"))
+        .select(
+            F.col("event_type").alias("src"), F.lit("END").alias("dst")
+        )
+    )
+    trans = starts.unionByName(last)
+    t = trans.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    t = t.select(
+        "src",
+        "dst",
+        F.expr(
+            "n * 1000000 div sum(n) over (partition by src)"
+        ).alias("p_ppm"),
+    )
+    states = (
+        t.select(F.col("src").alias("s"))
+        .unionByName(t.select(F.col("dst").alias("s")))
+        .distinct()
+    )
+    v = states.select(
+        "s",
+        F.when(F.col("s") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vb"),
+        F.when(F.col("s") == "purchase", F.lit(1000000))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("vr"),
+    )
+    t2 = t.select(
+        F.col("src").alias("tsrc"),
+        F.col("dst").alias("tdst"),
+        "p_ppm",
+    )
+    for _ in range(_MARKOV_ROUNDS):
+        pv = v.select(
+            F.col("s").alias("ps"),
+            F.col("vb").alias("pvb"),
+            F.col("vr").alias("pvr"),
+        )
+        stepped = (
+            states.join(t2, states.s == t2.tsrc, "left")
+            .join(pv, t2.tdst == pv.ps, "left")
+            .groupBy("s")
+            .agg(
+                F.coalesce(
+                    F.expr("sum(p_ppm * pvb) div 1000000"), F.lit(0)
+                ).alias("raw_vb"),
+                F.coalesce(
+                    F.expr("sum(p_ppm * pvr) div 1000000"), F.lit(0)
+                ).alias("raw_vr"),
+            )
+        )
+        v = stepped.select(
+            "s",
+            F.when(F.col("s") == "purchase", F.lit(1000000))
+            .when(F.col("s") == "END", F.lit(0))
+            .otherwise(F.col("raw_vb"))
+            .cast("long")
+            .alias("vb"),
+            F.when(F.col("s") == "purchase", F.lit(1000000))
+            .when(
+                (F.col("s") == "END") | (F.col("s") == "click"), F.lit(0)
+            )
+            .otherwise(F.col("raw_vr"))
+            .cast("long")
+            .alias("vr"),
+        ).localCheckpoint(eager=True)
+    return v.where(F.col("s") == "START").select(
+        F.col("vb").alias("conv_base_ppm"),
+        F.col("vr").alias("conv_removed_ppm"),
+        (F.col("vb") - F.col("vr")).cast("long").alias(
+            "removal_effect_ppm"
+        ),
+    )
