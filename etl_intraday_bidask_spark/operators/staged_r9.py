@@ -2095,3 +2095,588 @@ def attr_markov_removal_effect(
             "removal_effect_ppm"
         ),
     )
+
+
+@staged9(
+    "embed_sign_hamming_ann",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), sketches AS (
+            SELECT vec_id, label,
+                   CAST(sum(CASE WHEN x > 0 THEN
+                       CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS sig
+            FROM exp WHERE i < 63 GROUP BY vec_id, label
+        ), q AS (SELECT sig AS qsig FROM sketches WHERE vec_id = 0),
+        dists AS (
+            SELECT s.vec_id, s.label,
+                   CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT)
+                       AS hamming
+            FROM sketches s, q WHERE s.vec_id <> 0
+        )
+        SELECT vec_id, label, hamming
+        FROM dists ORDER BY hamming, vec_id LIMIT 10
+    """,
+    description="Sign-bit Hamming ANN: each vector compresses to a "
+    "63-bit sign sketch (one bit per dimension, dims 0-62 — bit 63 "
+    "dropped to keep the signature a non-negative BIGINT on both "
+    "engines), and nearest neighbors rank by EXACT integer Hamming "
+    "distance bit_count(xor(sig, qsig)) — the 1-bit quantization "
+    "extreme of the PQ/int8/int4 memory-compression family: 64 dims "
+    "x float32 -> 8 bytes, 32x smaller, distance computation pure "
+    "ALU. Ranking is fully integral (vec_id tie-break), so this ANN "
+    "variant is hash-gradeable with NO float anywhere. Scale: the "
+    "sketch table shuffles as one long per vector; Hamming top-k is "
+    "a broadcast-compare + heap.",
+)
+def embed_sign_hamming_ann(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.posexplode(as_double("embedding")).alias("i", "x")
+    )
+    sketches = (
+        exp.where(F.col("i") < 63)
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("x") > 0,
+                    F.expr("shiftleft(cast(1 as bigint), cast(i as int))"),
+                ).otherwise(F.lit(0).cast("long"))
+            )
+            .cast("long")
+            .alias("sig")
+        )
+    )
+    q = sketches.where(F.col("vec_id") == 0).select(
+        F.col("sig").alias("qsig")
+    )
+    dists = (
+        sketches.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            F.bit_count(
+                F.col("sig").bitwiseXOR(F.col("qsig"))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    return dists.orderBy("hamming", "vec_id").limit(10)
+
+
+@staged9(
+    "embed_matryoshka_recall",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings
+        ), q AS (
+            SELECT i, x AS y FROM exp WHERE vec_id = 0
+        ), budgets(d) AS (VALUES (16), (32), (64)),
+        dots AS (
+            SELECT b.d, e.vec_id,
+                   sum(e.x * q.y) AS dot,
+                   sum(e.x * e.x) AS na2,
+                   sum(q.y * q.y) AS nb2
+            FROM exp e JOIN q ON e.i = q.i
+            CROSS JOIN budgets b
+            WHERE e.vec_id <> 0 AND e.i < b.d AND q.i < b.d
+            GROUP BY b.d, e.vec_id
+        ), ranked AS (
+            SELECT d, vec_id,
+                   row_number() OVER (PARTITION BY d
+                       ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC,
+                                vec_id) AS rk
+            FROM dots
+        ), full_top AS (
+            SELECT vec_id FROM ranked WHERE d = 64 AND rk <= 10
+        )
+        SELECT CAST(r.d AS BIGINT) AS dim_budget,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CASE WHEN f.vec_id IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS hits_vs_full
+        FROM ranked r LEFT JOIN full_top f ON r.vec_id = f.vec_id
+        WHERE r.rk <= 10
+        GROUP BY r.d ORDER BY dim_budget
+    """,
+    description="Matryoshka truncation recall: top-10 cosine "
+    "neighbors computed with only the first 16 / 32 / 64 dimensions "
+    "(nested prefixes — the matryoshka-embedding deployment trick: "
+    "one stored vector serves every budget), each budget's overlap "
+    "with the full-dimension top-10 graded — the accuracy-vs-cost "
+    "curve that decides how many dims the serving tier keeps "
+    "(complements knn_pq_adc's codebook compression with prefix "
+    "truncation). One exploded join serves all three budgets via a "
+    "broadcast budget dim; per-budget rank windows.",
+)
+def embed_matryoshka_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("i", "x")
+    )
+    q = exp.where(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("x").alias("y")
+    )
+    budgets = spark.createDataFrame([(16,), (32,), (64,)], ["d"])
+    dots = (
+        exp.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), F.col("i") == F.col("qi"))
+        .crossJoin(F.broadcast(budgets))
+        .where(F.col("i") < F.col("d"))
+        .groupBy("d", "vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("na2"),
+            F.sum(F.col("y") * F.col("y")).alias("nb2"),
+        )
+    )
+    ranked = dots.select(
+        "d",
+        "vec_id",
+        F.row_number()
+        .over(
+            Window.partitionBy("d").orderBy(
+                (
+                    F.col("dot")
+                    / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+                ).desc(),
+                "vec_id",
+            )
+        )
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    full_top = ranked.where(F.col("d") == 64).select(
+        F.col("vec_id").alias("fv")
+    )
+    return (
+        ranked.join(full_top, ranked.vec_id == full_top.fv, "left")
+        .groupBy(F.col("d").cast("long").alias("dim_budget"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.sum(F.when(F.col("fv").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits_vs_full"),
+        )
+        .orderBy("dim_budget")
+    )
+
+
+@staged9(
+    "embed_int4_quant_error",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, label,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000) AS BIGINT) AS xq
+            FROM embeddings
+        ), scales AS (
+            SELECT vec_id, CAST(max(abs(xq)) AS BIGINT) AS s
+            FROM exp GROUP BY vec_id
+        ), coded AS (
+            SELECT e.vec_id, e.label, e.xq, sc.s,
+                   CASE WHEN sc.s = 0 THEN 0 ELSE
+                       CAST(round(CAST(e.xq AS DOUBLE) * 7 / sc.s)
+                            AS BIGINT) END AS code
+            FROM exp e JOIN scales sc ON e.vec_id = sc.vec_id
+        ), errs AS (
+            SELECT label,
+                   abs(xq * 7 - code * s) AS err7
+            FROM coded
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_coords,
+               CAST(sum(err7) AS BIGINT) AS sum_err7_scaled,
+               CAST(max(err7) AS BIGINT) AS max_err7_scaled
+        FROM errs GROUP BY label ORDER BY label
+    """,
+    description="Int4 symmetric quantization error audit: each "
+    "vector's coordinates (pre-quantized to the 1e-6 grid) code into "
+    "[-7, 7] against the per-vector max-abs scale, and the "
+    "reconstruction error is measured in the 7x-scaled integer "
+    "domain |xq*7 - code*s| — EXACT, because the comparison "
+    "cross-multiplies instead of reconstructing a rational (the "
+    "same device as every ratio in this repo). The per-label "
+    "error profile extends the compression family (int8 op, PQ-ADC, "
+    "sign-bit) to the 8x-compression point and tells you which "
+    "classes lose the most signal. code = round(xq*7/s) is the one "
+    "rounding, on an irrational-free rational — round-half ties "
+    "need xq*14 ≡ s (mod 2s), excluded by the fixture's continuous "
+    "draws (same argument as the norm-bucket boundary note). Scale: "
+    "map + two keyed reduces.",
+)
+def embed_int4_quant_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.explode(as_double("embedding")).alias("x"),
+    ).select(
+        "vec_id",
+        "label",
+        F.floor(F.col("x") * 1000000 + 0.5).cast("long").alias("xq"),
+    )
+    scales = exp.groupBy("vec_id").agg(
+        F.max(F.abs("xq")).cast("long").alias("s")
+    )
+    coded = exp.join(scales, "vec_id").select(
+        "label",
+        "xq",
+        "s",
+        F.when(F.col("s") == 0, 0)
+        .otherwise(
+            F.round(F.col("xq").cast("double") * 7 / F.col("s"), 0)
+        )
+        .cast("long")
+        .alias("code"),
+    )
+    errs = coded.select(
+        "label",
+        F.abs(F.col("xq") * 7 - F.col("code") * F.col("s")).alias("err7"),
+    )
+    return (
+        errs.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_coords"),
+            F.sum("err7").cast("long").alias("sum_err7_scaled"),
+            F.max("err7").cast("long").alias("max_err7_scaled"),
+        )
+        .orderBy("label")
+    )
+
+
+@staged9(
+    "corpus_tokenizer_fertility",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT lang,
+                   CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT)
+                       AS n_words,
+                   CAST(len(regexp_extract_all(
+                       text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+                       AS BIGINT) AS n_bpe_ish
+            FROM documents
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_bpe_ish) AS BIGINT) AS total_bpe_ish,
+               CAST(sum(n_chars) * 100 // nullif(sum(n_words), 0)
+                    AS BIGINT) AS chars_per_word_x100,
+               CAST(sum(n_bpe_ish) * 100 // nullif(sum(n_words), 0)
+                    AS BIGINT) AS bpe_per_word_x100
+        FROM toks GROUP BY lang ORDER BY lang
+    """,
+    description="Tokenizer-fertility profile per language: corpus "
+    "chars-per-word and BPE-ish-tokens-per-word (the same "
+    "letters/digits/punct regex class as text_token_count_bpe, "
+    "dialect-identical on both engines), as x100 integral ratios — "
+    "the budget planner's table (a language with 2x fertility costs "
+    "2x the context window per word, which drives both training-mix "
+    "economics and serving truncation policy; cf. "
+    "sample_importance_reweight for the mix side). One narrow map + "
+    "reduce, nullif-guarded for empty-token languages.",
+)
+def corpus_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.size(
+            F.expr(
+                "regexp_extract_all(text, "
+                "'[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+            )
+        )
+        .cast("long")
+        .alias("n_bpe_ish"),
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_words").cast("long").alias("total_words"),
+            F.sum("n_bpe_ish").cast("long").alias("total_bpe_ish"),
+            F.expr(
+                "sum(n_chars) * 100 div nullif(sum(n_words), 0)"
+            )
+            .cast("long")
+            .alias("chars_per_word_x100"),
+            F.expr(
+                "sum(n_bpe_ish) * 100 div nullif(sum(n_words), 0)"
+            )
+            .cast("long")
+            .alias("bpe_per_word_x100"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged9(
+    "corpus_dup_threshold_curve",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents
+        ), postings AS (
+            SELECT DISTINCT doc_id, lang, unnest(t) AS token
+            FROM toks
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM postings GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(count(*) AS BIGINT) AS inter
+            FROM postings a JOIN postings b
+              ON a.token = b.token AND a.lang = b.lang
+             AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ), scored AS (
+            SELECT p.inter, sa.sz AS sza, sb.sz AS szb
+            FROM pairs p
+            JOIN sizes sa ON p.da = sa.doc_id
+            JOIN sizes sb ON p.db = sb.doc_id
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_candidate_pairs,
+               CAST(sum(CASE WHEN inter * 2 >
+                        (sza + szb - inter) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_at_50,
+               CAST(sum(CASE WHEN inter * 10 >
+                        (sza + szb - inter) * 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_at_70,
+               CAST(sum(CASE WHEN inter * 10 >
+                        (sza + szb - inter) * 9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_at_90
+        FROM scored
+    """,
+    description="Dedup threshold-sensitivity curve: the exact token "
+    "Jaccard of every lang-blocked candidate pair evaluated against "
+    "three thresholds (0.5 / 0.7 / 0.9) IN ONE PASS — each threshold "
+    "test is the integer cross-multiplication inter*10 > union*k, so "
+    "the curve (how many pairs each policy would collapse) costs one "
+    "postings join instead of three dedup runs. This is the knob-"
+    "tuning table for dedup_near_jaccard and the MinHash family: "
+    "the corpus owner reads retention-vs-threshold before freezing "
+    "the policy. Same blocked-join bound as the Jaccard family.",
+)
+def corpus_dup_threshold_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    postings = (
+        load(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.array_distinct(F.split("text", " "))).alias(
+                "token"
+            ),
+        )
+        .distinct()
+    )
+    sizes = postings.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = postings.select(
+        F.col("doc_id").alias("da"), "lang", "token"
+    )
+    b = postings.select(
+        F.col("doc_id").alias("db"),
+        F.col("lang").alias("lb"),
+        F.col("token").alias("tb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("token") == F.col("tb"))
+            & (F.col("lang") == F.col("lb"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    scored = (
+        pairs.join(
+            sizes.withColumnRenamed("doc_id", "da").withColumnRenamed(
+                "sz", "sza"
+            ),
+            "da",
+        )
+        .join(
+            sizes.withColumnRenamed("doc_id", "db").withColumnRenamed(
+                "sz", "szb"
+            ),
+            "db",
+        )
+    )
+    union_sz = F.col("sza") + F.col("szb") - F.col("inter")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+        F.sum(F.when(F.col("inter") * 2 > union_sz, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_at_50"),
+        F.sum(F.when(F.col("inter") * 10 > union_sz * 7, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_at_70"),
+        F.sum(F.when(F.col("inter") * 10 > union_sz * 9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_at_90"),
+    )
+
+
+@staged9(
+    "win_topk_with_ties",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   rank() OVER (PARTITION BY o_custkey % 10
+                       ORDER BY CAST(round(o_totalprice * 100)
+                                     AS BIGINT) DESC) AS rnk,
+                   row_number() OVER (PARTITION BY o_custkey % 10
+                       ORDER BY CAST(round(o_totalprice * 100)
+                                     AS BIGINT) DESC,
+                                o_orderkey) AS rn
+            FROM orders
+        )
+        SELECT CAST(o_custkey % 10 AS BIGINT) AS bucket,
+               CAST(sum(CASE WHEN rnk <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept_with_ties,
+               CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS kept_row_number,
+               CAST(sum(CASE WHEN rnk <= 3 THEN cents ELSE 0 END)
+                    AS BIGINT) AS cents_with_ties
+        FROM ranked GROUP BY 1 ORDER BY bucket
+    """,
+    description="Top-k WITH TIES vs row_number semantics, graded side "
+    "by side: rank() <= 3 keeps every order tied at the third-place "
+    "value (ANSI FETCH FIRST k WITH TIES) while row_number() "
+    "arbitrarily keeps exactly 3 — the census difference per bucket "
+    "IS the tie mass, the thing silently dropped whenever a top-k "
+    "report uses row_number on a tie-prone key (exact cents make "
+    "ties real, not float noise). Both windows share one exchange.",
+)
+def win_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w_r = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        F.col("cents").desc()
+    )
+    w_n = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        F.col("cents").desc(), "o_orderkey"
+    )
+    ranked = (
+        load(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            scaled_long("o_totalprice", 100).alias("cents"),
+        )
+        .select(
+            (F.col("o_custkey") % 10).alias("bucket"),
+            "cents",
+            F.rank().over(w_r).alias("rnk"),
+            F.row_number().over(w_n).alias("rn"),
+        )
+    )
+    return (
+        ranked.groupBy(F.col("bucket").cast("long").alias("bucket"))
+        .agg(
+            F.sum(F.when(F.col("rnk") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_with_ties"),
+            F.sum(F.when(F.col("rn") <= 3, 1).otherwise(0))
+            .cast("long")
+            .alias("kept_row_number"),
+            F.sum(F.when(F.col("rnk") <= 3, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias("cents_with_ties"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@staged9(
+    "orders_order_to_cash_cycle",
+    oracle_sql="""
+        WITH cycles AS (
+            SELECT o.o_orderpriority,
+                   CAST(datediff('day', o.o_orderdate,
+                        max(l.l_shipdate)) AS BIGINT) AS cycle_days
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+        )
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(quantile_disc(cycle_days, 0.5) AS BIGINT)
+                   AS p50_days,
+               CAST(quantile_disc(cycle_days, 0.9) AS BIGINT)
+                   AS p90_days,
+               CAST(max(cycle_days) AS BIGINT) AS max_days
+        FROM cycles GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    description="Order-to-cash cycle time per priority: order date to "
+    "final shipment, summarized as discrete p50/p90/max in exact "
+    "integer days — the working-capital metric (days of revenue "
+    "locked in fulfillment) and the operational twin of "
+    "orders_sla_breach (breach counts violations; this profiles the "
+    "whole distribution). One orderkey-co-partitioned join + "
+    "per-priority percentile reduce.",
+)
+def orders_order_to_cash_cycle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    cycles = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(
+            F.datediff(F.max("l_shipdate"), F.col("o_orderdate"))
+            .cast("long")
+            .alias("cycle_days")
+        )
+    )
+    return (
+        cycles.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY cycle_days)"
+            )
+            .cast("long")
+            .alias("p50_days"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY cycle_days)"
+            )
+            .cast("long")
+            .alias("p90_days"),
+            F.max("cycle_days").cast("long").alias("max_days"),
+        )
+        .orderBy("o_orderpriority")
+    )
