@@ -2680,3 +2680,781 @@ def orders_order_to_cash_cycle(
         )
         .orderBy("o_orderpriority")
     )
+
+
+@staged9(
+    "bidask_corwin_schultz_spread",
+    oracle_sql="""
+        WITH base AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(round(value * 100) AS BIGINT) AS cents
+            FROM events WHERE event_type = 'view'
+        ), daily AS (
+            SELECT d, CAST(max(cents) AS BIGINT) AS hi,
+                   CAST(min(cents) AS BIGINT) AS lo
+            FROM base GROUP BY d HAVING count(*) >= 2
+        ), paired AS (
+            SELECT d, hi, lo,
+                   lag(hi) OVER (ORDER BY d) AS hi_p,
+                   lag(lo) OVER (ORDER BY d) AS lo_p
+            FROM daily
+        ), terms AS (
+            SELECT d,
+                   CAST(floor(ln(CAST(hi AS DOUBLE) / lo) * 1000000
+                              + 0.5) AS BIGINT) AS b1,
+                   CAST(floor(ln(CAST(hi_p AS DOUBLE) / lo_p)
+                              * 1000000 + 0.5) AS BIGINT) AS b2,
+                   CAST(floor(ln(CAST(greatest(hi, hi_p) AS DOUBLE)
+                                 / least(lo, lo_p)) * 1000000 + 0.5)
+                        AS BIGINT) AS g
+            FROM paired WHERE hi_p IS NOT NULL
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(b1 * b1 + b2 * b2) AS BIGINT) AS beta_sum,
+               CAST(sum(g * g) AS BIGINT) AS gamma_sum,
+               (sqrt(2.0 * CAST(sum(b1 * b1 + b2 * b2) AS DOUBLE)
+                     / count(*))
+                - sqrt(CAST(sum(b1 * b1 + b2 * b2) AS DOUBLE)
+                       / count(*)))
+                   / (3.0 - 2.0 * sqrt(2.0))
+               - sqrt(CAST(sum(g * g) AS DOUBLE) / count(*)
+                      / (3.0 - 2.0 * sqrt(2.0))) AS alpha_scaled
+        FROM terms
+    """,
+    description="Corwin-Schultz (2012) high-low spread estimator: "
+    "beta from single-day squared log ranges, gamma from the two-day "
+    "combined range, alpha via the closed form — recovers the "
+    "effective spread from daily highs/lows alone (the estimator "
+    "used where quote data is missing; bidask_effective_spread "
+    "grades the quote-based truth). Log ranges quantize to ppm "
+    "integers per day (house irrational policy), both sums exact; "
+    "alpha is one textually-congruent float chain. Single-quote "
+    "days excluded. Calendar-bounded daily rollup + lag window.",
+)
+def bidask_corwin_schultz_spread(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    base = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "view")
+        .select(
+            F.date_trunc("day", "ts").alias("d"),
+            scaled_long("value", 100).alias("cents"),
+        )
+    )
+    daily = (
+        base.groupBy("d")
+        .agg(
+            F.max("cents").cast("long").alias("hi"),
+            F.min("cents").cast("long").alias("lo"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+        .drop("n")
+    )
+    w = Window.orderBy("d")
+    paired = daily.select(
+        "d",
+        "hi",
+        "lo",
+        F.lag("hi").over(w).alias("hi_p"),
+        F.lag("lo").over(w).alias("lo_p"),
+    ).where(F.col("hi_p").isNotNull())
+
+    def lnq(num, den):
+        return F.floor(
+            F.log(num.cast("double") / den) * 1000000 + 0.5
+        ).cast("long")
+
+    terms = paired.select(
+        lnq(F.col("hi"), F.col("lo")).alias("b1"),
+        lnq(F.col("hi_p"), F.col("lo_p")).alias("b2"),
+        lnq(
+            F.greatest("hi", "hi_p"), F.least("lo", "lo_p")
+        ).alias("g"),
+    )
+    beta_sum = F.sum(
+        F.col("b1") * F.col("b1") + F.col("b2") * F.col("b2")
+    )
+    gamma_sum = F.sum(F.col("g") * F.col("g"))
+    k = 3.0 - 2.0 * F.sqrt(F.lit(2.0))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        beta_sum.cast("long").alias("beta_sum"),
+        gamma_sum.cast("long").alias("gamma_sum"),
+        (
+            (
+                F.sqrt(2.0 * beta_sum.cast("double") / F.count(F.lit(1)))
+                - F.sqrt(beta_sum.cast("double") / F.count(F.lit(1)))
+            )
+            / k
+            - F.sqrt(
+                gamma_sum.cast("double") / F.count(F.lit(1)) / k
+            )
+        ).alias("alpha_scaled"),
+    )
+
+
+@staged9(
+    "ts_tracking_signal",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY event_type, d
+        ), stats AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS ty
+            FROM daily GROUP BY event_type
+        ), errs AS (
+            SELECT d.event_type, d.d,
+                   (d.y * s.n - s.ty) AS e_scaled, s.n
+            FROM daily d JOIN stats s ON d.event_type = s.event_type
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_days,
+               CAST(sum(e_scaled) AS BIGINT) AS cum_err_scaled,
+               CAST(sum(abs(e_scaled)) AS BIGINT) AS sum_abs_err_scaled,
+               CAST(sum(e_scaled) * 10000
+                    // nullif(sum(abs(e_scaled)), 0) AS BIGINT)
+                   AS tracking_signal_bp
+        FROM errs GROUP BY event_type ORDER BY event_type
+    """,
+    description="Forecast tracking signal per event type: cumulative "
+    "error over cumulative absolute error (in floor bp) of the "
+    "constant-mean forecaster, with every error n-scaled (y*n - "
+    "total) so the mean never exists as a rational — the bias "
+    "detector demand planners watch (|signal| near 10000 bp = the "
+    "forecast is systematically one-sided and must re-fit; near 0 = "
+    "errors alternate). The mean-forecast baseline makes the "
+    "statistic self-contained; swapping in a real forecast column "
+    "keeps the identical plan. One rollup + broadcast stats join.",
+)
+def ts_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("ty"),
+    )
+    errs = daily.join(stats, "event_type").select(
+        "event_type",
+        "n",
+        (F.col("y") * F.col("n") - F.col("ty")).alias("e_scaled"),
+    )
+    return (
+        errs.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_days"),
+            F.sum("e_scaled").cast("long").alias("cum_err_scaled"),
+            F.sum(F.abs("e_scaled"))
+            .cast("long")
+            .alias("sum_abs_err_scaled"),
+            F.expr(
+                "sum(e_scaled) * 10000 "
+                "div nullif(sum(abs(e_scaled)), 0)"
+            )
+            .cast("long")
+            .alias("tracking_signal_bp"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@staged9(
+    "attr_linear_multitouch",
+    oracle_sql="""
+        WITH clicks AS (
+            SELECT user_id, ts AS cts, event_id AS cid
+            FROM events WHERE event_type = 'click'
+        ), purchases AS (
+            SELECT user_id, ts AS pts, event_id AS pid
+            FROM events WHERE event_type = 'purchase'
+        ), paths AS (
+            SELECT p.pid, c.cid, c.cts,
+                   count(*) OVER (PARTITION BY p.pid) AS n_touch
+            FROM purchases p JOIN clicks c
+              ON c.user_id = p.user_id AND c.cts < p.pts
+             AND epoch_us(p.pts) - epoch_us(c.cts)
+                 <= CAST(24 AS BIGINT) * 3600 * 1000000
+        )
+        SELECT CAST(hour(cts) AS BIGINT) AS click_hour,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(10000 // n_touch) AS BIGINT) AS credit_sum_bp
+        FROM paths GROUP BY click_hour ORDER BY click_hour
+    """,
+    description="Linear multi-touch attribution: every click in the "
+    "24h pre-purchase window earns an equal 1/n share (integral "
+    "10000 div n — floors identically), aggregated per click "
+    "hour-of-day — the neutral baseline the U-shaped and time-decay "
+    "variants are compared against; the three heuristics plus the "
+    "Markov removal effect form the graded attribution panel. Same "
+    "blocked join + per-path window as attr_position_u_shaped.",
+)
+def attr_linear_multitouch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("pts"), F.col("event_id").alias("pid")
+    )
+    age = F.unix_micros("pts") - F.unix_micros("cts")
+    paths = purchases.join(
+        clicks,
+        (F.col("cu") == F.col("user_id"))
+        & (F.col("cts") < F.col("pts"))
+        & (age <= 24 * 3600 * 1000000),
+    ).select(
+        "pid",
+        "cts",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("pid"))
+        .alias("n_touch"),
+    )
+    return (
+        paths.groupBy(F.hour("cts").cast("long").alias("click_hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.sum(F.expr("10000 div n_touch"))
+            .cast("long")
+            .alias("credit_sum_bp"),
+        )
+        .orderBy("click_hour")
+    )
+
+
+@staged9(
+    "corpus_langid_confusion",
+    oracle_sql="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ),
+        freq AS (
+            SELECT d.lang, t.token, count(*) AS c
+            FROM tok t JOIN documents d USING (doc_id)
+            GROUP BY 1, 2
+        ),
+        scores AS (
+            SELECT t.doc_id, f.lang AS cand, sum(f.c) AS s
+            FROM tok t JOIN freq f ON t.token = f.token
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id, cand,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY s DESC, cand
+                   ) AS rn
+            FROM scores
+        ), pred AS (
+            SELECT d.doc_id, d.lang, r.cand AS pred_lang
+            FROM ranked r JOIN documents d USING (doc_id)
+            WHERE rn = 1
+        )
+        SELECT lang AS true_lang, pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY 1, 2 ORDER BY true_lang, pred_lang
+    """,
+    description="Language-ID confusion matrix: the registered "
+    "text_langid_ngram classifier's per-doc predictions (same "
+    "token-frequency heuristic, same (score, cand) tie-break) "
+    "cross-tabulated against the labeled language — the "
+    "error-structure view the per-doc accuracy flag hides (is zh "
+    "bleeding into en, or are the romance languages confusing each "
+    "other?), which drives both langid improvements and the "
+    "cross-lingual contamination priors (corpus_cross_lingual_"
+    "contamination). Same plan as the classifier + one census "
+    "reduce.",
+)
+def corpus_langid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.operators.text_analysis import (
+        text_langid_ngram,
+    )
+
+    pred = text_langid_ngram(spark, sf_dir)
+    return (
+        pred.groupBy(
+            F.col("lang").alias("true_lang"), "pred_lang"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+@staged9(
+    "gov_pseudonymize_consistent",
+    oracle_sql="""
+        WITH pseudo_c AS (
+            SELECT c_custkey,
+                   md5('cust:' || CAST(c_custkey AS VARCHAR)) AS pid,
+                   c_nationkey
+            FROM customer
+        ), pseudo_o AS (
+            SELECT o_orderkey,
+                   md5('cust:' || CAST(o_custkey AS VARCHAR)) AS pid
+            FROM orders
+        ), joined AS (
+            SELECT c.c_nationkey
+            FROM pseudo_o o JOIN pseudo_c c ON o.pid = c.pid
+        ), direct AS (
+            SELECT c.c_nationkey
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM joined)
+                AS n_joined_pseudo,
+            (SELECT CAST(count(*) AS BIGINT) FROM direct)
+                AS n_joined_direct,
+            (SELECT CAST(count(DISTINCT pid) AS BIGINT) FROM pseudo_c)
+                AS n_distinct_pseudonyms,
+            (SELECT CAST(count(*) AS BIGINT) FROM customer)
+                AS n_customers
+    """,
+    description="Pseudonymization consistency audit: customer keys "
+    "replace with salted md5 pseudonyms on BOTH the dim and the "
+    "fact, and the audit proves (a) the pseudonymized join "
+    "reproduces exactly the direct join's cardinality (analytics "
+    "still work — the whole point of pseudonymization over "
+    "suppression) and (b) the pseudonym is collision-free "
+    "(distinct pseudonyms == distinct customers). The md5 idiom is "
+    "the house cross-engine hash, so the audit is replayable on "
+    "any engine — which is precisely the production requirement "
+    "(tokenization must be stable across systems). Joins shuffle "
+    "on the pseudonym exactly as they would on the raw key.",
+)
+def gov_pseudonymize_consistent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.md5(
+            F.concat(F.lit("cust:"), F.col("c_custkey").cast("string"))
+        ).alias("pid"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.md5(
+            F.concat(F.lit("cust:"), F.col("o_custkey").cast("string"))
+        ).alias("pid"),
+    )
+    n_pseudo = (
+        orders.select("pid")
+        .join(cust.select("pid"), "pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined_pseudo"))
+    )
+    n_direct = (
+        orders.select("o_custkey")
+        .join(
+            cust.select("c_custkey"),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_joined_direct"))
+    )
+    n_pids = cust.agg(
+        F.countDistinct("pid").cast("long").alias("n_distinct_pseudonyms")
+    )
+    n_cust = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    return (
+        n_pseudo.crossJoin(F.broadcast(n_direct))
+        .crossJoin(F.broadcast(n_pids))
+        .crossJoin(F.broadcast(n_cust))
+    )
+
+
+@staged9(
+    "gov_pii_exposure_scan",
+    oracle_sql="""
+        WITH scans AS (
+            SELECT source, lang,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(text,
+                       '\\+?[0-9][0-9() -]{7,}[0-9]')) AS BIGINT)
+                       AS n_phones,
+                   CAST(len(regexp_extract_all(text,
+                       '[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}'))
+                       AS BIGINT) AS n_pan_like
+            FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_emails) AS BIGINT) AS total_emails,
+               CAST(sum(n_phones) AS BIGINT) AS total_phones,
+               CAST(sum(n_pan_like) AS BIGINT) AS total_pan_like,
+               CAST(sum(CASE WHEN n_emails + n_phones + n_pan_like > 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_with_pii,
+               CAST(sum(CASE WHEN n_emails + n_phones + n_pan_like > 0
+                        THEN 1 ELSE 0 END) * 10000 // count(*)
+                    AS BIGINT) AS pii_rate_floor_bp
+        FROM scans GROUP BY source ORDER BY source
+    """,
+    description="PII exposure census per source: email / phone / "
+    "PAN-like pattern hit counts (regex classes restricted to the "
+    "dialect-identical subset both engines compile the same way — "
+    "same discipline as text_redact_pii, which REDACTS; this op "
+    "MEASURES, the before-picture a privacy review needs to "
+    "prioritize sources) with per-source exposure rates in floor "
+    "bp. Narrow map + reduce, whole-stage codegen; at 100 TB this "
+    "is the scan you run before granting any new consumer access.",
+)
+def gov_pii_exposure_scan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    n_emails = F.size(
+        F.expr(
+            "regexp_extract_all(text, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)"
+        )
+    ).cast("long")
+    n_phones = F.size(
+        F.expr(
+            "regexp_extract_all(text, "
+            "'\\\\+?[0-9][0-9() -]{7,}[0-9]', 0)"
+        )
+    ).cast("long")
+    n_pan = F.size(
+        F.expr(
+            "regexp_extract_all(text, "
+            "'[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}[- ]?[0-9]{4}', 0)"
+        )
+    ).cast("long")
+    scans = load(spark, sf_dir, "documents").select(
+        "source",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        n_pan.alias("n_pan_like"),
+    )
+    any_pii = (
+        F.col("n_emails") + F.col("n_phones") + F.col("n_pan_like") > 0
+    )
+    return (
+        scans.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_emails").cast("long").alias("total_emails"),
+            F.sum("n_phones").cast("long").alias("total_phones"),
+            F.sum("n_pan_like").cast("long").alias("total_pan_like"),
+            F.sum(F.when(any_pii, 1).otherwise(0))
+            .cast("long")
+            .alias("docs_with_pii"),
+            F.expr(
+                "sum(case when n_emails + n_phones + n_pan_like > 0 "
+                "then 1 else 0 end) * 10000 div count(*)"
+            )
+            .cast("long")
+            .alias("pii_rate_floor_bp"),
+        )
+        .orderBy("source")
+    )
+
+
+@staged9(
+    "gov_access_tiering_plan",
+    oracle_sql="""
+        WITH last_touch AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_order,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ), anchor AS (
+            SELECT max(last_order) AS t1 FROM last_touch
+        ), tiered AS (
+            SELECT CASE
+                WHEN datediff('day', lt.last_order, a.t1) <= 180
+                    THEN 'hot'
+                WHEN datediff('day', lt.last_order, a.t1) <= 720
+                    THEN 'warm'
+                ELSE 'cold' END AS tier,
+                lt.n_orders, lt.cents
+            FROM last_touch lt, anchor a
+        )
+        SELECT tier,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents
+        FROM tiered GROUP BY tier ORDER BY tier
+    """,
+    description="Storage-tiering plan by access recency: customers "
+    "bucket hot/warm/cold by days since last order relative to the "
+    "corpus watermark (the deterministic now() stand-in, same device "
+    "as dq_freshness_sla), with the row and value mass each tier "
+    "would carry — the lifecycle-policy planning query behind "
+    "S3/ADLS tier transitions (hot stays on NVMe-backed standard, "
+    "cold moves to infrequent-access; the mass split IS the cost "
+    "model input). Integer day arithmetic; one reduce + 1-row "
+    "broadcast anchor.",
+)
+def gov_access_tiering_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    last_touch = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(scaled_long("o_totalprice", 100))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    anchor = last_touch.agg(F.max("last_order").alias("t1"))
+    age = F.datediff(F.col("t1"), F.col("last_order"))
+    tiered = last_touch.crossJoin(F.broadcast(anchor)).select(
+        F.when(age <= 180, "hot")
+        .when(age <= 720, "warm")
+        .otherwise("cold")
+        .alias("tier"),
+        "n_orders",
+        "cents",
+    )
+    return (
+        tiered.groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+        .orderBy("tier")
+    )
+
+
+@staged9(
+    "gov_column_profile_drift",
+    oracle_sql="""
+        WITH snap AS (
+            SELECT CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                        THEN 0 ELSE 1 END AS snapshot,
+                   o_orderstatus, o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders
+        ), profile AS (
+            SELECT snapshot,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT o_orderstatus) AS BIGINT)
+                       AS status_card,
+                   CAST(count(DISTINCT o_orderpriority) AS BIGINT)
+                       AS priority_card,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT)
+                       AS p50_cents
+            FROM snap GROUP BY snapshot
+        )
+        SELECT a.n_rows AS rows_before, b.n_rows AS rows_after,
+               a.status_card AS status_card_before,
+               b.status_card AS status_card_after,
+               a.priority_card AS priority_card_before,
+               b.priority_card AS priority_card_after,
+               CAST(abs(a.p50_cents - b.p50_cents) AS BIGINT)
+                   AS p50_shift_cents,
+               CAST(CASE WHEN a.status_card <> b.status_card
+                         OR a.priority_card <> b.priority_card
+                    THEN 1 ELSE 0 END AS BIGINT) AS cardinality_drift
+        FROM profile a, profile b
+        WHERE a.snapshot = 0 AND b.snapshot = 1
+    """,
+    description="Column-profile drift between two table snapshots "
+    "(pre/post-1996 order cohorts as the stand-in for yesterday's "
+    "and today's loads): row counts, categorical cardinalities, "
+    "exact min/max/median of the money column, and a cardinality-"
+    "drift flag — the schema-and-distribution contract check a "
+    "landing pipeline runs before swapping a snapshot live (a new "
+    "enum value or a median jump is the first symptom of an "
+    "upstream contract break; cf. eval_psi_score_drift for the "
+    "full-distribution version). Two bounded profiles, one compare.",
+)
+def gov_column_profile_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    snap = load(spark, sf_dir, "orders").select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"),
+            0,
+        )
+        .otherwise(1)
+        .alias("snapshot"),
+        "o_orderstatus",
+        "o_orderpriority",
+        scaled_long("o_totalprice", 100).alias("cents"),
+    )
+    profile = snap.groupBy("snapshot").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("long").alias("status_card"),
+        F.countDistinct("o_orderpriority")
+        .cast("long")
+        .alias("priority_card"),
+        F.min("cents").cast("long").alias("min_cents"),
+        F.max("cents").cast("long").alias("max_cents"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY cents)")
+        .cast("long")
+        .alias("p50_cents"),
+    )
+    a = profile.where(F.col("snapshot") == 0).alias("a")
+    b = profile.where(F.col("snapshot") == 1).alias("b")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n_rows").alias("rows_before"),
+        F.col("b.n_rows").alias("rows_after"),
+        F.col("a.status_card").alias("status_card_before"),
+        F.col("b.status_card").alias("status_card_after"),
+        F.col("a.priority_card").alias("priority_card_before"),
+        F.col("b.priority_card").alias("priority_card_after"),
+        F.abs(F.col("a.p50_cents") - F.col("b.p50_cents"))
+        .cast("long")
+        .alias("p50_shift_cents"),
+        F.when(
+            (F.col("a.status_card") != F.col("b.status_card"))
+            | (F.col("a.priority_card") != F.col("b.priority_card")),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("cardinality_drift"),
+    )
+
+
+@staged9(
+    "orders_calendar_heatmap",
+    oracle_sql="""
+        WITH cells AS (
+            SELECT isodow(o_orderdate) AS dow,
+                   least((CAST(day(o_orderdate) AS BIGINT) - 1) // 7,
+                         4) AS wom,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(sum(CASE WHEN wom = 0 THEN n ELSE 0 END)
+                    AS BIGINT) AS week1,
+               CAST(sum(CASE WHEN wom = 1 THEN n ELSE 0 END)
+                    AS BIGINT) AS week2,
+               CAST(sum(CASE WHEN wom = 2 THEN n ELSE 0 END)
+                    AS BIGINT) AS week3,
+               CAST(sum(CASE WHEN wom = 3 THEN n ELSE 0 END)
+                    AS BIGINT) AS week4,
+               CAST(sum(CASE WHEN wom = 4 THEN n ELSE 0 END)
+                    AS BIGINT) AS week5
+        FROM cells GROUP BY dow ORDER BY dow
+    """,
+    description="Calendar heatmap pivot: order counts by ISO weekday "
+    "x week-of-month (integer (day-1) div 7, capped at 5th), pivoted "
+    "to the 7x5 grid a calendar widget renders — the payday/month-"
+    "end cycle view (week-of-month effects that hour-of-week "
+    "profiles cannot show). Weekday parity pinned as usual "
+    "(weekday()+1 == isodow). One bounded pivot.",
+)
+def orders_calendar_heatmap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            (F.weekday("o_orderdate") + 1).cast("long").alias("dow"),
+            F.least(
+                F.expr(
+                    "(cast(day(o_orderdate) as bigint) - 1) div 7"
+                ),
+                F.lit(4),
+            ).alias("wom"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    agg_cols = [
+        F.sum(F.when(F.col("wom") == k, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias(f"week{k + 1}")
+        for k in range(5)
+    ]
+    return cells.groupBy("dow").agg(*agg_cols).orderBy("dow")
+
+
+@staged9(
+    "dq_error_burst_poisson",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS n_err
+            FROM events WHERE event_type = 'error'
+            GROUP BY h
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_hours,
+                   CAST(sum(n_err) AS BIGINT) AS total
+            FROM hourly
+        ), flagged AS (
+            SELECT h.h, h.n_err, s.n_hours, s.total,
+                   CASE WHEN h.n_err * s.n_hours > s.total
+                        AND (h.n_err * s.n_hours - s.total)
+                            * (h.n_err * s.n_hours - s.total)
+                            > 9 * s.total * s.n_hours
+                   THEN 1 ELSE 0 END AS is_burst
+            FROM hourly h, stats s
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_hours_observed,
+               CAST(sum(is_burst) AS BIGINT) AS n_burst_hours,
+               CAST(max(n_err) AS BIGINT) AS max_errors_per_hour,
+               CAST(max(CASE WHEN is_burst = 1 THEN n_err END)
+                    AS BIGINT) AS max_burst_size
+        FROM flagged
+    """,
+    description="Error-burst detection under a Poisson null: an hour "
+    "is a burst iff its error count exceeds the mean by more than "
+    "3 sigma, evaluated WITHOUT any rational — for Poisson, "
+    "sigma^2 = mean, so the 3-sigma rule (x - m)^2 > 9m cross-"
+    "multiplies to (x*H - T)^2 > 9*T*H with H hours and T total "
+    "errors, all int64 (the n-scaled trick applied to SPC). "
+    "Hours with zero errors never enter the rollup, which biases "
+    "the mean UP — i.e. the detector is conservative, the right "
+    "direction for paging. One calendar-bounded rollup + flag pass.",
+)
+def dq_error_burst_poisson(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hourly = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_err"))
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+        F.sum("n_err").cast("long").alias("total"),
+    )
+    dev = F.col("n_err") * F.col("n_hours") - F.col("total")
+    flagged = hourly.crossJoin(F.broadcast(stats)).select(
+        "n_err",
+        F.when(
+            (dev > 0)
+            & (dev * dev > 9 * F.col("total") * F.col("n_hours")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_burst"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hours_observed"),
+        F.sum("is_burst").cast("long").alias("n_burst_hours"),
+        F.max("n_err").cast("long").alias("max_errors_per_hour"),
+        F.max(F.when(F.col("is_burst") == 1, F.col("n_err")))
+        .cast("long")
+        .alias("max_burst_size"),
+    )
