@@ -3458,3 +3458,949 @@ def dq_error_burst_poisson(
         .cast("long")
         .alias("max_burst_size"),
     )
+
+
+@staged9(
+    "join_trigram_fuzzy_names",
+    oracle_sql="""
+        WITH grams AS (
+            SELECT DISTINCT c_custkey, c_nationkey,
+                   substr(c_name, i, 3) AS g
+            FROM customer,
+                 unnest(generate_series(1, len(c_name) - 2)) AS u(i)
+        ), sizes AS (
+            SELECT c_custkey, CAST(count(*) AS BIGINT) AS sz
+            FROM grams GROUP BY c_custkey
+        ), pairs AS (
+            SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+                   CAST(count(*) AS BIGINT) AS shared
+            FROM grams a JOIN grams b
+              ON a.g = b.g AND a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            GROUP BY 1, 2
+        ), scored AS (
+            SELECT p.shared, sa.sz AS sza, sb.sz AS szb
+            FROM pairs p
+            JOIN sizes sa ON p.ka = sa.c_custkey
+            JOIN sizes sb ON p.kb = sb.c_custkey
+            WHERE p.shared * 10 > (sa.sz + sb.sz - p.shared) * 8
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_fuzzy_matches,
+               CAST(sum(shared) AS BIGINT) AS total_shared_grams,
+               CAST(max(shared) AS BIGINT) AS max_shared_grams
+        FROM scored
+    """,
+    description="Trigram fuzzy name matching (pg_trgm-style): "
+    "customer names decompose into distinct character trigrams, "
+    "candidate pairs form on the (trigram, nation) postings join, "
+    "and matches pass at trigram-Jaccard > 0.8 via the integer "
+    "cross-multiplication shared*10 > union*8 — the entity-"
+    "resolution primitive for dirty dimensions (typo'd vendor "
+    "names, re-registered accounts) that Levenshtein can't afford "
+    "at pair scale: postings joins bound candidates by shared-gram "
+    "frequency, then only candidates pay the exact check. Same "
+    "blocked-postings cost model as the document-dedup family.",
+)
+def join_trigram_fuzzy_names(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_name"
+    )
+    grams = cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.length("c_name") - 2
+                    ),
+                    lambda i: F.col("c_name").substr(i, F.lit(3)),
+                )
+            )
+        ).alias("g"),
+    )
+    sizes = grams.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    a = grams.select(
+        F.col("c_custkey").alias("ka"), "c_nationkey", "g"
+    )
+    b = grams.select(
+        F.col("c_custkey").alias("kb"),
+        F.col("c_nationkey").alias("nb"),
+        F.col("g").alias("gb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("g") == F.col("gb"))
+            & (F.col("c_nationkey") == F.col("nb"))
+            & (F.col("ka") < F.col("kb")),
+        )
+        .groupBy("ka", "kb")
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    scored = (
+        pairs.join(
+            sizes.withColumnRenamed("c_custkey", "ka").withColumnRenamed(
+                "sz", "sza"
+            ),
+            "ka",
+        )
+        .join(
+            sizes.withColumnRenamed("c_custkey", "kb").withColumnRenamed(
+                "sz", "szb"
+            ),
+            "kb",
+        )
+        .where(
+            F.col("shared") * 10
+            > (F.col("sza") + F.col("szb") - F.col("shared")) * 8
+        )
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fuzzy_matches"),
+        F.sum("shared").cast("long").alias("total_shared_grams"),
+        F.max("shared").cast("long").alias("max_shared_grams"),
+    )
+
+
+@staged9(
+    "orders_price_elasticity_bands",
+    oracle_sql="""
+        WITH banded AS (
+            SELECT CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+                   CAST(round(l_quantity) AS BIGINT) AS qty
+            FROM lineitem
+        ), cells AS (
+            SELECT disc_pct,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(qty) AS BIGINT) AS total_qty
+            FROM banded GROUP BY disc_pct
+        ), fit AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(disc_pct) AS BIGINT) AS sx,
+                   CAST(sum(total_qty * 100 // n_lines) AS BIGINT)
+                       AS sy,
+                   CAST(sum(disc_pct * (total_qty * 100 // n_lines))
+                        AS BIGINT) AS sxy,
+                   CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sxx
+            FROM cells
+        )
+        SELECT c.disc_pct,
+               c.n_lines, c.total_qty,
+               CAST(c.total_qty * 100 // c.n_lines AS BIGINT)
+                   AS avg_qty_x100,
+               CASE WHEN f.n * f.sxx - f.sx * f.sx > 0 THEN
+                   CAST(f.n * f.sxy - f.sx * f.sy AS DOUBLE)
+                   / (f.n * f.sxx - f.sx * f.sx)
+               END AS slope_qty_x100_per_pct
+        FROM cells c, fit f
+        ORDER BY disc_pct
+    """,
+    description="Discount-elasticity table: average line quantity "
+    "(x100 integral) per discount percentage band, plus the exact-"
+    "OLS slope of banded mean quantity on discount — the pricing "
+    "team's first-order elasticity read (a positive slope confirms "
+    "discounts move volume; the magnitude prices the next "
+    "promotion). Band means floor onto the x100 grid BEFORE the "
+    "regression power sums, so the fit is exact and order-"
+    "independent; the slope is one float division. Two bounded "
+    "reduces.",
+)
+def orders_price_elasticity_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    banded = load(spark, sf_dir, "lineitem").select(
+        scaled_long("l_discount", 100).alias("disc_pct"),
+        scaled_long("l_quantity", 1).alias("qty"),
+    )
+    cells = banded.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum("qty").cast("long").alias("total_qty"),
+    )
+    avg_x100 = F.expr("total_qty * 100 div n_lines")
+    fit = cells.select(
+        "disc_pct", avg_x100.alias("avg_q")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("disc_pct").cast("long").alias("sx"),
+        F.sum("avg_q").cast("long").alias("sy"),
+        F.sum(F.col("disc_pct") * F.col("avg_q"))
+        .cast("long")
+        .alias("sxy"),
+        F.sum(F.col("disc_pct") * F.col("disc_pct"))
+        .cast("long")
+        .alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        cells.crossJoin(F.broadcast(fit))
+        .select(
+            "disc_pct",
+            "n_lines",
+            "total_qty",
+            avg_x100.cast("long").alias("avg_qty_x100"),
+            F.when(
+                den > 0,
+                (
+                    F.col("n") * F.col("sxy")
+                    - F.col("sx") * F.col("sy")
+                ).cast("double")
+                / den,
+            ).alias("slope_qty_x100_per_pct"),
+        )
+        .orderBy("disc_pct")
+    )
+
+
+@staged9(
+    "bidask_intraday_u_profile",
+    oracle_sql="""
+        WITH cells AS (
+            SELECT CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n_trades,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS volume_cents
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY hod
+        ), tot AS (
+            SELECT sum(volume_cents) AS tv FROM cells
+        )
+        SELECT c.hod, c.n_trades, c.volume_cents,
+               CAST(c.volume_cents * 10000 // t.tv AS BIGINT)
+                   AS volume_share_bp,
+               CAST(rank() OVER (ORDER BY c.volume_cents DESC, c.hod)
+                    AS BIGINT) AS volume_rank
+        FROM cells c, tot t ORDER BY c.hod
+    """,
+    description="Intraday volume profile (the U-shape check): trade "
+    "count, value, exact bp share, and volume rank per hour of day "
+    "— the execution-scheduling input (VWAP algos allocate child "
+    "orders proportional to exactly this curve) and the data-sanity "
+    "check that a 24/7 synthetic feed does NOT show the open/close "
+    "concentration a real exchange session would. One bounded "
+    "reduce + rank over 24 rows.",
+)
+def bidask_intraday_u_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .groupBy(F.hour("ts").cast("long").alias("hod"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.sum(scaled_long("value", 100))
+            .cast("long")
+            .alias("volume_cents"),
+        )
+    )
+    tot = cells.agg(F.sum("volume_cents").alias("tv"))
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .select(
+            "hod",
+            "n_trades",
+            "volume_cents",
+            F.expr("volume_cents * 10000 div tv")
+            .cast("long")
+            .alias("volume_share_bp"),
+            F.rank()
+            .over(Window.orderBy(F.col("volume_cents").desc(), "hod"))
+            .cast("long")
+            .alias("volume_rank"),
+        )
+        .orderBy("hod")
+    )
+
+
+@staged9(
+    "events_interarrival_burstiness",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       ORDER BY ts, event_id)) AS BIGINT) AS g
+            FROM events
+        ), moments AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(g) AS BIGINT) AS s1,
+                   sum(CAST(g AS HUGEINT) * g) AS s2
+            FROM gaps WHERE g IS NOT NULL
+        )
+        SELECT n, s1,
+               CAST(s2 // 1000000 AS BIGINT) AS s2_div_1e6,
+               CASE WHEN s1 > 0 THEN
+                   (CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1)
+                   / (CAST(s1 AS DOUBLE) * s1)
+               END AS cv_squared,
+               CASE WHEN s1 > 0 THEN
+                   ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                     - CAST(s1 AS DOUBLE) * s1) / (CAST(s1 AS DOUBLE)
+                       * s1) - 1.0)
+                   / ((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                       - CAST(s1 AS DOUBLE) * s1)
+                      / (CAST(s1 AS DOUBLE) * s1) + 1.0)
+               END AS burstiness_index
+        FROM moments
+    """,
+    description="Inter-arrival burstiness of the global event stream: "
+    "CV^2 of microsecond gaps from exact power sums (n*S2 - S1^2 "
+    "over S1^2 — the population CV^2 written so no mean rational "
+    "exists until the final float chain) and the Goh-Barabasi "
+    "burstiness index (CV-1)/(CV+1) in its CV^2 form — CV^2 = 1 is "
+    "Poisson, >1 bursty (humans), <1 pacemaker-regular (bots; "
+    "dq_bot_regularity_detect is the per-user version of the same "
+    "physics). S2 accumulates through 128-bit (gaps reach 1e7 us; "
+    "squares overflow int64 at corpus scale). One ordered window "
+    "+ reduce.",
+)
+def events_interarrival_burstiness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.orderBy("ts", "event_id")
+    gaps = load(spark, sf_dir, "events").select(
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
+            "g"
+        )
+    ).where(F.col("g").isNotNull())
+    dec = "decimal(38,0)"
+    moments = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("g").cast("long").alias("s1"),
+        F.sum(F.col("g").cast(dec) * F.col("g").cast(dec)).alias("s2"),
+    )
+    cv2 = (
+        F.col("n").cast("double") * F.col("s2").cast("double")
+        - F.col("s1").cast("double") * F.col("s1")
+    ) / (F.col("s1").cast("double") * F.col("s1"))
+    return moments.select(
+        "n",
+        "s1",
+        F.expr("s2 div 1000000").cast("long").alias("s2_div_1e6"),
+        F.when(F.col("s1") > 0, cv2).alias("cv_squared"),
+        F.when(F.col("s1") > 0, (cv2 - 1.0) / (cv2 + 1.0)).alias(
+            "burstiness_index"
+        ),
+    )
+
+
+@staged9(
+    "graph_bipartite_projection",
+    oracle_sql="""
+        WITH bip AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+        ), degs AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS d
+            FROM bip GROUP BY p
+        ), proj AS (
+            SELECT a.u AS ua, b.u AS ub
+            FROM bip a JOIN bip b
+              ON a.p = b.p AND a.u < b.u
+            GROUP BY a.u, b.u
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM bip) AS n_bip_edges,
+            (SELECT CAST(count(*) AS BIGINT) FROM degs) AS n_parts,
+            (SELECT CAST(max(d) AS BIGINT) FROM degs)
+                AS max_part_degree,
+            (SELECT CAST(count(*) AS BIGINT) FROM proj)
+                AS n_projected_edges
+    """,
+    description="Bipartite projection census: the customer-part "
+    "purchase graph projects onto customer-customer co-purchase "
+    "edges (distinct pairs sharing a part), with the part-degree "
+    "distribution that BOUNDS the projection (sum over parts of "
+    "d(p) choose 2 — the hub part is the quadratic hazard, which "
+    "is why production projections cap or sample hub degrees, the "
+    "same df-cap as the Jaccard postings family). The graded "
+    "censuses are the planning numbers for any co-occurrence "
+    "recommender. Distinct-first keeps the join on the reduced "
+    "edge set.",
+)
+def graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    bip = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    degs = bip.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    a = bip.select(F.col("u").alias("ua"), "p")
+    b = bip.select(F.col("u").alias("ub"), F.col("p").alias("pb"))
+    proj = (
+        a.join(
+            b, (F.col("p") == F.col("pb")) & (F.col("ua") < F.col("ub"))
+        )
+        .select("ua", "ub")
+        .distinct()
+    )
+    c1 = bip.agg(F.count(F.lit(1)).cast("long").alias("n_bip_edges"))
+    c2 = degs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.max("d").cast("long").alias("max_part_degree"),
+    )
+    c3 = proj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_projected_edges")
+    )
+    return c1.crossJoin(F.broadcast(c2)).crossJoin(F.broadcast(c3))
+
+
+@staged9(
+    "graph_hits_hubs_authorities",
+    oracle_sql="""
+        WITH edges AS (
+            SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+        ),
+        h0 AS (SELECT u, CAST(1000000 AS BIGINT) AS h
+               FROM (SELECT DISTINCT u FROM edges)),
+        a1r AS (
+            SELECT e.p, CAST(sum(h0.h) AS BIGINT) AS raw
+            FROM edges e JOIN h0 ON e.u = h0.u GROUP BY e.p
+        ), a1m AS (SELECT max(raw) AS m FROM a1r),
+        a1 AS (
+            SELECT r.p, CAST(r.raw * 1000000 // mm.m AS BIGINT) AS a
+            FROM a1r r, a1m mm
+        ),
+        h1r AS (
+            SELECT e.u, CAST(sum(a1.a) AS BIGINT) AS raw
+            FROM edges e JOIN a1 ON e.p = a1.p GROUP BY e.u
+        ), h1m AS (SELECT max(raw) AS m FROM h1r),
+        h1 AS (
+            SELECT r.u, CAST(r.raw * 1000000 // mm.m AS BIGINT) AS h
+            FROM h1r r, h1m mm
+        ),
+        a2r AS (
+            SELECT e.p, CAST(sum(h1.h) AS BIGINT) AS raw
+            FROM edges e JOIN h1 ON e.u = h1.u GROUP BY e.p
+        ), a2m AS (SELECT max(raw) AS m FROM a2r),
+        a2 AS (
+            SELECT r.p, CAST(r.raw * 1000000 // mm.m AS BIGINT) AS a
+            FROM a2r r, a2m mm
+        ),
+        h2r AS (
+            SELECT e.u, CAST(sum(a2.a) AS BIGINT) AS raw
+            FROM edges e JOIN a2 ON e.p = a2.p GROUP BY e.u
+        ), h2m AS (SELECT max(raw) AS m FROM h2r),
+        h2 AS (
+            SELECT r.u, CAST(r.raw * 1000000 // mm.m AS BIGINT) AS h
+            FROM h2r r, h2m mm
+        ),
+        top_h AS (
+            SELECT u AS node_id, h AS score_ppm,
+                   row_number() OVER (ORDER BY h DESC, u) AS rk
+            FROM h2
+        ),
+        top_a AS (
+            SELECT p AS node_id, a AS score_ppm,
+                   row_number() OVER (ORDER BY a DESC, p) AS rk
+            FROM a2
+        )
+        SELECT 'hub' AS side, node_id, score_ppm,
+               CAST(rk AS BIGINT) AS rk
+        FROM top_h WHERE rk <= 5
+        UNION ALL
+        SELECT 'authority', node_id, score_ppm, CAST(rk AS BIGINT)
+        FROM top_a WHERE rk <= 5
+        ORDER BY side, rk
+    """,
+    description="HITS hubs and authorities on the customer-part "
+    "bipartite graph, two full iterations unrolled: authority = "
+    "max-normalized sum of pointing hubs, hub = max-normalized sum "
+    "of pointed authorities, every score an exact ppm integer "
+    "(max-normalization by integral division replaces the usual "
+    "L2 norm — same bit-stable renormalization as "
+    "embed_power_iteration, preserving ranking) — hubs are "
+    "broad-basket buyers, authorities the parts that anchor those "
+    "baskets; top-5 each side graded with total-order tie-breaks. "
+    "Fixed iteration count, all joins on natural keys; the "
+    "iterative-algebra family's directed-graph member (pagerank = "
+    "undirected cousin).",
+)
+def graph_hits_hubs_authorities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("u"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+    )
+    h = edges.select("u").distinct().select(
+        "u", F.lit(1000000).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(2):
+        ar = (
+            edges.join(h, "u")
+            .groupBy("p")
+            .agg(F.sum("h").cast("long").alias("raw"))
+        )
+        am = ar.agg(F.max("raw").alias("m"))
+        a = ar.crossJoin(F.broadcast(am)).select(
+            "p", F.expr("raw * 1000000 div m").cast("long").alias("a")
+        )
+        hr = (
+            edges.join(a, "p")
+            .groupBy("u")
+            .agg(F.sum("a").cast("long").alias("raw"))
+        )
+        hm = hr.agg(F.max("raw").alias("m"))
+        h = hr.crossJoin(F.broadcast(hm)).select(
+            "u", F.expr("raw * 1000000 div m").cast("long").alias("h")
+        )
+    top_h = (
+        h.select(
+            F.lit("hub").alias("side"),
+            F.col("u").alias("node_id"),
+            F.col("h").alias("score_ppm"),
+            F.row_number()
+            .over(Window.orderBy(F.col("h").desc(), "u"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )
+    top_a = (
+        a.select(
+            F.lit("authority").alias("side"),
+            F.col("p").alias("node_id"),
+            F.col("a").alias("score_ppm"),
+            F.row_number()
+            .over(Window.orderBy(F.col("a").desc(), "p"))
+            .cast("long")
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 5)
+    )
+    return top_h.unionByName(top_a).orderBy("side", "rk")
+
+
+@staged9(
+    "lineitem_return_rate_monthly",
+    oracle_sql="""
+        SELECT CAST(epoch_us(date_trunc('month', l_shipdate))
+                    AS BIGINT) AS month_us,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_returned,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0
+                    END) * 10000 // count(*) AS BIGINT)
+                   AS return_rate_floor_bp,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN
+                    CAST(round(l_extendedprice * 100) AS BIGINT)
+                    ELSE 0 END) AS BIGINT) AS returned_cents
+        FROM lineitem
+        GROUP BY month_us ORDER BY month_us
+    """,
+    description="Monthly return-rate trend: returned-line share in "
+    "floor bp and exact returned value per ship month — the "
+    "quality/fraud early-warning series (a rising return rate "
+    "precedes the revenue hit by a quarter; finance reads the value "
+    "column, ops reads the rate). One map-combined reduce; the "
+    "month key prunes partitions at lake scale.",
+)
+def lineitem_return_rate_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc("month", "l_shipdate")
+            ).alias("month_us")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_returned"),
+            F.expr(
+                "sum(case when l_returnflag = 'R' then 1 else 0 end)"
+                " * 10000 div count(*)"
+            )
+            .cast("long")
+            .alias("return_rate_floor_bp"),
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    scaled_long("l_extendedprice", 100),
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("returned_cents"),
+        )
+        .orderBy("month_us")
+    )
+
+
+@staged9(
+    "text_oov_rate_split",
+    oracle_sql="""
+        WITH split AS (
+            SELECT doc_id, lang, text,
+                   (doc_id * 48271) % 2147483647 % 10 < 8 AS is_train
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, lang, is_train,
+                   unnest(string_split(text, ' ')) AS token
+            FROM split
+        ), vocab AS (
+            SELECT DISTINCT lang, token FROM toks WHERE is_train
+        ), test_toks AS (
+            SELECT t.lang, t.token,
+                   CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+            FROM toks t
+            LEFT JOIN vocab v
+              ON t.token = v.token AND t.lang = v.lang
+            WHERE NOT t.is_train
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_test_tokens,
+               CAST(sum(oov) AS BIGINT) AS n_oov,
+               CAST(sum(oov) * 10000 // count(*) AS BIGINT)
+                   AS oov_rate_floor_bp
+        FROM test_toks GROUP BY lang ORDER BY lang
+    """,
+    description="Out-of-vocabulary rate across the 80/20 hash split: "
+    "test-half tokens absent from the train-half per-language "
+    "vocabulary, in floor bp — the vocabulary-coverage check run "
+    "before freezing any tokenizer or n-gram model on the train "
+    "split (a high OOV rate means the split starves the model; "
+    "pairs with corpus_split_contamination, which checks the "
+    "OPPOSITE failure — too much overlap). Vocabulary is DISTINCTed "
+    "before the mark-join; the token-key join is the postings "
+    "shape.",
+)
+def text_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "text",
+        ((F.col("doc_id") * 48271) % 2147483647 % 10 < 8).alias(
+            "is_train"
+        ),
+    )
+    toks = split.select(
+        "lang", "is_train", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        toks.where(F.col("is_train"))
+        .select("lang", "token")
+        .distinct()
+        .withColumnRenamed("token", "vtoken")
+        .withColumnRenamed("lang", "vlang")
+    )
+    test_toks = (
+        toks.where(~F.col("is_train"))
+        .join(
+            vocab,
+            (F.col("token") == F.col("vtoken"))
+            & (F.col("lang") == F.col("vlang")),
+            "left",
+        )
+        .select(
+            "lang",
+            F.when(F.col("vtoken").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return (
+        test_toks.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_tokens"),
+            F.sum("oov").cast("long").alias("n_oov"),
+            F.expr("sum(oov) * 10000 div count(*)")
+            .cast("long")
+            .alias("oov_rate_floor_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged9(
+    "ts_pacf_lag2_exact",
+    oracle_sql="""
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY h
+        ), lagged AS (
+            SELECT y,
+                   lag(y, 1) OVER (ORDER BY h) AS y1,
+                   lag(y, 2) OVER (ORDER BY h) AS y2
+            FROM hourly
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS s0,
+                   CAST(sum(y * y) AS BIGINT) AS s00,
+                   CAST(sum(y1) AS BIGINT) AS s1,
+                   CAST(sum(y1 * y1) AS BIGINT) AS s11,
+                   CAST(sum(y2) AS BIGINT) AS s2,
+                   CAST(sum(y2 * y2) AS BIGINT) AS s22,
+                   CAST(sum(y * y1) AS BIGINT) AS s01,
+                   CAST(sum(y * y2) AS BIGINT) AS s02
+            FROM lagged WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+        )
+        SELECT n,
+               CASE WHEN (n * s00 - s0 * s0) > 0
+                     AND (n * s11 - s1 * s1) > 0 THEN
+                   (CAST(n AS DOUBLE) * s01 - CAST(s0 AS DOUBLE) * s1)
+                   / sqrt(CAST(n AS DOUBLE) * s00
+                          - CAST(s0 AS DOUBLE) * s0)
+                   / sqrt(CAST(n AS DOUBLE) * s11
+                          - CAST(s1 AS DOUBLE) * s1)
+               END AS r1,
+               CASE WHEN (n * s00 - s0 * s0) > 0
+                     AND (n * s22 - s2 * s2) > 0 THEN
+                   (CAST(n AS DOUBLE) * s02 - CAST(s0 AS DOUBLE) * s2)
+                   / sqrt(CAST(n AS DOUBLE) * s00
+                          - CAST(s0 AS DOUBLE) * s0)
+                   / sqrt(CAST(n AS DOUBLE) * s22
+                          - CAST(s2 AS DOUBLE) * s2)
+               END AS r2
+        FROM m
+    """,
+    description="Lag-1/lag-2 autocorrelations of hourly event volume "
+    "from one windowed scan and exact power sums — the inputs to the "
+    "Durbin-Levinson PACF(2) = (r2 - r1^2)/(1 - r1^2) that decides "
+    "between AR(1) and AR(2) structure (the model-order check before "
+    "anyone fits a forecaster; the cross-assert test derives PACF "
+    "from the graded r1/r2 and checks the closed form). All sums "
+    "int64 over the aligned (y, y1, y2) triples — the pairwise-"
+    "complete convention, both engines filtering identically; the "
+    "two correlations are textually congruent float chains.",
+)
+def ts_pacf_lag2_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 2).over(w).alias("y2"),
+    ).where(F.col("y1").isNotNull() & F.col("y2").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("s0"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("s00"),
+        F.sum("y1").cast("long").alias("s1"),
+        F.sum(F.col("y1") * F.col("y1")).cast("long").alias("s11"),
+        F.sum("y2").cast("long").alias("s2"),
+        F.sum(F.col("y2") * F.col("y2")).cast("long").alias("s22"),
+        F.sum(F.col("y") * F.col("y1")).cast("long").alias("s01"),
+        F.sum(F.col("y") * F.col("y2")).cast("long").alias("s02"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        vx = F.col("n").cast("double") * F.col(sxx) - F.col(
+            sx
+        ).cast("double") * F.col(sx)
+        vy = F.col("n").cast("double") * F.col(syy) - F.col(
+            sy
+        ).cast("double") * F.col(sy)
+        num = F.col("n").cast("double") * F.col(sxy) - F.col(
+            sx
+        ).cast("double") * F.col(sy)
+        cond = (
+            F.col("n") * F.col(sxx) - F.col(sx) * F.col(sx) > 0
+        ) & (F.col("n") * F.col(syy) - F.col(sy) * F.col(sy) > 0)
+        return F.when(cond, num / F.sqrt(vx) / F.sqrt(vy))
+
+    return m.select(
+        "n",
+        corr("s01", "s0", "s1", "s00", "s11").alias("r1"),
+        corr("s02", "s0", "s2", "s00", "s22").alias("r2"),
+    )
+
+
+@staged9(
+    "scan_metadata_size_audit",
+    oracle_sql=None,
+    description="Small-file audit from REAL scan metadata: Spark's "
+    "hidden _metadata struct exposes file_size and file_name at scan "
+    "time (no extra IO — resolved from the file index), and the "
+    "audit reports per-file row counts, bytes, and bytes-per-row — "
+    "the compaction trigger (files far below the 128 MB target "
+    "waste scheduler slots and parquet footer overhead; "
+    "etl_compaction_plan in wave C PLANS the rewrite, this op "
+    "MEASURES the problem from the engine's own metadata). "
+    "Rows-only by design: DuckDB has no equivalent hidden column, "
+    "so there is no SQL oracle — the op is graded on row count with "
+    "correctness covered by the pinned pytest asserting the "
+    "file_name/file_size values match the filesystem.",
+)
+def scan_metadata_size_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("_metadata.file_name").alias("file_name"),
+        F.col("_metadata.file_size").alias("file_size"),
+    )
+    return (
+        df.groupBy("file_name", "file_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            "file_name",
+            F.col("file_size").cast("long").alias("file_bytes"),
+            "n_rows",
+            F.expr("file_size div n_rows").cast("long").alias(
+                "bytes_per_row_floor"
+            ),
+        )
+        .orderBy("file_name")
+    )
+
+
+@staged9(
+    "multimodal_binary_dedup",
+    oracle_sql="""
+        WITH blobs AS (
+            SELECT doc_id, source, text,
+                   encode(text) AS payload
+            FROM documents
+        ), hashed AS (
+            -- md5(VARCHAR) hashes the UTF-8 bytes, i.e. exactly the
+            -- encoded payload (DuckDB 1.0 has no md5(BLOB) overload).
+            SELECT source,
+                   md5(text) AS content_hash,
+                   CAST(octet_length(payload) AS BIGINT) AS n_bytes
+            FROM blobs
+        ), groups AS (
+            SELECT content_hash,
+                   CAST(count(*) AS BIGINT) AS n_copies,
+                   CAST(max(n_bytes) AS BIGINT) AS n_bytes,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM hashed GROUP BY content_hash
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_distinct_blobs,
+               CAST(sum(n_copies) AS BIGINT) AS n_total_blobs,
+               CAST(sum(n_copies * n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum((n_copies - 1) * n_bytes) AS BIGINT)
+                   AS reclaimable_bytes,
+               CAST(sum(CASE WHEN n_copies > 1 AND n_sources > 1
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cross_source_dup_groups
+        FROM groups
+    """,
+    description="Byte-level binary dedup census: payloads (the text "
+    "column UTF-8-encoded to BINARY — the same opaque-BLOB plumbing "
+    "the multimodal family uses for images, where byte-identity IS "
+    "the dedup criterion: same JPEG bytes, same asset) hashed by "
+    "md5 over the binary, grouped to distinct-blob counts, total vs "
+    "reclaimable bytes, and cross-source duplicate groups — the "
+    "storage-dedup planning query for a media lake (reclaimable = "
+    "what content-addressable storage saves). Only hashes and "
+    "sizes shuffle; payload bytes never leave the scan.",
+)
+def multimodal_binary_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hashed = load(spark, sf_dir, "documents").select(
+        "source",
+        F.md5(F.encode("text", "UTF-8")).alias("content_hash"),
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+    )
+    groups = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies"),
+        F.max("n_bytes").cast("long").alias("n_bytes"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_blobs"),
+        F.sum("n_copies").cast("long").alias("n_total_blobs"),
+        F.sum(F.col("n_copies") * F.col("n_bytes"))
+        .cast("long")
+        .alias("total_bytes"),
+        F.sum((F.col("n_copies") - 1) * F.col("n_bytes"))
+        .cast("long")
+        .alias("reclaimable_bytes"),
+        F.sum(
+            F.when(
+                (F.col("n_copies") > 1) & (F.col("n_sources") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("cross_source_dup_groups"),
+    )
+
+
+@staged9(
+    "sql_unpivot_multi_measure",
+    oracle_sql="""
+        WITH monthly AS (
+            SELECT CAST(epoch_us(date_trunc('month', o_orderdate))
+                        AS BIGINT) AS month_us,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(DISTINCT o_custkey) AS BIGINT)
+                       AS n_customers
+            FROM orders GROUP BY month_us
+        )
+        SELECT month_us, metric, value
+        FROM monthly
+        UNPIVOT (value FOR metric IN (n_orders, cents, n_customers))
+        ORDER BY month_us, metric
+    """,
+    description="Multi-measure UNPIVOT: the wide monthly KPI rollup "
+    "(orders, exact cents, distinct customers) melts into the long "
+    "(month, metric, value) shape every metrics store and charting "
+    "layer ingests — the multi-measure form of unpivot_part_metrics "
+    "(single measure), exercising Spark's native unpivot()/melt "
+    "against DuckDB's UNPIVOT clause with identical metric naming. "
+    "All measures int64 so one value column types cleanly; the "
+    "unpivot is a narrow 3x row expansion of the BOUNDED rollup, "
+    "never of the fact.",
+)
+def sql_unpivot_multi_measure(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.unix_micros(
+                F.date_trunc("month", "o_orderdate")
+            ).alias("month_us")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(scaled_long("o_totalprice", 100))
+            .cast("long")
+            .alias("cents"),
+            F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        )
+    )
+    return monthly.unpivot(
+        ["month_us"],
+        ["n_orders", "cents", "n_customers"],
+        "metric",
+        "value",
+    ).orderBy("month_us", "metric")
