@@ -2668,8 +2668,9 @@ def eval_spearman_value_vs_time(
                    AS mae_sum_cents_floor,
                CAST(max(abs_err_scaled // n) AS BIGINT)
                    AS max_abs_err_cents_floor,
-               CAST(sum((abs_err_scaled // n) * (abs_err_scaled // n))
-                    AS BIGINT) AS sq_err_sum
+               CAST(sum(CAST(abs_err_scaled // n AS HUGEINT)
+                        * (abs_err_scaled // n)) // 1000000 AS BIGINT)
+                   AS sq_err_sum_div_1e6
         FROM errs
     """,
     description="Regression error metrics for the customer-mean "
@@ -2704,11 +2705,21 @@ def eval_regression_metrics_exact(
         )
     )
     per = F.expr("abs_err_scaled div n")
+    dec = "decimal(38,0)"
+    # The squared-error sum overflows int64 at sf0.1 (per-order errors
+    # reach ~5e7 cents; squares x 600k lines > 2^63): accumulate in
+    # 128-bit and grade the 1e6-descaled value — same device as
+    # events_interarrival_burstiness.
     return errs.agg(
         F.count(F.lit(1)).cast("long").alias("n_orders"),
         F.sum(per).cast("long").alias("mae_sum_cents_floor"),
         F.max(per).cast("long").alias("max_abs_err_cents_floor"),
-        F.sum(per * per).cast("long").alias("sq_err_sum"),
+        F.expr(
+            "sum(cast(abs_err_scaled div n as decimal(38,0)) "
+            "* (abs_err_scaled div n)) div 1000000"
+        )
+        .cast("long")
+        .alias("sq_err_sum_div_1e6"),
     )
 
 

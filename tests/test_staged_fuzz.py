@@ -18,10 +18,11 @@ from hypothesis import strategies as st
 from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 
-# Merge waves C and D into the fuzz-drivable spec pool (separate dicts
-# by design; see staged_r7.py / staged_r8.py).
-_ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8}
+# Merge waves C, D and E into the fuzz-drivable spec pool (separate
+# dicts by design; see staged_r7/8/9.py).
+_ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,
@@ -115,9 +116,39 @@ EVENT_STAGED = [
     "sample_negative_hard_mining",
     "feature_multi_horizon",
     "graph_two_hop_reach",
+    # Wave E (round 6): time-series/liquidity/attribution over events.
+    "ts_stl_lite_hourly",
+    "ts_changepoint_binseg",
+    "ts_spectral_goertzel_daily",
+    "ts_hampel_outliers",
+    "ts_mase_seasonal_naive",
+    "ts_seasonal_strength",
+    "ts_pacf_lag2_exact",
+    "ts_tracking_signal",
+    "bidask_amihud_illiquidity",
+    "bidask_vpin_volume_buckets",
+    "bidask_garman_klass_vol",
+    "bidask_corwin_schultz_spread",
+    "bidask_rv_signature_plot",
+    "bidask_trade_size_profile",
+    "bidask_intraday_u_profile",
+    "events_interarrival_burstiness",
+    "dq_error_burst_poisson",
+    "attr_time_decay",
+    "attr_linear_multitouch",
+    "attr_position_u_shaped",
+    "attr_campaign_overlap",
+    "attr_incrementality_did",
+    "attr_markov_removal_effect",
 ]
 
 DOC_STAGED = [
+    "corpus_tokenizer_fertility",
+    "corpus_dup_threshold_curve",
+    "corpus_langid_confusion",
+    "gov_pii_exposure_scan",
+    "text_oov_rate_split",
+    "multimodal_binary_dedup",
     "corpus_length_psi_drift",
     "corpus_split_contamination",
     "text_zipf_fit",
@@ -137,6 +168,17 @@ DOC_STAGED = [
 ]
 
 ORDER_STAGED = [
+    "ts_backtest_linear_origins",
+    "gov_access_tiering_plan",
+    "gov_column_profile_drift",
+    "gov_l_diversity_audit",
+    "gov_forget_cascade_audit",
+    "orders_calendar_heatmap",
+    "orders_order_to_cash_cycle",
+    "win_topk_with_ties",
+    "sql_unpivot_multi_measure",
+    "graph_bipartite_projection",
+    "graph_hits_hubs_authorities",
     "eval_entity_split_leakage",
     "eval_regression_metrics_exact",
     "orders_forecast_pinball_loss",
@@ -172,6 +214,9 @@ ORDER_STAGED = [
 # makes the OLS normal equations singular on every example — exactly the
 # det==0 guard this list exists to exercise.
 LINEITEM_STAGED = [
+    "gov_partition_skew_audit",
+    "orders_price_elasticity_bands",
+    "lineitem_return_rate_monthly",
     "agg_ols_normal_equations",
     "agg_corr_matrix_pairwise",
     "join_exists_flag_mark",

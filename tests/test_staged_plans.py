@@ -171,3 +171,50 @@ def test_cumulative_uniques_windows_on_day_grain_only(spark):
     assert "HashAggregate" in plan
     assert plan.count("Exchange") >= 1
     assert "CartesianProduct" not in plan
+
+
+# ---- generic scale-killer sweep for waves D and E (round 6) --------
+# Same two assertions as tests/test_plan_sweep.py, driven off the
+# staged dicts: no unkeyed CartesianProduct (BroadcastNestedLoopJoin
+# is allowed — every occurrence broadcasts a tiny side), and no Python
+# evaluation anywhere (neither wave declares a Python-boundary op).
+
+import pytest
+
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+
+_PY_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "FlatMapCoGroupsInPandas",
+    "PythonUDTF",
+)
+
+# Side-effecting on build (writes a parquet stage) or driver-looping
+# (the Markov value iteration localCheckpoints per round, so its plan
+# is not one static tree): exercised by the parity tests instead.
+_SKIP_PLAN = {
+    "attr_markov_removal_effect",
+}
+
+_WAVE_DE = {**STAGED_R8, **STAGED_R9}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(set(_WAVE_DE) - _SKIP_PLAN)
+)
+def test_wave_de_plan_has_no_scale_killers(spark, name):
+    df = _WAVE_DE[name].spark_fn(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan, (
+        f"{name}: unkeyed cartesian join — add an equi/blocking key"
+    )
+    hits = [m for m in _PY_MARKERS if m in plan]
+    assert not hits, (
+        f"{name}: Python evaluation {hits} — waves D/E are JVM-only"
+    )
