@@ -266,3 +266,64 @@ def test_incremental_dedup_oracle_parity_10x(spark, duck_big, big_dir):
         spark, duck_big, big_dir, "dedup_incremental_batch"
     )
     assert n > 0
+
+
+# ---- wave D/E stress parity at ~sf1 (round 6) ----------------------
+# The staged waves are unregistered, so drive their specs directly
+# with the same oracle_parity machinery.
+
+from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
+from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+
+
+def staged_parity_10x(spark, duck_big, big_dir, spec):
+    df = spec.spark_fn(spark, big_dir)
+    s_rows, s_cols = df.collect(), df.columns
+    rel = duck_big.sql(spec.oracle_sql)
+    d_rows, d_cols = rel.fetchall(), list(rel.columns)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert len(s_rows) == len(d_rows)
+    assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols)
+    return len(s_rows)
+
+
+def test_auc_grid_reduction_10x(spark, duck_big, big_dir):
+    """The doubled-U grid algebra at ~1M scored rows: the score grid
+    stays bounded (duplicated replicas share values), so the window
+    input doesn't grow 10x — exactly the scale claim — and the exact
+    integers still hash-match."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R8["eval_auc_exact"]
+    )
+
+
+def test_markov_value_iteration_10x(spark, duck_big, big_dir):
+    """8 rounds of integer value iteration over ~1M transitions: the
+    chain matrix stays |states|^2 and the iteration is bit-stable at
+    10x the transition mass."""
+    staged_parity_10x(
+        spark,
+        duck_big,
+        big_dir,
+        STAGED_R9["attr_markov_removal_effect"],
+    )
+
+
+def test_vpin_volume_clock_10x(spark, duck_big, big_dir):
+    """The volume-clock prefix sum over ~20k trades: bucket boundaries
+    and tick signs are exact integers, so the 10x stream hash-matches."""
+    staged_parity_10x(
+        spark,
+        duck_big,
+        big_dir,
+        STAGED_R9["bidask_vpin_volume_buckets"],
+    )
+
+
+def test_changepoint_binseg_10x(spark, duck_big, big_dir):
+    """Cross-multiplied between-variance scores on the 10x daily
+    series: int64 headroom holds (counts 10x, squares 100x) and the
+    argmax is deterministic."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R9["ts_changepoint_binseg"]
+    )
