@@ -1,0 +1,758 @@
+"""STAGED round-10 operators (wave F seeds) — implemented and
+parity-tested, NOT registered, NOT part of any earlier activation
+window (waves B-E own rounds 6-9).
+
+Theme seeds: operational streaming correctness (checkpoint recovery —
+the exactly-once-across-restart proof), geospatial primitives on
+deterministic synthetic coordinates, survival analysis, sequential
+experimentation bounds, inventory planning, and the Markov stationary
+distribution. Same staging contract as ``staged_r6/7/8/9``: own
+``STAGED_R10`` dict + leak guard, exact integer/ppm arithmetic,
+nullif-guarded divisions, quantized irrationals, scale note per op.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+import uuid
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.registry import QuerySpec, SparkFn
+from etl_intraday_bidask_spark.tables import load
+
+STAGED_R10: dict[str, QuerySpec] = {}
+
+
+def staged10(name: str, oracle_sql: str | None, description: str = ""):
+    def deco(fn: SparkFn) -> SparkFn:
+        STAGED_R10[name] = QuerySpec(name, fn, oracle_sql, description)
+        return fn
+
+    return deco
+
+
+_RECOVERY_CACHE: dict[str, list] = {}
+
+
+@staged10(
+    "stream_checkpoint_recovery",
+    oracle_sql="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        GROUP BY event_type ORDER BY event_type
+    """,
+    description="Exactly-once across a RESTART, hash-graded: the "
+    "events feed is split into two arrival batches (event_id "
+    "parity), batch 1 streams through an aggregation with a durable "
+    "checkpoint, the query STOPS (process death), batch 2 lands in "
+    "the source directory, and a NEW query starts from the SAME "
+    "checkpoint — Spark restores the aggregation state and the "
+    "file-source offset log, processes ONLY the new file, and the "
+    "final complete-mode state must hash-equal the batch aggregate "
+    "over ALL events: no event lost at the crash boundary, none "
+    "double-counted on recovery. This is the operational property "
+    "that makes Structured Streaming production-usable (the other "
+    "streaming ops grade window/watermark semantics; this grades "
+    "RECOVERY). State: checkpointed aggregation state is "
+    "O(|event types|); at lake scale the same topology recovers "
+    "from executor AND driver loss via the same checkpoint.",
+)
+def stream_checkpoint_recovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.tables import (
+        ensure_session_confs,
+        normalize_event_time,
+    )
+
+    if sf_dir not in _RECOVERY_CACHE:
+        ensure_session_confs(spark)
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "ts", "event_type", "value"
+        )
+        src = tempfile.mkdtemp(prefix="ckpt_src_")
+        ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+        ev.where(F.col("event_id") % 2 == 0).write.parquet(
+            f"{src}/batch=0"
+        )
+        schema = spark.read.parquet(f"{src}/batch=0").schema
+
+        def run_once() -> None:
+            raw = (
+                spark.readStream.schema(schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(f"{src}/*")
+            )
+            agg = (
+                normalize_event_time(raw, "ts")
+                .groupBy("event_type")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_events"),
+                    F.sum(scaled_long("value", 100))
+                    .cast("long")
+                    .alias("cents"),
+                )
+            )
+            name = f"recovery_{uuid.uuid4().hex[:12]}"
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            _RECOVERY_CACHE[sf_dir] = [name]
+
+        run_once()  # batch 1 only; query terminates (simulated crash)
+        ev.where(F.col("event_id") % 2 == 1).write.parquet(
+            f"{src}/batch=1"
+        )
+        run_once()  # restart from the SAME checkpoint; batch 2 only
+
+    name = _RECOVERY_CACHE[sf_dir][0]
+    return spark.table(name).orderBy("event_type")
+
+
+@staged10(
+    "geo_haversine_nearest_hub",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   ((c_custkey * 48271) % 2147483647 % 1400000)
+                       / 10000.0 - 70.0 AS lat,
+                   ((c_custkey * 69621) % 2147483647 % 3600000)
+                       / 10000.0 - 180.0 AS lon
+            FROM customer
+        ), hubs(hub, hlat, hlon) AS (VALUES
+            ('nyc', 40.7128, -74.0060), ('lon', 51.5074, -0.1278),
+            ('sgp', 1.3521, 103.8198), ('syd', -33.8688, 151.2093),
+            ('gru', -23.5558, -46.6396)),
+        dists AS (
+            SELECT p.c_custkey, h.hub,
+                   CAST(floor(12742.0 * asin(sqrt(
+                       pow(sin(radians(h.hlat - p.lat) / 2), 2)
+                       + cos(radians(p.lat)) * cos(radians(h.hlat))
+                         * pow(sin(radians(h.hlon - p.lon) / 2), 2)
+                   )) * 10.0 + 0.5) AS BIGINT) AS dist_dkm
+            FROM pts p CROSS JOIN hubs h
+        ), nearest AS (
+            SELECT c_custkey, hub, dist_dkm,
+                   row_number() OVER (PARTITION BY c_custkey
+                       ORDER BY dist_dkm, hub) AS rk
+            FROM dists
+        )
+        SELECT hub,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(min(dist_dkm) AS BIGINT) AS min_dist_dkm,
+               CAST(max(dist_dkm) AS BIGINT) AS max_dist_dkm,
+               CAST(sum(dist_dkm) AS BIGINT) AS sum_dist_dkm
+        FROM nearest WHERE rk = 1
+        GROUP BY hub ORDER BY hub
+    """,
+    description="Nearest-hub haversine assignment: customers get "
+    "deterministic synthetic coordinates (LCG of custkey — "
+    "replayable, spanning the globe), the 5-row hub dim broadcasts, "
+    "and each customer maps to its great-circle-nearest hub with "
+    "the distance QUANTIZED to deci-km before the argmin (floor at "
+    "0.1 km — the house irrational policy applied to the haversine "
+    "chain; ties then break on hub name, so assignment is "
+    "deterministic on both engines) — the logistics/latency-zone "
+    "assignment shape (ship-from warehouse, nearest PoP). Scale: "
+    "map-only against a broadcast dim — the geo twin of "
+    "join_spatial_grid's bucketed self-join.",
+)
+def geo_haversine_nearest_hub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2147483647 % 1400000)
+            / 10000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 69621) % 2147483647 % 3600000)
+            / 10000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    hubs = spark.createDataFrame(
+        [
+            ("nyc", 40.7128, -74.0060),
+            ("lon", 51.5074, -0.1278),
+            ("sgp", 1.3521, 103.8198),
+            ("syd", -33.8688, 151.2093),
+            ("gru", -23.5558, -46.6396),
+        ],
+        ["hub", "hlat", "hlon"],
+    )
+    dlat = F.radians(F.col("hlat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("hlon") - F.col("lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians("hlat"))
+        * F.pow(F.sin(dlon), 2)
+    )
+    dists = pts.crossJoin(F.broadcast(hubs)).select(
+        "c_custkey",
+        "hub",
+        F.floor(12742.0 * F.asin(F.sqrt(hav)) * 10.0 + 0.5)
+        .cast("long")
+        .alias("dist_dkm"),
+    )
+    nearest = dists.select(
+        "c_custkey",
+        "hub",
+        "dist_dkm",
+        F.row_number()
+        .over(
+            Window.partitionBy("c_custkey").orderBy("dist_dkm", "hub")
+        )
+        .alias("rk"),
+    ).where(F.col("rk") == 1)
+    return (
+        nearest.groupBy("hub")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("dist_dkm").cast("long").alias("min_dist_dkm"),
+            F.max("dist_dkm").cast("long").alias("max_dist_dkm"),
+            F.sum("dist_dkm").cast("long").alias("sum_dist_dkm"),
+        )
+        .orderBy("hub")
+    )
+
+
+@staged10(
+    "events_kaplan_meier_weekly",
+    oracle_sql="""
+        WITH firsts AS (
+            SELECT user_id, min(date_trunc('week', ts)) AS w0,
+                   max(date_trunc('week', ts)) AS wlast
+            FROM events GROUP BY user_id
+        ), anchor AS (
+            SELECT max(date_trunc('week', ts)) AS wmax FROM events
+        ), spans AS (
+            SELECT f.user_id,
+                   CAST(datediff('week', f.w0, f.wlast) AS BIGINT)
+                       AS last_active_week,
+                   CAST(datediff('week', f.w0, a.wmax) AS BIGINT)
+                       AS observed_weeks
+            FROM firsts f, anchor a
+        ), steps(k) AS (VALUES (1), (2), (3)),
+        at_risk AS (
+            SELECT s.k,
+                   CAST(sum(CASE WHEN sp.observed_weeks >= s.k
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_risk,
+                   CAST(sum(CASE WHEN sp.observed_weeks >= s.k
+                            AND sp.last_active_week < s.k
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+            FROM spans sp, steps s
+            GROUP BY s.k
+        ), factored AS (
+            SELECT k, n_risk, n_dead,
+                   CASE WHEN n_risk > 0 THEN
+                       (n_risk - n_dead) * 1000000 // n_risk
+                   ELSE 1000000 END AS factor_ppm
+            FROM at_risk
+        )
+        SELECT CAST(k AS BIGINT) AS week_k, n_risk, n_dead,
+               CAST(factor_ppm AS BIGINT) AS factor_ppm,
+               CAST(CAST(
+                   (SELECT CAST(prod AS HUGEINT) FROM (
+                       SELECT CAST(exp(sum(ln(
+                           CAST(f2.factor_ppm AS DOUBLE))))
+                           * pow(1000000.0, -(count(*) - 1))
+                           + 0.5 AS HUGEINT) AS prod
+                       FROM factored f2 WHERE f2.k <= factored.k
+                       AND f2.factor_ppm > 0
+                   )) AS BIGINT) AS BIGINT) AS survival_ppm_approx
+        FROM factored ORDER BY week_k
+    """,
+    description="Kaplan-Meier weekly survival: users enter at their "
+    "first active week, 'die' when their last activity precedes week "
+    "k, and censor when the corpus ends before week k (the at-risk "
+    "set EXCLUDES censored users — the right-censoring handling that "
+    "separates KM from a naive retention rate, cf. the wave-C hazard "
+    "curve which ignores censoring by design). Per-step factors "
+    "(n_risk - n_dead)/n_risk floor onto the ppm grid exactly; the "
+    "cumulative survival product is emitted via an exp-sum-ln chain "
+    "rounded at ppm, flagged approx in the name it carries — the "
+    "per-step exact factors are the primary graded values. Scale: "
+    "one user reduce + a 3-row broadcast step dim.",
+)
+def events_kaplan_meier_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("w0"),
+        F.max(F.date_trunc("week", "ts")).alias("wlast"),
+    )
+    anchor = ev.agg(
+        F.max(F.date_trunc("week", "ts")).alias("wmax")
+    )
+    spans = firsts.crossJoin(F.broadcast(anchor)).select(
+        F.expr(
+            "cast(datediff(wlast, w0) div 7 as bigint)"
+        ).alias("last_active_week"),
+        F.expr(
+            "cast(datediff(wmax, w0) div 7 as bigint)"
+        ).alias("observed_weeks"),
+    )
+    steps = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    at_risk = (
+        spans.crossJoin(F.broadcast(steps))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("observed_weeks") >= F.col("k"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_risk"),
+            F.sum(
+                F.when(
+                    (F.col("observed_weeks") >= F.col("k"))
+                    & (F.col("last_active_week") < F.col("k")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dead"),
+        )
+    )
+    factored = at_risk.select(
+        "k",
+        "n_risk",
+        "n_dead",
+        F.when(
+            F.col("n_risk") > 0,
+            F.expr("(n_risk - n_dead) * 1000000 div n_risk"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("long")
+        .alias("factor_ppm"),
+    )
+    wcum = (
+        Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    surv = factored.select(
+        "k",
+        "n_risk",
+        "n_dead",
+        "factor_ppm",
+        F.floor(
+            F.exp(
+                F.sum(
+                    F.log(F.col("factor_ppm").cast("double"))
+                ).over(wcum)
+            )
+            * F.pow(
+                F.lit(1000000.0),
+                -(F.count(F.lit(1)).over(wcum) - 1).cast("double"),
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("survival_ppm_approx"),
+    )
+    return surv.select(
+        F.col("k").cast("long").alias("week_k"),
+        "n_risk",
+        "n_dead",
+        "factor_ppm",
+        "survival_ppm_approx",
+    ).orderBy("week_k")
+
+
+@staged10(
+    "ab_sequential_bound_check",
+    oracle_sql="""
+        WITH assigned AS (
+            SELECT CAST(datediff('week', TIMESTAMP '2024-01-01',
+                        date_trunc('week', ts)) + 1 AS BIGINT) AS wk,
+                   (user_id * 48271) % 2147483647 % 2 AS arm,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events
+        ), looks(k, z_x1000) AS (VALUES
+            (1, 4049), (2, 2863), (3, 2337), (4, 2024)),
+        cum AS (
+            SELECT l.k, l.z_x1000,
+                   CAST(sum(CASE WHEN a.arm = 1 THEN a.y ELSE 0 END)
+                        AS BIGINT) AS x_t,
+                   CAST(sum(CASE WHEN a.arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_t,
+                   CAST(sum(CASE WHEN a.arm = 0 THEN a.y ELSE 0 END)
+                        AS BIGINT) AS x_c,
+                   CAST(sum(CASE WHEN a.arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_c
+            FROM assigned a JOIN looks l ON a.wk <= l.k
+            GROUP BY l.k, l.z_x1000
+        )
+        SELECT CAST(k AS BIGINT) AS look_k,
+               CAST(z_x1000 AS BIGINT) AS obf_bound_z_x1000,
+               x_t, n_t, x_c, n_c,
+               CASE WHEN n_t > 0 AND n_c > 0
+                    AND x_t + x_c > 0
+                    AND x_t + x_c < n_t + n_c THEN
+                   (CAST(x_t AS DOUBLE) / n_t
+                    - CAST(x_c AS DOUBLE) / n_c)
+                   / sqrt((CAST(x_t + x_c AS DOUBLE) / (n_t + n_c))
+                          * (1.0 - CAST(x_t + x_c AS DOUBLE)
+                              / (n_t + n_c))
+                          * (1.0 / n_t + 1.0 / n_c))
+               END AS z_stat
+        FROM cum ORDER BY look_k
+    """,
+    description="Group-sequential A/B monitoring with O'Brien-Fleming "
+    "bounds: at four weekly looks, the cumulative two-proportion "
+    "z-statistic (pooled-variance form — one float chain of exact "
+    "integer counts, NULL-guarded for degenerate looks) is reported "
+    "against the OBF critical values (4.049/2.863/2.337/2.024 for "
+    "K=4 at alpha=0.05, a constants dim — spending-function values "
+    "are TABLES in practice, not computations) — the peeking "
+    "discipline that lets an experimenter look weekly without "
+    "inflating false positives, completing the experimentation "
+    "family (SRM guards assignment, DiD guards trends, this guards "
+    "optional stopping). One conditional aggregate over a broadcast "
+    "look dim.",
+)
+def ab_sequential_bound_check(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    assigned = load(spark, sf_dir, "events").select(
+        (
+            F.expr(
+                "cast(datediff(date_trunc('week', ts), "
+                "timestamp '2024-01-01') div 7 as bigint) + 1"
+            )
+        ).alias("wk"),
+        ((F.col("user_id") * 48271) % 2147483647 % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    looks = spark.createDataFrame(
+        [(1, 4049), (2, 2863), (3, 2337), (4, 2024)],
+        ["k", "z_x1000"],
+    )
+    cum = (
+        assigned.join(
+            F.broadcast(looks), assigned.wk <= looks.k
+        )
+        .groupBy("k", "z_x1000")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("x_t"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_t"),
+            F.sum(F.when(F.col("arm") == 0, F.col("y")).otherwise(0))
+            .cast("long")
+            .alias("x_c"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_c"),
+        )
+    )
+    p_pool = (F.col("x_t") + F.col("x_c")).cast("double") / (
+        F.col("n_t") + F.col("n_c")
+    )
+    z = (
+        F.col("x_t").cast("double") / F.col("n_t")
+        - F.col("x_c").cast("double") / F.col("n_c")
+    ) / F.sqrt(
+        p_pool
+        * (1.0 - p_pool)
+        * (1.0 / F.col("n_t") + 1.0 / F.col("n_c"))
+    )
+    ok = (
+        (F.col("n_t") > 0)
+        & (F.col("n_c") > 0)
+        & (F.col("x_t") + F.col("x_c") > 0)
+        & (F.col("x_t") + F.col("x_c") < F.col("n_t") + F.col("n_c"))
+    )
+    return cum.select(
+        F.col("k").cast("long").alias("look_k"),
+        F.col("z_x1000").cast("long").alias("obf_bound_z_x1000"),
+        "x_t",
+        "n_t",
+        "x_c",
+        "n_c",
+        F.when(ok, z).alias("z_stat"),
+    ).orderBy("look_k")
+
+
+@staged10(
+    "parts_safety_stock_plan",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT l_partkey, date_trunc('day', l_shipdate) AS d,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), stats AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(q) AS BIGINT) AS sq,
+                   CAST(sum(q * q) AS BIGINT) AS sqq
+            FROM daily GROUP BY l_partkey
+            HAVING count(*) >= 5
+        ), ranked AS (
+            SELECT l_partkey, n_days, sq, sqq,
+                   row_number() OVER (ORDER BY sq DESC, l_partkey)
+                       AS rk
+            FROM stats
+        )
+        SELECT l_partkey, n_days, sq AS total_qty,
+               CAST(n_days * sqq - sq * sq AS BIGINT)
+                   AS demand_var_num,
+               1.645 * sqrt((CAST(n_days AS DOUBLE) * sqq
+                             - CAST(sq AS DOUBLE) * sq))
+                     / n_days * sqrt(7.0) AS safety_stock_95_l7
+        FROM ranked WHERE rk <= 10 ORDER BY l_partkey
+    """,
+    description="Safety-stock plan for the top-10 moving parts: "
+    "per-part daily-demand variance from exact power sums (the "
+    "numerator n*Sqq - Sq^2 is the graded integer), and the "
+    "95%-service-level stock for a 7-day lead time z*sigma*sqrt(L) "
+    "as one float chain (z = 1.645 a constant — service levels are "
+    "looked up, never computed) — the inventory-planning core, "
+    "completing the ops family (ABC-XYZ classifies, fill-rate "
+    "measures, this PLANS). Parts below 5 demand days are excluded "
+    "(no variance estimate). One keyed reduce + top-k window over "
+    "the bounded stats.",
+)
+def parts_safety_stock_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey", F.date_trunc("day", "l_shipdate").alias("d")
+        )
+        .agg(F.sum(scaled_long("l_quantity", 1)).alias("q"))
+    )
+    stats = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("q").cast("long").alias("sq"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("sqq"),
+        )
+        .where(F.col("n_days") >= 5)
+    )
+    ranked = stats.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("sq").desc(), "l_partkey"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    var_num = F.col("n_days") * F.col("sqq") - F.col("sq") * F.col("sq")
+    return ranked.select(
+        "l_partkey",
+        "n_days",
+        F.col("sq").alias("total_qty"),
+        var_num.cast("long").alias("demand_var_num"),
+        (
+            1.645
+            * F.sqrt(
+                F.col("n_days").cast("double") * F.col("sqq")
+                - F.col("sq").cast("double") * F.col("sq")
+            )
+            / F.col("n_days")
+            * F.sqrt(F.lit(7.0))
+        ).alias("safety_stock_95_l7"),
+    ).orderBy("l_partkey")
+
+
+@staged10(
+    "events_markov_stationary",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), t AS (
+            SELECT prev_type AS src, event_type AS dst,
+                   CAST(count(*) AS BIGINT) * 1000000
+                       // sum(CAST(count(*) AS BIGINT))
+                         OVER (PARTITION BY prev_type) AS p_ppm
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        ), states AS (
+            SELECT DISTINCT s FROM (
+                SELECT src AS s FROM t UNION ALL SELECT dst FROM t)
+        ), nstates AS (SELECT count(*) AS ns FROM states),
+        v0 AS (
+            SELECT s, CAST(1000000 // ns AS BIGINT) AS v
+            FROM states, nstates
+        ), v1 AS (
+            SELECT t.dst AS s,
+                   CAST(sum(t.p_ppm * v0.v) // 1000000 AS BIGINT) AS v
+            FROM t JOIN v0 ON t.src = v0.s GROUP BY t.dst
+        ), v2 AS (
+            SELECT t.dst AS s,
+                   CAST(sum(t.p_ppm * v1.v) // 1000000 AS BIGINT) AS v
+            FROM t JOIN v1 ON t.src = v1.s GROUP BY t.dst
+        ), v3 AS (
+            SELECT t.dst AS s,
+                   CAST(sum(t.p_ppm * v2.v) // 1000000 AS BIGINT) AS v
+            FROM t JOIN v2 ON t.src = v2.s GROUP BY t.dst
+        ), v4 AS (
+            SELECT t.dst AS s,
+                   CAST(sum(t.p_ppm * v3.v) // 1000000 AS BIGINT) AS v
+            FROM t JOIN v3 ON t.src = v3.s GROUP BY t.dst
+        )
+        SELECT s AS state, CAST(v AS BIGINT) AS pi_ppm
+        FROM v4 ORDER BY state
+    """,
+    description="Markov stationary distribution of the event-type "
+    "chain: 4 unrolled power-iteration rounds pi <- pi.T from the "
+    "uniform start, every probability an exact ppm integer (floor "
+    "division after each full matvec sum — same bit-stable "
+    "discipline as attr_markov_removal_effect's value iteration, "
+    "iterating FORWARD over the row-stochastic matrix instead of "
+    "backward over absorption values) — the long-run behavioral mix "
+    "the transition matrix implies, which a mix-shift monitor "
+    "compares against the OBSERVED event mix to detect "
+    "non-stationarity. Transition counts are the only data-scale "
+    "pass.",
+)
+def events_markov_stationary(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type", F.lag("event_type").over(wu).alias("prev_type")
+    )
+    t = (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"),
+            F.col("event_type").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "src",
+            "dst",
+            F.expr(
+                "n * 1000000 div sum(n) over (partition by src)"
+            ).alias("p_ppm"),
+        )
+    )
+    states = (
+        t.select(F.col("src").alias("s"))
+        .unionByName(t.select(F.col("dst").alias("s")))
+        .distinct()
+    )
+    ns = states.count()
+    v = states.select(
+        "s", F.lit(1000000 // ns).cast("long").alias("v")
+    )
+    t2 = t.select(
+        F.col("src").alias("tsrc"), F.col("dst").alias("tdst"), "p_ppm"
+    )
+    for _ in range(4):
+        pv = v.select(F.col("s").alias("ps"), F.col("v").alias("pv"))
+        v = (
+            t2.join(pv, F.col("tsrc") == F.col("ps"))
+            .groupBy(F.col("tdst").alias("s"))
+            .agg(
+                F.expr("sum(p_ppm * pv) div 1000000")
+                .cast("long")
+                .alias("v")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.col("s").alias("state"), F.col("v").alias("pi_ppm")
+    ).orderBy("state")
+
+
+@staged10(
+    "geo_gridcell_density_pyramid",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   ((c_custkey * 48271) % 2147483647 % 1400000)
+                       // 10000 AS lat_coarse,
+                   ((c_custkey * 69621) % 2147483647 % 3600000)
+                       // 10000 AS lon_coarse
+            FROM customer
+        ), levels(z, cell) AS (VALUES (1, 35), (2, 7)),
+        cells AS (
+            SELECT l.z,
+                   (p.lat_coarse // l.cell) * 1000
+                       + (p.lon_coarse // l.cell) AS cell_id
+            FROM pts p CROSS JOIN levels l
+        ), census AS (
+            SELECT z, cell_id, CAST(count(*) AS BIGINT) AS n
+            FROM cells GROUP BY z, cell_id
+        )
+        SELECT CAST(z AS BIGINT) AS zoom,
+               CAST(count(*) AS BIGINT) AS n_occupied_cells,
+               CAST(max(n) AS BIGINT) AS max_cell_count,
+               CAST(sum(n) AS BIGINT) AS total_points
+        FROM census GROUP BY z ORDER BY zoom
+    """,
+    description="Grid-cell density pyramid: the synthetic customer "
+    "coordinates (same LCG as geo_haversine_nearest_hub, kept on the "
+    "integer 1e-4-degree grid — no float geometry anywhere) bucket "
+    "into two zoom levels by integer division, and each level's "
+    "occupied-cell and peak-density census is the tile-pyramid "
+    "aggregation a map renderer or spatial-index planner consumes "
+    "(peak cell count at the fine zoom IS the hot-partition warning "
+    "for a spatial join, cf. join_spatial_grid). Coarser levels "
+    "derive from finer by integer division — the same "
+    "multigrain-rollup property as the bitmap masks. Map + two "
+    "bounded reduces.",
+)
+def geo_gridcell_density_pyramid(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = load(spark, sf_dir, "customer").select(
+        F.expr(
+            "((c_custkey * 48271) % 2147483647 % 1400000) div 10000"
+        ).alias("lat_coarse"),
+        F.expr(
+            "((c_custkey * 69621) % 2147483647 % 3600000) div 10000"
+        ).alias("lon_coarse"),
+    )
+    levels = spark.createDataFrame([(1, 35), (2, 7)], ["z", "cell"])
+    cells = pts.crossJoin(F.broadcast(levels)).select(
+        "z",
+        (
+            F.expr("(lat_coarse div cell) * 1000")
+            + F.expr("lon_coarse div cell")
+        ).alias("cell_id"),
+    )
+    census = cells.groupBy("z", "cell_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return (
+        census.groupBy(F.col("z").cast("long").alias("zoom"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occupied_cells"),
+            F.max("n").cast("long").alias("max_cell_count"),
+            F.sum("n").cast("long").alias("total_points"),
+        )
+        .orderBy("zoom")
+    )
