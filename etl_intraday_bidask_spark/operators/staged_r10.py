@@ -756,3 +756,379 @@ def geo_gridcell_density_pyramid(
         )
         .orderBy("zoom")
     )
+
+
+_STATE_METRICS_CACHE: dict[str, list] = {}
+
+
+@staged10(
+    "stream_state_store_metrics",
+    oracle_sql=None,
+    description="State-store observability: a watermarked streaming "
+    "dedup runs to completion and the op reports the ENGINE'S OWN "
+    "state-operator metrics from the final progress event — state "
+    "rows kept, rows dropped by the watermark, memory used — the "
+    "numbers an operator dashboard alarms on (state growth without "
+    "watermark eviction is the streaming OOM in slow motion). "
+    "Rows-only by design: the metrics come from the progress API, "
+    "not a relation, and memory bytes are environment-dependent — "
+    "the pinned pytest asserts the DETERMINISTIC subset (state rows "
+    "== distinct keys surviving dedup). At scale these metrics feed "
+    "the state-store capacity model in SCALE.md §0 (RocksDB "
+    "provider).",
+)
+def stream_state_store_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import json as _json
+
+    from etl_intraday_bidask_spark.streaming.replay import (
+        _read_events_stream,
+    )
+
+    if sf_dir not in _STATE_METRICS_CACHE:
+        ev = _read_events_stream(spark, sf_dir).withWatermark(
+            "ts", "1 hour"
+        )
+        dedup = ev.select("user_id", "event_type", "ts").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        name = f"statemetrics_{uuid.uuid4().hex[:12]}"
+        q = (
+            dedup.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ops = []
+        for prog in q.recentProgress:
+            p = (
+                _json.loads(prog.json)
+                if hasattr(prog, "json")
+                else _json.loads(str(prog))
+            )
+            for so in p.get("stateOperators", []):
+                ops.append(
+                    (
+                        p.get("batchId", -1),
+                        so.get("operatorName", "dedup"),
+                        so.get("numRowsTotal", 0),
+                        so.get("numRowsUpdated", 0),
+                        so.get("numRowsDroppedByWatermark", 0),
+                    )
+                )
+        _STATE_METRICS_CACHE[sf_dir] = ops
+    return spark.createDataFrame(
+        _STATE_METRICS_CACHE[sf_dir],
+        "batch_id long, operator string, state_rows_total long, "
+        "state_rows_updated long, rows_dropped_by_watermark long",
+    ).orderBy("batch_id", "operator", "state_rows_total")
+
+
+@staged10(
+    "geo_point_in_zone_rect",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST((c_custkey * 48271) % 2147483647 % 1400000
+                        AS BIGINT) AS lat_e4,
+                   CAST((c_custkey * 69621) % 2147483647 % 3600000
+                        AS BIGINT) AS lon_e4
+            FROM customer
+        ), zones(zone, lat_lo, lat_hi, lon_lo, lon_hi) AS (VALUES
+            ('alpha',  100000,  400000,  200000,  900000),
+            ('bravo',  500000,  900000, 1000000, 2000000),
+            ('charlie', 900000, 1300000, 2500000, 3400000),
+            ('delta',       0,  200000, 3000000, 3600000)),
+        hits AS (
+            SELECT z.zone, p.c_custkey
+            FROM pts p JOIN zones z
+              ON p.lat_e4 >= z.lat_lo AND p.lat_e4 < z.lat_hi
+             AND p.lon_e4 >= z.lon_lo AND p.lon_e4 < z.lon_hi
+        ), per_zone AS (
+            SELECT zone, CAST(count(*) AS BIGINT) AS n_inside
+            FROM hits GROUP BY zone
+        ), uncovered AS (
+            SELECT CAST(count(*) AS BIGINT) AS n
+            FROM pts p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM zones z
+                WHERE p.lat_e4 >= z.lat_lo AND p.lat_e4 < z.lat_hi
+                  AND p.lon_e4 >= z.lon_lo AND p.lon_e4 < z.lon_hi)
+        )
+        SELECT pz.zone, pz.n_inside, u.n AS n_outside_all_zones
+        FROM per_zone pz, uncovered u
+        ORDER BY pz.zone
+    """,
+    description="Rectangular geofence membership: customer points on "
+    "the exact 1e-4-degree integer grid tested against a broadcast "
+    "zone dim with half-open integer bounds (no float geometry, no "
+    "boundary ambiguity — the [lo, hi) convention every tiling "
+    "system uses), per-zone census plus the uncovered remainder "
+    "(an anti-join/NOT EXISTS) — the geofencing primitive behind "
+    "delivery-zone assignment and jurisdiction routing; overlapping "
+    "zones double-count deliberately (a point can be in two "
+    "jurisdictions — the census grades that semantics). Broadcast "
+    "theta join on a 4-row dim: map-only at any scale.",
+)
+def geo_point_in_zone_rect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 48271) % 2147483647 % 1400000)
+        .cast("long")
+        .alias("lat_e4"),
+        ((F.col("c_custkey") * 69621) % 2147483647 % 3600000)
+        .cast("long")
+        .alias("lon_e4"),
+    )
+    zones = spark.createDataFrame(
+        [
+            ("alpha", 100000, 400000, 200000, 900000),
+            ("bravo", 500000, 900000, 1000000, 2000000),
+            ("charlie", 900000, 1300000, 2500000, 3400000),
+            ("delta", 0, 200000, 3000000, 3600000),
+        ],
+        ["zone", "lat_lo", "lat_hi", "lon_lo", "lon_hi"],
+    )
+    inside = (
+        (F.col("lat_e4") >= F.col("lat_lo"))
+        & (F.col("lat_e4") < F.col("lat_hi"))
+        & (F.col("lon_e4") >= F.col("lon_lo"))
+        & (F.col("lon_e4") < F.col("lon_hi"))
+    )
+    hits = pts.join(F.broadcast(zones), inside)
+    per_zone = hits.groupBy("zone").agg(
+        F.count(F.lit(1)).cast("long").alias("n_inside")
+    )
+    uncovered = pts.join(
+        F.broadcast(zones), inside, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        per_zone.crossJoin(F.broadcast(uncovered))
+        .select(
+            "zone",
+            "n_inside",
+            F.col("n").alias("n_outside_all_zones"),
+        )
+        .orderBy("zone")
+    )
+
+
+@staged10(
+    "geo_bounding_box_per_nation",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT c_nationkey,
+                   CAST((c_custkey * 48271) % 2147483647 % 1400000
+                        AS BIGINT) AS lat_e4,
+                   CAST((c_custkey * 69621) % 2147483647 % 3600000
+                        AS BIGINT) AS lon_e4
+            FROM customer
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_points,
+               CAST(min(lat_e4) AS BIGINT) AS lat_min_e4,
+               CAST(max(lat_e4) AS BIGINT) AS lat_max_e4,
+               CAST(min(lon_e4) AS BIGINT) AS lon_min_e4,
+               CAST(max(lon_e4) AS BIGINT) AS lon_max_e4,
+               CAST(sum(lat_e4) // count(*) AS BIGINT)
+                   AS centroid_lat_floor_e4,
+               CAST(sum(lon_e4) // count(*) AS BIGINT)
+                   AS centroid_lon_floor_e4
+        FROM pts GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    description="Per-nation bounding box + centroid on the integer "
+    "coordinate grid: min/max extents and the integrally-floored "
+    "centroid — the spatial-index statistics (R-tree node MBRs, "
+    "search-space pruning) and the aggregate a tile server uses to "
+    "auto-zoom a selection; all exact integers, one map-combined "
+    "reduce. The MBR census pairs with geo_gridcell_density_pyramid "
+    "(extent vs density — together they size a spatial partitioning).",
+)
+def geo_bounding_box_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = load(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        ((F.col("c_custkey") * 48271) % 2147483647 % 1400000)
+        .cast("long")
+        .alias("lat_e4"),
+        ((F.col("c_custkey") * 69621) % 2147483647 % 3600000)
+        .cast("long")
+        .alias("lon_e4"),
+    )
+    return (
+        pts.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_points"),
+            F.min("lat_e4").cast("long").alias("lat_min_e4"),
+            F.max("lat_e4").cast("long").alias("lat_max_e4"),
+            F.min("lon_e4").cast("long").alias("lon_min_e4"),
+            F.max("lon_e4").cast("long").alias("lon_max_e4"),
+            F.expr("sum(lat_e4) div count(*)")
+            .cast("long")
+            .alias("centroid_lat_floor_e4"),
+            F.expr("sum(lon_e4) div count(*)")
+            .cast("long")
+            .alias("centroid_lon_floor_e4"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@staged10(
+    "parts_eoq_reorder_point",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT l_partkey, date_trunc('day', l_shipdate) AS d,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), stats AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(sum(q) AS BIGINT) AS sq
+            FROM daily GROUP BY l_partkey
+            HAVING count(*) >= 5
+        ), ranked AS (
+            SELECT l_partkey, n_days, sq,
+                   row_number() OVER (ORDER BY sq DESC, l_partkey)
+                       AS rk
+            FROM stats
+        )
+        SELECT l_partkey, n_days, sq AS total_qty,
+               CAST(sq * 7 // n_days AS BIGINT)
+                   AS reorder_point_l7_floor,
+               sqrt(2.0 * 50.0 * (365.0 * sq / n_days) / 2.5)
+                   AS eoq_units
+        FROM ranked WHERE rk <= 10 ORDER BY l_partkey
+    """,
+    description="EOQ and reorder point for the top-10 moving parts: "
+    "annualized demand from the exact daily rate (sq/n_days), EOQ = "
+    "sqrt(2*D*S/H) with ordering cost S=$50 and holding cost "
+    "H=$2.50/unit-yr as policy constants, and the 7-day-lead "
+    "reorder point as the INTEGRAL floor of lead-time demand — the "
+    "deterministic half of inventory policy, with "
+    "parts_safety_stock_plan's z*sigma*sqrt(L) as the stochastic "
+    "buffer on top (rop_total = reorder_point + safety_stock, the "
+    "cross-assert). One keyed reduce + bounded top-k.",
+)
+def parts_eoq_reorder_point(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey", F.date_trunc("day", "l_shipdate").alias("d")
+        )
+        .agg(F.sum(scaled_long("l_quantity", 1)).alias("q"))
+    )
+    stats = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("q").cast("long").alias("sq"),
+        )
+        .where(F.col("n_days") >= 5)
+    )
+    ranked = stats.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("sq").desc(), "l_partkey"))
+        .alias("rk"),
+    ).where(F.col("rk") <= 10)
+    return ranked.select(
+        "l_partkey",
+        "n_days",
+        F.col("sq").alias("total_qty"),
+        F.expr("sq * 7 div n_days")
+        .cast("long")
+        .alias("reorder_point_l7_floor"),
+        F.sqrt(
+            2.0
+            * 50.0
+            * (365.0 * F.col("sq") / F.col("n_days"))
+            / 2.5
+        ).alias("eoq_units"),
+    ).orderBy("l_partkey")
+
+
+@staged10(
+    "orders_promo_cannibalization",
+    oracle_sql="""
+        WITH flagged AS (
+            SELECT date_trunc('month', l.l_shipdate) AS m,
+                   CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END
+                       AS is_promo,
+                   CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ), cells AS (
+            SELECT m,
+                   CAST(sum(CASE WHEN is_promo = 1 THEN cents
+                            ELSE 0 END) AS BIGINT) AS promo_cents,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM flagged GROUP BY m
+        )
+        SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+               promo_cents, total_cents,
+               CAST(promo_cents * 10000 // total_cents AS BIGINT)
+                   AS promo_share_bp,
+               CAST(promo_cents * 10000 // total_cents
+                    - lag(promo_cents * 10000 // total_cents)
+                      OVER (ORDER BY m) AS BIGINT)
+                   AS share_delta_bp
+        FROM cells ORDER BY month_us
+    """,
+    description="Promo cannibalization trend: monthly PROMO-part "
+    "revenue share in exact floor bp with its month-over-month delta "
+    "— the merchandising question behind q14's single-month share "
+    "(a rising promo share with FLAT total revenue is "
+    "cannibalization, not growth; the two columns together answer "
+    "it). Part dim broadcasts; one month rollup + lag over the "
+    "bounded series.",
+)
+def orders_promo_cannibalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_trunc("month", "l_shipdate").alias("m"),
+        scaled_long("l_extendedprice", 100).alias("cents"),
+    )
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_type").like("PROMO%"), 1)
+        .otherwise(0)
+        .alias("is_promo"),
+    )
+    cells = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("m")
+        .agg(
+            F.sum(
+                F.when(F.col("is_promo") == 1, F.col("cents")).otherwise(0)
+            )
+            .cast("long")
+            .alias("promo_cents"),
+            F.sum("cents").cast("long").alias("total_cents"),
+        )
+    )
+    share = F.expr("promo_cents * 10000 div total_cents")
+    w = Window.orderBy("m")
+    return cells.select(
+        F.unix_micros("m").alias("month_us"),
+        "promo_cents",
+        "total_cents",
+        share.cast("long").alias("promo_share_bp"),
+        (share - F.lag(share).over(w)).cast("long").alias(
+            "share_delta_bp"
+        ),
+    ).orderBy("month_us")

@@ -51,3 +51,45 @@ def test_staged_r10_not_registered():
         )
     )
     assert not overlap, f"wave F collides with earlier waves: {overlap}"
+
+
+def test_state_store_rows_match_distinct_keys(spark):
+    """The engine-reported dedup state rows must equal the number of
+    distinct (user_id, event_type) keys — the deterministic subset of
+    the rows-only metrics op."""
+    from etl_intraday_bidask_spark.tables import load
+
+    rows = STAGED_R10["stream_state_store_metrics"].spark_fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows, "no state operator metrics captured"
+    n_keys = (
+        load(spark, SF_SMALL, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert max(r["state_rows_total"] for r in rows) == n_keys
+    assert sum(r["state_rows_updated"] for r in rows) == n_keys
+
+
+def test_reorder_policy_cross_consistent(spark):
+    """EOQ/reorder-point and safety-stock ops reduce the same daily
+    demand grain over the same top-10 parts: part sets and demand
+    totals must agree."""
+    eoq = {
+        r["l_partkey"]: r
+        for r in STAGED_R10["parts_eoq_reorder_point"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    ss = {
+        r["l_partkey"]: r
+        for r in STAGED_R10["parts_safety_stock_plan"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(eoq) == set(ss)
+    for k in eoq:
+        assert eoq[k]["total_qty"] == ss[k]["total_qty"]
+        assert eoq[k]["n_days"] == ss[k]["n_days"]
