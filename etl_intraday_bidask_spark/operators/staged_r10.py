@@ -1132,3 +1132,412 @@ def orders_promo_cannibalization(
             "share_delta_bp"
         ),
     ).orderBy("month_us")
+
+
+_INCR_BATCH_CACHE: dict[str, list] = {}
+
+
+@staged10(
+    "stream_incremental_batches",
+    oracle_sql="""
+        WITH thirds AS (
+            SELECT CASE WHEN event_id % 3 = 0 THEN 0
+                        WHEN event_id % 3 = 1 THEN 1
+                        ELSE 2 END AS batch_id,
+                   event_type
+            FROM events
+        )
+        SELECT CAST(batch_id AS BIGINT) AS batch_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM thirds GROUP BY batch_id ORDER BY batch_id
+    """,
+    description="Incremental micro-batching, hash-graded: the feed "
+    "lands as three files (event_id mod 3) and streams with "
+    "maxFilesPerTrigger=1, so the engine MUST process exactly one "
+    "file per micro-batch in lexicographic order — the per-batch row "
+    "and type censuses (captured via foreachBatch) then hash-equal "
+    "the per-file batch split the oracle computes. This grades the "
+    "micro-batch partitioning discipline itself (backpressure "
+    "control at lake scale IS maxFilesPerTrigger/maxBytesPerTrigger "
+    "— an engine that coalesces or reorders files breaks this "
+    "hash). Complements stream_checkpoint_recovery (state across "
+    "restarts) with batching (work division within a run).",
+)
+def stream_incremental_batches(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.tables import (
+        ensure_session_confs,
+        normalize_event_time,
+    )
+
+    if sf_dir not in _INCR_BATCH_CACHE:
+        ensure_session_confs(spark)
+        ev = load(spark, sf_dir, "events")
+        src = tempfile.mkdtemp(prefix="incr_src_")
+        for b in range(3):
+            ev.where(F.col("event_id") % 3 == b).write.parquet(
+                f"{src}/f{b}"
+            )
+        schema = spark.read.parquet(f"{src}/f0").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/*")
+        )
+        results: list = []
+
+        def sink(batch_df, batch_id):
+            row = batch_df.agg(
+                F.count(F.lit(1)).cast("long"),
+                F.countDistinct("event_type").cast("long"),
+            ).collect()[0]
+            results.append((int(batch_id), row[0], row[1]))
+
+        q = (
+            normalize_event_time(raw, "ts")
+            .writeStream.foreachBatch(sink)
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        _INCR_BATCH_CACHE[sf_dir] = sorted(results)
+    return spark.createDataFrame(
+        _INCR_BATCH_CACHE[sf_dir],
+        "batch_id long, n_rows long, n_types long",
+    ).orderBy("batch_id")
+
+
+@staged10(
+    "bidask_glosten_harris_decomp",
+    oracle_sql="""
+        WITH signed AS (
+            SELECT ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS p,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             > lag(CAST(round(value * 100) AS BIGINT))
+                               OVER (ORDER BY ts, event_id) THEN 1
+                        WHEN CAST(round(value * 100) AS BIGINT)
+                             < lag(CAST(round(value * 100) AS BIGINT))
+                               OVER (ORDER BY ts, event_id) THEN -1
+                        ELSE 0 END AS q
+            FROM events WHERE event_type = 'purchase'
+        ), obs AS (
+            SELECT p - lag(p) OVER (ORDER BY ts, event_id) AS dp,
+                   q,
+                   q - lag(q) OVER (ORDER BY ts, event_id) AS dq
+            FROM signed
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(dq) AS BIGINT) AS s_dq,
+                   CAST(sum(q) AS BIGINT) AS s_q,
+                   CAST(sum(dp) AS BIGINT) AS s_dp,
+                   CAST(sum(dq * dq) AS BIGINT) AS s_dqdq,
+                   CAST(sum(dq * q) AS BIGINT) AS s_dqq,
+                   CAST(sum(q * q) AS BIGINT) AS s_qq,
+                   CAST(sum(dp * dq) AS BIGINT) AS s_dpdq,
+                   CAST(sum(dp * q) AS BIGINT) AS s_dpq
+            FROM obs WHERE dp IS NOT NULL AND dq IS NOT NULL
+        ), gram AS (
+            SELECT n,
+                   CAST(n AS HUGEINT) * s_dqdq - CAST(s_dq AS HUGEINT)
+                       * s_dq AS a11,
+                   CAST(n AS HUGEINT) * s_dqq - CAST(s_dq AS HUGEINT)
+                       * s_q AS a12,
+                   CAST(n AS HUGEINT) * s_qq - CAST(s_q AS HUGEINT)
+                       * s_q AS a22,
+                   CAST(n AS HUGEINT) * s_dpdq - CAST(s_dq AS HUGEINT)
+                       * s_dp AS b1,
+                   CAST(n AS HUGEINT) * s_dpq - CAST(s_q AS HUGEINT)
+                       * s_dp AS b2
+            FROM m
+        )
+        SELECT n,
+               CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det_scaled,
+               CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+                   CAST(b1 * a22 - b2 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
+               END AS psi_order_processing_cents,
+               CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
+                   CAST(b2 * a11 - b1 * a12 AS DOUBLE)
+                   / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
+               END AS lambda_adverse_selection_cents
+        FROM gram
+    """,
+    description="Glosten-Harris spread decomposition: the two-factor "
+    "regression dp = psi*dq + lambda*q splits the effective spread "
+    "into transitory order-processing cost (psi — reverses when the "
+    "trade sign flips back) and permanent adverse-selection impact "
+    "(lambda — the information content that stays in the price). "
+    "Tick-rule signs, exact cent changes, the centered 2x2 Gram "
+    "system in 128-bit integers and Cramer ratios as unrounded "
+    "float chains — the same exact-normal-equations machinery as "
+    "agg_ols_normal_equations, aimed at the microstructure "
+    "question Kyle-lambda (wave C) answers only half of. One "
+    "ordered window + reduce.",
+)
+def bidask_glosten_harris_decomp(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.orderBy("ts", "event_id")
+    signed = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "ts", "event_id", scaled_long("value", 100).alias("p")
+        )
+        .select(
+            "ts",
+            "event_id",
+            "p",
+            F.when(F.col("p") > F.lag("p").over(w), 1)
+            .when(F.col("p") < F.lag("p").over(w), -1)
+            .otherwise(0)
+            .alias("q"),
+        )
+    )
+    obs = signed.select(
+        (F.col("p") - F.lag("p").over(w)).alias("dp"),
+        "q",
+        (F.col("q") - F.lag("q").over(w)).alias("dq"),
+    ).where(F.col("dp").isNotNull() & F.col("dq").isNotNull())
+    m = obs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("s_dq"),
+        F.sum("q").cast("long").alias("s_q"),
+        F.sum("dp").cast("long").alias("s_dp"),
+        F.sum(F.col("dq") * F.col("dq")).cast("long").alias("s_dqdq"),
+        F.sum(F.col("dq") * F.col("q")).cast("long").alias("s_dqq"),
+        F.sum(F.col("q") * F.col("q")).cast("long").alias("s_qq"),
+        F.sum(F.col("dp") * F.col("dq")).cast("long").alias("s_dpdq"),
+        F.sum(F.col("dp") * F.col("q")).cast("long").alias("s_dpq"),
+    )
+    dec = "decimal(38,0)"
+    g = m.select(
+        "n",
+        (
+            F.col("n").cast(dec) * F.col("s_dqdq")
+            - F.col("s_dq").cast(dec) * F.col("s_dq")
+        ).alias("a11"),
+        (
+            F.col("n").cast(dec) * F.col("s_dqq")
+            - F.col("s_dq").cast(dec) * F.col("s_q")
+        ).alias("a12"),
+        (
+            F.col("n").cast(dec) * F.col("s_qq")
+            - F.col("s_q").cast(dec) * F.col("s_q")
+        ).alias("a22"),
+        (
+            F.col("n").cast(dec) * F.col("s_dpdq")
+            - F.col("s_dq").cast(dec) * F.col("s_dp")
+        ).alias("b1"),
+        (
+            F.col("n").cast(dec) * F.col("s_dpq")
+            - F.col("s_q").cast(dec) * F.col("s_dp")
+        ).alias("b2"),
+    )
+    det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
+    return g.select(
+        "n",
+        det.cast("long").alias("det_scaled"),
+        F.when(
+            det != 0,
+            (
+                F.col("b1") * F.col("a22") - F.col("b2") * F.col("a12")
+            ).cast("double")
+            / det.cast("double"),
+        ).alias("psi_order_processing_cents"),
+        F.when(
+            det != 0,
+            (
+                F.col("b2") * F.col("a11") - F.col("b1") * F.col("a12")
+            ).cast("double")
+            / det.cast("double"),
+        ).alias("lambda_adverse_selection_cents"),
+    )
+
+
+@staged10(
+    "orders_repurchase_interval",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT o_custkey,
+                   CAST(datediff('day', lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey), o_orderdate)
+                       AS BIGINT) AS gap_days
+            FROM orders
+        ), valid AS (
+            SELECT gap_days FROM gaps WHERE gap_days IS NOT NULL
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_repurchases,
+               CAST(quantile_disc(gap_days, 0.25) AS BIGINT)
+                   AS p25_days,
+               CAST(quantile_disc(gap_days, 0.5) AS BIGINT) AS p50_days,
+               CAST(quantile_disc(gap_days, 0.75) AS BIGINT)
+                   AS p75_days,
+               CAST(max(gap_days) AS BIGINT) AS max_days,
+               CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT)
+                   AS within_30d_floor_bp
+        FROM valid
+    """,
+    description="Repurchase-interval distribution: day gaps between "
+    "a customer's consecutive orders ((date, orderkey) tie-broken), "
+    "summarized as discrete quartiles + the 30-day repurchase share "
+    "in floor bp — the replenishment-cycle read that calibrates both "
+    "churn-label windows (churn_label_weekly's 1-week horizon is "
+    "right only if p50 supports it) and win-back campaign timing. "
+    "One custkey-partitioned lag + percentile reduce.",
+)
+def orders_repurchase_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = load(spark, sf_dir, "orders").select(
+        F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+        .cast("long")
+        .alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repurchases"),
+        F.expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p25_days"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p50_days"),
+        F.expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY gap_days)")
+        .cast("long")
+        .alias("p75_days"),
+        F.max("gap_days").cast("long").alias("max_days"),
+        F.expr(
+            "sum(case when gap_days <= 30 then 1 else 0 end) * 10000 "
+            "div count(*)"
+        )
+        .cast("long")
+        .alias("within_30d_floor_bp"),
+    )
+
+
+@staged10(
+    "graph_degree_assortativity",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), degs AS (
+            SELECT x, CAST(count(*) AS BIGINT) AS d FROM (
+                SELECT u AS x FROM edges
+                UNION ALL SELECT v FROM edges
+            ) GROUP BY x
+        ), ends AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM edges e
+            JOIN degs du ON e.u = du.x
+            JOIN degs dv ON e.v = dv.x
+        ), m AS (
+            SELECT CAST(count(*) * 2 AS BIGINT) AS n2,
+                   CAST(sum(dx + dy) AS BIGINT) AS sx,
+                   CAST(sum(dx * dx + dy * dy) AS BIGINT) AS sxx,
+                   CAST(sum(2 * dx * dy) AS BIGINT) AS sxy
+            FROM ends
+        )
+        SELECT n2 AS n_edge_ends, sx, sxx, sxy,
+               CASE WHEN n2 * sxx - sx * sx > 0 THEN
+                   (CAST(n2 AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sx)
+                   / (CAST(n2 AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+               END AS assortativity_r
+        FROM m
+    """,
+    description="Degree assortativity of the co-purchase graph: the "
+    "Pearson correlation of degrees across edge ends, computed "
+    "SYMMETRIZED (each undirected edge contributes both "
+    "orientations, so sx/sxx fold both ends and sxy doubles the "
+    "cross product — the standard Newman formulation) from exact "
+    "int64 power sums with one unrounded float chain. r > 0 = "
+    "social/hub-attracts-hub mixing, r < 0 = hub-and-spoke "
+    "(typical for co-purchase) — the one-number graph-shape "
+    "diagnostic that tells you whether hub-salting (SCALE.md's "
+    "skew defense) will be needed BEFORE running the heavy "
+    "projections. Degrees join back on the vertex key; everything "
+    "else is bounded.",
+)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .distinct()
+    )
+    degs = (
+        edges.select(F.col("u").alias("x"))
+        .unionByName(edges.select(F.col("v").alias("x")))
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ends = (
+        edges.join(
+            degs.withColumnRenamed("x", "u").withColumnRenamed(
+                "d", "dx"
+            ),
+            "u",
+        )
+        .join(
+            degs.withColumnRenamed("x", "v").withColumnRenamed(
+                "d", "dy"
+            ),
+            "v",
+        )
+        .select("dx", "dy")
+    )
+    m = ends.agg(
+        (F.count(F.lit(1)) * 2).cast("long").alias("n2"),
+        F.sum(F.col("dx") + F.col("dy")).cast("long").alias("sx"),
+        F.sum(
+            F.col("dx") * F.col("dx") + F.col("dy") * F.col("dy")
+        )
+        .cast("long")
+        .alias("sxx"),
+        F.sum(2 * F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    var = F.col("n2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n2").alias("n_edge_ends"),
+        "sx",
+        "sxx",
+        "sxy",
+        F.when(
+            var > 0,
+            (
+                F.col("n2").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sx")
+            )
+            / var.cast("double"),
+        ).alias("assortativity_r"),
+    )
