@@ -1541,3 +1541,703 @@ def graph_degree_assortativity(
             / var.cast("double"),
         ).alias("assortativity_r"),
     )
+
+
+@staged10(
+    "eval_demographic_parity_80pct",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT user_id % 4 AS segment,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             >= 10000 THEN 1 ELSE 0 END AS selected
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ), rates AS (
+            SELECT segment,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(selected) AS BIGINT) AS n_selected,
+                   CAST(sum(selected) * 1000000 // count(*) AS BIGINT)
+                       AS rate_ppm
+            FROM scored GROUP BY segment
+        ), best AS (
+            SELECT max(rate_ppm) AS max_rate FROM rates
+        )
+        SELECT CAST(r.segment AS BIGINT) AS segment, r.n, r.n_selected,
+               r.rate_ppm,
+               CAST(CASE WHEN r.rate_ppm * 10 >= b.max_rate * 8
+                    THEN 1 ELSE 0 END AS BIGINT) AS passes_80pct_rule
+        FROM rates r, best b ORDER BY segment
+    """,
+    description="Demographic-parity audit with the four-fifths rule: "
+    "per segment (4-way user hash — the protected-attribute stand-"
+    "in), the selection rate at the $100 score threshold, flagged "
+    "against 80% of the most-favored segment's rate via the integer "
+    "cross-multiplication rate*10 >= max_rate*8 — the EEOC adverse-"
+    "impact test as an exact relational op (no rate float is ever "
+    "compared). The fairness gate that runs BEFORE a model ships; "
+    "eval_calibration_per_segment checks honesty, this checks "
+    "impact. One reduce + 1-row broadcast.",
+)
+def eval_demographic_parity_80pct(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (F.col("user_id") % 4).alias("segment"),
+            F.when(scaled_long("value", 100) >= 10000, 1)
+            .otherwise(0)
+            .alias("selected"),
+        )
+    )
+    rates = scored.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("selected").cast("long").alias("n_selected"),
+        F.expr("sum(selected) * 1000000 div count(*)")
+        .cast("long")
+        .alias("rate_ppm"),
+    )
+    best = rates.agg(F.max("rate_ppm").alias("max_rate"))
+    return (
+        rates.crossJoin(F.broadcast(best))
+        .select(
+            F.col("segment").cast("long").alias("segment"),
+            "n",
+            "n_selected",
+            "rate_ppm",
+            F.when(
+                F.col("rate_ppm") * 10 >= F.col("max_rate") * 8, 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("passes_80pct_rule"),
+        )
+        .orderBy("segment")
+    )
+
+
+@staged10(
+    "eval_equalized_odds_gap",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT user_id % 4 AS segment,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   CASE WHEN CAST(round(value * 100) AS BIGINT)
+                             >= 10000 THEN 1 ELSE 0 END AS pred
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ), rates AS (
+            SELECT segment,
+                   CAST(sum(CASE WHEN y = 1 AND pred = 1
+                            THEN 1 ELSE 0 END) * 10000
+                        // nullif(sum(y), 0) AS BIGINT) AS tpr_bp,
+                   CAST(sum(CASE WHEN y = 0 AND pred = 1
+                            THEN 1 ELSE 0 END) * 10000
+                        // nullif(sum(1 - y), 0) AS BIGINT) AS fpr_bp,
+                   CAST(sum(y) AS BIGINT) AS n_pos,
+                   CAST(sum(1 - y) AS BIGINT) AS n_neg
+            FROM scored GROUP BY segment
+        ), spread AS (
+            SELECT max(tpr_bp) - min(tpr_bp) AS tpr_gap,
+                   max(fpr_bp) - min(fpr_bp) AS fpr_gap
+            FROM rates
+        )
+        SELECT CAST(r.segment AS BIGINT) AS segment,
+               r.n_pos, r.n_neg, r.tpr_bp, r.fpr_bp,
+               CAST(s.tpr_gap AS BIGINT) AS tpr_gap_bp,
+               CAST(s.fpr_gap AS BIGINT) AS fpr_gap_bp
+        FROM rates r, spread s ORDER BY segment
+    """,
+    description="Equalized-odds audit: per-segment TPR and FPR at the "
+    "$100 threshold in exact floor bp (nullif-guarded for one-class "
+    "segments) plus the cross-segment max-min gaps — the error-rate "
+    "fairness criterion (parity can hold while one group absorbs all "
+    "the false positives; this catches exactly that). Same scored "
+    "stream as the parity op, so the pair audits selection AND error "
+    "fairness in one pass over the data.",
+)
+def eval_equalized_odds_gap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            (F.col("user_id") % 4).alias("segment"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+            F.when(scaled_long("value", 100) >= 10000, 1)
+            .otherwise(0)
+            .alias("pred"),
+        )
+    )
+    rates = scored.groupBy("segment").agg(
+        F.expr(
+            "sum(case when y = 1 and pred = 1 then 1 else 0 end) "
+            "* 10000 div nullif(sum(y), 0)"
+        )
+        .cast("long")
+        .alias("tpr_bp"),
+        F.expr(
+            "sum(case when y = 0 and pred = 1 then 1 else 0 end) "
+            "* 10000 div nullif(sum(1 - y), 0)"
+        )
+        .cast("long")
+        .alias("fpr_bp"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+    )
+    spread = rates.agg(
+        (F.max("tpr_bp") - F.min("tpr_bp")).alias("tpr_gap"),
+        (F.max("fpr_bp") - F.min("fpr_bp")).alias("fpr_gap"),
+    )
+    return (
+        rates.crossJoin(F.broadcast(spread))
+        .select(
+            F.col("segment").cast("long").alias("segment"),
+            "n_pos",
+            "n_neg",
+            "tpr_bp",
+            "fpr_bp",
+            F.col("tpr_gap").cast("long").alias("tpr_gap_bp"),
+            F.col("fpr_gap").cast("long").alias("fpr_gap_bp"),
+        )
+        .orderBy("segment")
+    )
+
+
+@staged10(
+    "sessionize_dwell_profile",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id))
+                       AS BIGINT) AS gap_us
+            FROM events
+        ), dwell AS (
+            SELECT event_type, gap_us
+            FROM seq
+            WHERE gap_us IS NOT NULL
+              AND gap_us <= CAST(30 AS BIGINT) * 60 * 1000000
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_transitions,
+               CAST(quantile_disc(gap_us, 0.5) AS BIGINT)
+                   AS p50_dwell_us,
+               CAST(quantile_disc(gap_us, 0.9) AS BIGINT)
+                   AS p90_dwell_us,
+               CAST(sum(gap_us) AS BIGINT) AS total_dwell_us
+        FROM dwell GROUP BY event_type ORDER BY event_type
+    """,
+    description="Dwell-time profile per event type: the in-session "
+    "gap (<= 30 min, the sessionization threshold — larger gaps are "
+    "session boundaries, not dwell) BEFORE each event, summarized as "
+    "discrete percentiles in exact microseconds — the engagement-"
+    "depth feature (dwell before a purchase vs before an error tells "
+    "opposite stories) and the input that calibrates the 30-minute "
+    "session gap itself (if p90 dwell approaches the threshold, "
+    "sessions are being split mid-visit). One user-partitioned lag "
+    "+ percentile reduce.",
+)
+def sessionize_dwell_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)))
+        .alias("gap_us"),
+    )
+    dwell = seq.where(
+        F.col("gap_us").isNotNull()
+        & (F.col("gap_us") <= 30 * 60 * 1000000)
+    )
+    return (
+        dwell.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY gap_us)"
+            )
+            .cast("long")
+            .alias("p50_dwell_us"),
+            F.expr(
+                "percentile_disc(0.9) WITHIN GROUP (ORDER BY gap_us)"
+            )
+            .cast("long")
+            .alias("p90_dwell_us"),
+            F.sum("gap_us").cast("long").alias("total_dwell_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@staged10(
+    "dq_range_contract_audit",
+    oracle_sql="""
+        WITH contracts(col_name, lo, hi) AS (VALUES
+            ('l_quantity', 1, 50),
+            ('l_discount_pct', 0, 10),
+            ('l_tax_pct', 0, 8)),
+        obs AS (
+            SELECT 'l_quantity' AS col_name,
+                   CAST(round(l_quantity) AS BIGINT) AS v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_discount_pct',
+                   CAST(round(l_discount * 100) AS BIGINT)
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_tax_pct', CAST(round(l_tax * 100) AS BIGINT)
+            FROM lineitem
+        )
+        SELECT o.col_name,
+               CAST(c.lo AS BIGINT) AS contract_lo,
+               CAST(c.hi AS BIGINT) AS contract_hi,
+               CAST(count(*) AS BIGINT) AS n_values,
+               CAST(min(o.v) AS BIGINT) AS observed_min,
+               CAST(max(o.v) AS BIGINT) AS observed_max,
+               CAST(sum(CASE WHEN o.v < c.lo OR o.v > c.hi
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM obs o JOIN contracts c ON o.col_name = c.col_name
+        GROUP BY o.col_name, c.lo, c.hi
+        ORDER BY o.col_name
+    """,
+    description="Value-range data contract audit: declared [lo, hi] "
+    "bounds per column (a VALUES contract dim — in production this "
+    "row set IS the contract registry) checked against observed "
+    "integer-grid values in one unpivoted pass, with violation "
+    "counts and the observed envelope — the producer-consumer "
+    "contract check that runs on every landing batch (dq_checks "
+    "grades null/key rules; this grades DOMAINS). A violation count "
+    "> 0 blocks the swap; the observed envelope drifting toward a "
+    "bound is the early warning. One narrow union + keyed reduce.",
+)
+def dq_range_contract_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    obs = (
+        li.select(
+            F.lit("l_quantity").alias("col_name"),
+            scaled_long("l_quantity", 1).alias("v"),
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_discount_pct").alias("col_name"),
+                scaled_long("l_discount", 100).alias("v"),
+            )
+        )
+        .unionByName(
+            li.select(
+                F.lit("l_tax_pct").alias("col_name"),
+                scaled_long("l_tax", 100).alias("v"),
+            )
+        )
+    )
+    contracts = spark.createDataFrame(
+        [
+            ("l_quantity", 1, 50),
+            ("l_discount_pct", 0, 10),
+            ("l_tax_pct", 0, 8),
+        ],
+        ["col_name", "lo", "hi"],
+    )
+    return (
+        obs.join(F.broadcast(contracts), "col_name")
+        .groupBy("col_name", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.min("v").cast("long").alias("observed_min"),
+            F.max("v").cast("long").alias("observed_max"),
+            F.sum(
+                F.when(
+                    (F.col("v") < F.col("lo"))
+                    | (F.col("v") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_violations"),
+        )
+        .select(
+            "col_name",
+            F.col("lo").cast("long").alias("contract_lo"),
+            F.col("hi").cast("long").alias("contract_hi"),
+            "n_values",
+            "observed_min",
+            "observed_max",
+            "n_violations",
+        )
+        .orderBy("col_name")
+    )
+
+
+@staged10(
+    "embed_whiten_variance_audit",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) AS dim,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000) AS BIGINT) AS xq
+            FROM embeddings
+        ), stats AS (
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(xq) AS BIGINT) AS sx,
+                   CAST(sum(xq * xq) AS BIGINT) AS sxx
+            FROM exp GROUP BY dim
+        ), scaled AS (
+            SELECT e.dim,
+                   CAST(floor((e.xq * s.n - s.sx)
+                       / sqrt(CAST(s.n AS DOUBLE) * s.sxx
+                              - CAST(s.sx AS DOUBLE) * s.sx)
+                       * 1000.0 + 0.5) AS BIGINT) AS wq
+            FROM exp e JOIN stats s ON e.dim = s.dim
+            WHERE s.n * s.sxx - s.sx * s.sx > 0
+        ), wstats AS (
+            SELECT dim, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(wq) AS BIGINT) AS swx,
+                   CAST(sum(wq * wq) AS BIGINT) AS swxx
+            FROM scaled GROUP BY dim
+        ), vars AS (
+            SELECT dim,
+                   (n * swxx - swx * swx) // (n * n) AS var_scaled
+            FROM wstats
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(min(var_scaled) AS BIGINT) AS min_var_scaled,
+               CAST(max(var_scaled) AS BIGINT) AS max_var_scaled,
+               CAST(max(var_scaled) * 100
+                    // nullif(min(var_scaled), 0) AS BIGINT)
+                   AS max_over_min_x100
+        FROM vars
+    """,
+    description="Whitening applied AND audited in one plan: each "
+    "dimension standardizes by its own mean/std (the centered value "
+    "stays n-scaled; the single irrational division by sqrt(var) "
+    "quantizes to a 1e3 grid per ROW before any cross-row "
+    "aggregation — the documented float-crossing-aggregation rule), "
+    "then the whitened per-dimension variances are re-measured: "
+    "max/min variance ratio ~100x100 means whitening worked (the "
+    "pre-whitening ratio is what embed_dim_variance_topk exposes). "
+    "This is the PQ/IVF preprocessing step (knn_pq_adc's codebooks "
+    "assume comparable subspace scales) as a graded op. Two keyed "
+    "reduces + broadcast stats join.",
+)
+def embed_whiten_variance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode(as_double("embedding")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x") * 1000000 + 0.5).cast("long").alias("xq"),
+    )
+    stats = exp.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).cast("long").alias("sxx"),
+    )
+    var_num = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    scaled = (
+        exp.join(stats, "dim")
+        .where(var_num > 0)
+        .select(
+            "dim",
+            F.floor(
+                (F.col("xq") * F.col("n") - F.col("sx"))
+                / F.sqrt(
+                    F.col("n").cast("double") * F.col("sxx")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                * 1000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("wq"),
+        )
+    )
+    wstats = scaled.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("wn"),
+        F.sum("wq").cast("long").alias("swx"),
+        F.sum(F.col("wq") * F.col("wq")).cast("long").alias("swxx"),
+    )
+    vars_ = wstats.select(
+        F.expr(
+            "(wn * swxx - swx * swx) div (wn * wn)"
+        ).alias("var_scaled")
+    )
+    return vars_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_dims"),
+        F.min("var_scaled").cast("long").alias("min_var_scaled"),
+        F.max("var_scaled").cast("long").alias("max_var_scaled"),
+        F.expr(
+            "max(var_scaled) * 100 div nullif(min(var_scaled), 0)"
+        )
+        .cast("long")
+        .alias("max_over_min_x100"),
+    )
+
+
+@staged10(
+    "embed_random_projection_jl",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS x
+            FROM embeddings WHERE vec_id < 40
+        ), proj_basis AS (
+            SELECT d.i, k.j,
+                   2 * (CAST('0x' || substr(md5('jl:' || k.j || ':'
+                        || d.i), 1, 15) AS BIGINT) % 2) - 1 AS sgn
+            FROM generate_series(0, 63) AS d(i)
+            CROSS JOIN generate_series(0, 15) AS k(j)
+        ), projected AS (
+            SELECT e.vec_id, b.j, sum(e.x * b.sgn) AS y
+            FROM exp e JOIN proj_basis b ON e.i = b.i
+            GROUP BY e.vec_id, b.j
+        ), orig_norm AS (
+            SELECT vec_id, sum(x * x) AS nsq FROM exp GROUP BY vec_id
+        ), proj_norm AS (
+            SELECT vec_id, sum(y * y) / 16.0 AS nsq
+            FROM projected GROUP BY vec_id
+        ), ratios AS (
+            SELECT o.vec_id,
+                   CAST(floor(p.nsq / o.nsq * 10000 + 0.5) AS BIGINT)
+                       AS ratio_x10k
+            FROM orig_norm o JOIN proj_norm p ON o.vec_id = p.vec_id
+            WHERE o.nsq > 0
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(min(ratio_x10k) AS BIGINT) AS min_ratio_x10k,
+               CAST(max(ratio_x10k) AS BIGINT) AS max_ratio_x10k,
+               CAST(sum(ratio_x10k) // count(*) AS BIGINT)
+                   AS mean_ratio_floor_x10k
+        FROM ratios
+    """,
+    description="Johnson-Lindenstrauss random projection 64 -> 16 "
+    "dims with the distortion AUDITED: the +/-1 projection matrix "
+    "derives from the md5-arithmetic hash (the decorrelation lesson "
+    "from the multitable-LSH fix, baked in from the start — a "
+    "1024-entry broadcast basis, never per-row hashing), and each "
+    "vector's norm ratio ||Px||^2/(k*||x||^2), quantized per vector "
+    "at 1e-4, is summarized min/mean/max — the JL lemma says these "
+    "concentrate near 1, and the measured spread IS the distortion "
+    "budget a 4x-cheaper ANN tier inherits (the dimensionality "
+    "companion to matryoshka truncation, which keeps PREFIX dims "
+    "instead of mixing all). Restricted to 40 vectors for grading "
+    "size; the projection itself is map-only at any scale.",
+)
+def embed_random_projection_jl(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.functions.vector import as_double
+
+    exp = (
+        load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 40)
+        .select(
+            "vec_id",
+            F.posexplode(as_double("embedding")).alias("i", "x"),
+        )
+    )
+    dims = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    ks = spark.range(16).select(F.col("id").cast("int").alias("j"))
+    basis = dims.crossJoin(ks).select(
+        "i",
+        "j",
+        (
+            2
+            * (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                ":",
+                                F.lit("jl"),
+                                F.col("j").cast("string"),
+                                F.col("i").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 2
+            )
+            - 1
+        ).cast("double").alias("sgn"),
+    )
+    projected = (
+        exp.join(F.broadcast(basis), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("x") * F.col("sgn")).alias("y"))
+    )
+    orig = exp.groupBy("vec_id").agg(
+        F.sum(F.col("x") * F.col("x")).alias("nsq_o")
+    )
+    proj = projected.groupBy("vec_id").agg(
+        (F.sum(F.col("y") * F.col("y")) / 16.0).alias("nsq_p")
+    )
+    ratios = (
+        orig.join(proj, "vec_id")
+        .where(F.col("nsq_o") > 0)
+        .select(
+            F.floor(
+                F.col("nsq_p") / F.col("nsq_o") * 10000 + 0.5
+            )
+            .cast("long")
+            .alias("ratio_x10k")
+        )
+    )
+    return ratios.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.min("ratio_x10k").cast("long").alias("min_ratio_x10k"),
+        F.max("ratio_x10k").cast("long").alias("max_ratio_x10k"),
+        F.expr("sum(ratio_x10k) div count(*)")
+        .cast("long")
+        .alias("mean_ratio_floor_x10k"),
+    )
+
+
+@staged10(
+    "text_compression_ratio_proxy",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS t
+            FROM documents
+        ), per_doc AS (
+            SELECT doc_id, lang,
+                   CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(t)) AS BIGINT)
+                       AS n_distinct
+            FROM toks
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+               CAST(sum(n_distinct) * 10000
+                    // nullif(sum(n_tokens), 0) AS BIGINT)
+                   AS type_token_ratio_floor_bp,
+               CAST(sum(CASE WHEN n_distinct * 2 < n_tokens
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_highly_repetitive
+        FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+    description="Type-token compressibility proxy per language: the "
+    "distinct/total token ratio in floor bp (a document whose TTR is "
+    "low compresses well because it repeats itself — the cheap "
+    "stand-in for a gzip-ratio quality signal, which needs no "
+    "codec) plus the count of highly-repetitive documents "
+    "(distinct*2 < total, an integer comparison) — the corpus-"
+    "quality screen that catches boilerplate and template spam "
+    "before the expensive dedup passes (complements "
+    "text_repetition_dup_ngram, which looks INSIDE the window "
+    "structure). Fully narrow: array ops per row, one reduce.",
+)
+def text_compression_ratio_proxy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    per_doc = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_distinct").cast("long").alias("total_distinct"),
+            F.expr(
+                "sum(n_distinct) * 10000 div nullif(sum(n_tokens), 0)"
+            )
+            .cast("long")
+            .alias("type_token_ratio_floor_bp"),
+            F.sum(
+                F.when(
+                    F.col("n_distinct") * 2 < F.col("n_tokens"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_highly_repetitive"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged10(
+    "multimodal_fixed_chunking",
+    oracle_sql="""
+        WITH blobs AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT)
+                       AS n_bytes
+            FROM documents
+        ), chunked AS (
+            SELECT doc_id, n_bytes,
+                   CAST((n_bytes + 4095) // 4096 AS BIGINT)
+                       AS n_chunks,
+                   CAST(CASE WHEN n_bytes % 4096 = 0 AND n_bytes > 0
+                        THEN 4096 ELSE n_bytes % 4096 END AS BIGINT)
+                       AS last_chunk_bytes
+            FROM blobs
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_blobs,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(n_chunks) AS BIGINT) AS total_chunks,
+               CAST(sum(n_chunks) * 4096 - sum(n_bytes) AS BIGINT)
+                   AS padding_bytes,
+               CAST(min(last_chunk_bytes) AS BIGINT)
+                   AS min_last_chunk,
+               CAST(max(n_chunks) AS BIGINT) AS max_chunks_per_blob
+        FROM chunked
+    """,
+    description="Fixed-size (4 KB) blob chunking manifest: per "
+    "payload, ceil-division chunk counts and the ragged last-chunk "
+    "size — the content-upload plumbing every multimodal store "
+    "needs (chunked transfer, resumable upload, per-chunk "
+    "checksums), with the padding-waste census that motivates "
+    "content-defined chunking as the next step. All integer "
+    "ceil/mod arithmetic ((n + 4095) div 4096 — the idiom, no "
+    "floats); only sizes flow, payload bytes never shuffle. Pairs "
+    "with multimodal_shard_manifest (many docs -> one shard) as its "
+    "inverse (one blob -> many chunks).",
+)
+def multimodal_fixed_chunking(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    blobs = load(spark, sf_dir, "documents").select(
+        F.length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes")
+    )
+    chunked = blobs.select(
+        "n_bytes",
+        F.expr("(n_bytes + 4095) div 4096").alias("n_chunks"),
+        F.when(
+            (F.col("n_bytes") % 4096 == 0) & (F.col("n_bytes") > 0),
+            4096,
+        )
+        .otherwise(F.col("n_bytes") % 4096)
+        .alias("last_chunk_bytes"),
+    )
+    return chunked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blobs"),
+        F.sum("n_bytes").cast("long").alias("total_bytes"),
+        F.sum("n_chunks").cast("long").alias("total_chunks"),
+        (F.sum("n_chunks") * 4096 - F.sum("n_bytes"))
+        .cast("long")
+        .alias("padding_bytes"),
+        F.min("last_chunk_bytes").cast("long").alias("min_last_chunk"),
+        F.max("n_chunks").cast("long").alias("max_chunks_per_blob"),
+    )
