@@ -2241,3 +2241,300 @@ def multimodal_fixed_chunking(
         F.min("last_chunk_bytes").cast("long").alias("min_last_chunk"),
         F.max("n_chunks").cast("long").alias("max_chunks_per_blob"),
     )
+
+
+@staged10(
+    "ts_stl_anomaly_days",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(isodow(ts) AS BIGINT) AS dow,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY d, dow
+        ), dow_means AS (
+            SELECT dow, CAST(count(*) AS BIGINT) AS n_d,
+                   CAST(sum(y) AS BIGINT) AS s_d
+            FROM daily GROUP BY dow
+        ), resid AS (
+            SELECT d.d, d.y,
+                   (d.y * m.n_d - m.s_d) AS r_scaled, m.n_d
+            FROM daily d JOIN dow_means m ON d.dow = m.dow
+        ), ranked AS (
+            SELECT d, y, r_scaled, n_d,
+                   row_number() OVER (
+                       ORDER BY abs(CAST(r_scaled AS DOUBLE) / n_d)
+                                DESC, d) AS rk
+            FROM resid
+        )
+        SELECT CAST(epoch_us(d) AS BIGINT) AS day_us,
+               y AS observed,
+               CAST(r_scaled AS BIGINT) AS resid_scaled,
+               CAST(n_d AS BIGINT) AS dow_n,
+               CAST(rk AS BIGINT) AS rk
+        FROM ranked WHERE rk <= 5 ORDER BY rk
+    """,
+    description="Top-5 anomalous days after weekday-seasonal "
+    "adjustment: each day's volume residual vs its own weekday's "
+    "mean, kept n-scaled (y*n_d - sum_d — no mean rational) and "
+    "ranked by the magnitude of the SAME ratio computed identically "
+    "on both engines (one division inside the sort key; the graded "
+    "values are the exact scaled residuals, the rank is tie-broken "
+    "on date) — the incident-review shortlist that raw-volume "
+    "ranking gets wrong (every Sunday looks anomalous vs a weekday "
+    "mean). Bounded daily rollup + 7-row broadcast.",
+)
+def ts_stl_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("day", "ts").alias("d"),
+            (F.weekday("ts") + 1).cast("long").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    dow_means = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_d"),
+        F.sum("y").cast("long").alias("s_d"),
+    )
+    resid = daily.join(dow_means, "dow").select(
+        "d",
+        "y",
+        (F.col("y") * F.col("n_d") - F.col("s_d")).alias("r_scaled"),
+        "n_d",
+    )
+    ranked = resid.select(
+        "*",
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.abs(
+                    F.col("r_scaled").cast("double") / F.col("n_d")
+                ).desc(),
+                "d",
+            )
+        )
+        .alias("rk"),
+    ).where(F.col("rk") <= 5)
+    return ranked.select(
+        F.unix_micros("d").alias("day_us"),
+        F.col("y").alias("observed"),
+        F.col("r_scaled").cast("long").alias("resid_scaled"),
+        F.col("n_d").cast("long").alias("dow_n"),
+        F.col("rk").cast("long").alias("rk"),
+    ).orderBy("rk")
+
+
+@staged10(
+    "orders_basket_size_profile",
+    oracle_sql="""
+        WITH baskets AS (
+            SELECT l_orderkey,
+                   CAST(count(*) AS BIGINT) AS n_lines,
+                   CAST(sum(CAST(round(l_extendedprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT CAST(least(n_lines, 7) AS BIGINT) AS basket_size_bucket,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents) // count(*) AS BIGINT)
+                   AS avg_order_cents_floor,
+               CAST(sum(cents) // sum(n_lines) AS BIGINT)
+                   AS avg_line_cents_floor
+        FROM baskets GROUP BY basket_size_bucket
+        ORDER BY basket_size_bucket
+    """,
+    description="Basket-size profile: orders bucketed by line count "
+    "(capped 7+), each bucket's order count, exact value, and the "
+    "two per-unit reads (per order / per line, integral floors) — "
+    "the merchandising curve that prices free-shipping thresholds "
+    "and bundles (does value scale with basket size or do big "
+    "baskets trade down per line?). One orderkey reduce + bounded "
+    "histogram.",
+)
+def orders_basket_size_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    baskets = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(scaled_long("l_extendedprice", 100))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    return (
+        baskets.groupBy(
+            F.least(F.col("n_lines"), F.lit(7))
+            .cast("long")
+            .alias("basket_size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.expr("sum(cents) div count(*)")
+            .cast("long")
+            .alias("avg_order_cents_floor"),
+            F.expr("sum(cents) div sum(n_lines)")
+            .cast("long")
+            .alias("avg_line_cents_floor"),
+        )
+        .orderBy("basket_size_bucket")
+    )
+
+
+@staged10(
+    "orders_customer_hhi_by_nation",
+    oracle_sql="""
+        WITH rev AS (
+            SELECT c.c_nationkey, o.o_custkey,
+                   CAST(sum(CAST(round(o.o_totalprice * 100)
+                                 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o JOIN customer c
+              ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey, o.o_custkey
+        ), totals AS (
+            SELECT c_nationkey, CAST(sum(cents) AS BIGINT) AS tot
+            FROM rev GROUP BY c_nationkey
+        ), shares AS (
+            SELECT r.c_nationkey,
+                   r.cents * 1000000 // t.tot AS share_ppm
+            FROM rev r JOIN totals t ON r.c_nationkey = t.c_nationkey
+        )
+        SELECT c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(share_ppm * share_ppm) // 1000000 AS BIGINT)
+                   AS hhi_ppm
+        FROM shares GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+    description="Herfindahl-Hirschman revenue concentration per "
+    "nation: customer shares floor onto the ppm grid, HHI = sum of "
+    "squared shares integrally de-scaled — the antitrust-style "
+    "concentration scalar that complements the Gini/Pareto pair "
+    "(HHI weights the TOP of the distribution hardest: one dominant "
+    "customer moves HHI far more than Gini). 10000 ppm = "
+    "monopoly-customer nation; below ~150 ppm is diffuse. Two keyed "
+    "reduces + a broadcast totals join.",
+)
+def orders_customer_hhi_by_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", scaled_long("o_totalprice", 100).alias("cents")
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", "o_custkey")
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    totals = rev.groupBy("c_nationkey").agg(
+        F.sum("cents").cast("long").alias("tot")
+    )
+    shares = rev.join(totals, "c_nationkey").select(
+        "c_nationkey",
+        F.expr("cents * 1000000 div tot").alias("share_ppm"),
+    )
+    return (
+        shares.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.expr("sum(share_ppm * share_ppm) div 1000000")
+            .cast("long")
+            .alias("hhi_ppm"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@staged10(
+    "events_funnel_by_dow",
+    oracle_sql="""
+        WITH reach AS (
+            SELECT user_id, isodow(ts) AS dow,
+                   CAST(max(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS s_view,
+                   CAST(max(CASE WHEN event_type = 'click'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS s_click,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS s_buy
+            FROM events GROUP BY user_id, dow
+        )
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(sum(s_view) AS BIGINT) AS n_view,
+               CAST(sum(s_view * s_click) AS BIGINT) AS n_view_click,
+               CAST(sum(s_view * s_click * s_buy) AS BIGINT)
+                   AS n_full_funnel,
+               CAST(sum(s_view * s_click) * 10000
+                    // nullif(sum(s_view), 0) AS BIGINT)
+                   AS click_through_floor_bp,
+               CAST(sum(s_view * s_click * s_buy) * 10000
+                    // nullif(sum(s_view * s_click), 0) AS BIGINT)
+                   AS buy_through_floor_bp
+        FROM reach GROUP BY dow ORDER BY dow
+    """,
+    description="Funnel completion by weekday: per (user, weekday), "
+    "step-reach flags multiply into strict funnel membership "
+    "(view -> view+click -> view+click+buy — set intersection as "
+    "integer products), and the two step-through rates floor onto "
+    "the bp grid per weekday — the funnel x seasonality interaction "
+    "(funnel_conversion grades the global funnel; a weekday whose "
+    "click-through holds but buy-through collapses localizes the "
+    "leak to checkout, on that day). One (user, dow) reduce; "
+    "nullif-guarded.",
+)
+def events_funnel_by_dow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    reach = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "user_id", (F.weekday("ts") + 1).cast("long").alias("dow")
+        )
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "view", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_view"),
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_click"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("s_buy"),
+        )
+    )
+    return (
+        reach.groupBy("dow")
+        .agg(
+            F.sum("s_view").cast("long").alias("n_view"),
+            F.sum(F.col("s_view") * F.col("s_click"))
+            .cast("long")
+            .alias("n_view_click"),
+            F.sum(F.col("s_view") * F.col("s_click") * F.col("s_buy"))
+            .cast("long")
+            .alias("n_full_funnel"),
+            F.expr(
+                "sum(s_view * s_click) * 10000 "
+                "div nullif(sum(s_view), 0)"
+            )
+            .cast("long")
+            .alias("click_through_floor_bp"),
+            F.expr(
+                "sum(s_view * s_click * s_buy) * 10000 "
+                "div nullif(sum(s_view * s_click), 0)"
+            )
+            .cast("long")
+            .alias("buy_through_floor_bp"),
+        )
+        .orderBy("dow")
+    )
