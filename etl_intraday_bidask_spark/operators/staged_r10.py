@@ -2828,3 +2828,348 @@ def orders_cohort_ltv_curve(
         )
         .orderBy("cohort_year_us", "age_years")
     )
+
+
+@staged10(
+    "eval_precision_at_k_curve",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT user_id, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS s,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ), ranked AS (
+            SELECT user_id, y,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY s DESC, event_id
+                   ) AS rk
+            FROM scored
+        ), ks(k) AS (VALUES (1), (3), (5), (10)),
+        cells AS (
+            SELECT kk.k,
+                   CAST(sum(CASE WHEN r.rk <= kk.k THEN r.y ELSE 0
+                        END) AS BIGINT) AS hits,
+                   CAST(sum(CASE WHEN r.rk <= kk.k THEN 1 ELSE 0
+                        END) AS BIGINT) AS slots
+            FROM ranked r, ks kk
+            GROUP BY kk.k
+        )
+        SELECT CAST(k AS BIGINT) AS k, hits, slots,
+               CAST(hits * 10000 // nullif(slots, 0) AS BIGINT)
+                   AS precision_floor_bp
+        FROM cells ORDER BY k
+    """,
+    description="Micro-averaged precision@k curve (k = 1/3/5/10) over "
+    "per-user score rankings, all four cutoffs from ONE rank window "
+    "+ one conditional aggregate against a broadcast k dim — the "
+    "slot-efficiency companion to eval_recall_at_k (recall asks how "
+    "much relevance we captured; precision asks how much of what we "
+    "SHOWED was relevant — the UX cost of a bad ranker). Slots "
+    "count actual rows (users with fewer than k events contribute "
+    "fewer slots — the honest micro convention). Integral bp, "
+    "nullif-guarded.",
+)
+def eval_precision_at_k_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            "user_id",
+            "event_id",
+            scaled_long("value", 100).alias("s"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    ranked = scored.select(
+        "y",
+        F.row_number()
+        .over(
+            Window.partitionBy("user_id").orderBy(
+                F.col("s").desc(), "event_id"
+            )
+        )
+        .alias("rk"),
+    )
+    ks = spark.createDataFrame([(1,), (3,), (5,), (10,)], ["k"])
+    cells = (
+        ranked.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), F.col("y")).otherwise(0)
+            )
+            .cast("long")
+            .alias("hits"),
+            F.sum(
+                F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("slots"),
+        )
+    )
+    return cells.select(
+        F.col("k").cast("long").alias("k"),
+        "hits",
+        "slots",
+        F.expr("hits * 10000 div nullif(slots, 0)")
+        .cast("long")
+        .alias("precision_floor_bp"),
+    ).orderBy("k")
+
+
+@staged10(
+    "eval_score_histogram_by_class",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT least(CAST(round(value * 100) AS BIGINT) // 2500,
+                         11) AS bin,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y
+            FROM events WHERE event_type IN ('purchase', 'view')
+        )
+        SELECT CAST(bin AS BIGINT) AS score_bin,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(count(*) - sum(y) AS BIGINT) AS n_neg,
+               CAST(sum(y) * 10000 // count(*) AS BIGINT)
+                   AS pos_share_floor_bp
+        FROM scored GROUP BY bin ORDER BY score_bin
+    """,
+    description="Class-conditional score histograms ($25 bins, capped "
+    "11+): the positive and negative score distributions side by "
+    "side with the per-bin positive share — the picture BEHIND "
+    "every threshold metric in the eval family (KS is the max CDF "
+    "gap of exactly these two histograms; calibration is their "
+    "ratio; a bimodal negative histogram explains a precision "
+    "cliff no scalar metric can). One map-combined reduce, all "
+    "integral.",
+)
+def eval_score_histogram_by_class(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.least(
+                F.expr("floor(value * 100 + 0.5) div 2500").cast("long"),
+                F.lit(11),
+            ).alias("bin"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+    return (
+        scored.groupBy(F.col("bin").cast("long").alias("score_bin"))
+        .agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+            F.expr("sum(y) * 10000 div count(*)")
+            .cast("long")
+            .alias("pos_share_floor_bp"),
+        )
+        .orderBy("score_bin")
+    )
+
+
+@staged10(
+    "geo_distance_decay_demand",
+    oracle_sql="""
+        WITH pts AS (
+            SELECT c_custkey,
+                   ((c_custkey * 48271) % 2147483647 % 1400000)
+                       / 10000.0 - 70.0 AS lat,
+                   ((c_custkey * 69621) % 2147483647 % 3600000)
+                       / 10000.0 - 180.0 AS lon
+            FROM customer
+        ), hubs(hub, hlat, hlon) AS (VALUES
+            ('nyc', 40.7128, -74.0060), ('lon', 51.5074, -0.1278),
+            ('sgp', 1.3521, 103.8198), ('syd', -33.8688, 151.2093),
+            ('gru', -23.5558, -46.6396)),
+        nearest AS (
+            SELECT c_custkey, dist_dkm FROM (
+                SELECT p.c_custkey,
+                       CAST(floor(12742.0 * asin(sqrt(
+                           pow(sin(radians(h.hlat - p.lat) / 2), 2)
+                           + cos(radians(p.lat))
+                             * cos(radians(h.hlat))
+                             * pow(sin(radians(h.hlon - p.lon) / 2),
+                                   2))) * 10.0 + 0.5) AS BIGINT)
+                           AS dist_dkm,
+                       row_number() OVER (PARTITION BY p.c_custkey
+                           ORDER BY CAST(floor(12742.0 * asin(sqrt(
+                           pow(sin(radians(h.hlat - p.lat) / 2), 2)
+                           + cos(radians(p.lat))
+                             * cos(radians(h.hlat))
+                             * pow(sin(radians(h.hlon - p.lon) / 2),
+                                   2))) * 10.0 + 0.5) AS BIGINT),
+                           h.hub) AS rk
+                FROM pts p CROSS JOIN hubs h
+            ) WHERE rk = 1
+        ), demand AS (
+            SELECT n.dist_dkm // 20000 AS dist_band_2000km,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT)
+                       AS cents
+            FROM orders o JOIN nearest n
+              ON o.o_custkey = n.c_custkey
+        )
+        SELECT CAST(dist_band_2000km AS BIGINT) AS dist_band_2000km,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(cents) // count(*) AS BIGINT)
+                   AS avg_order_cents_floor
+        FROM demand GROUP BY dist_band_2000km
+        ORDER BY dist_band_2000km
+    """,
+    description="Distance-decay demand curve: order volume and value "
+    "banded by the customer's distance to their nearest hub (the "
+    "geo_haversine_nearest_hub assignment reused, 2000 km bands) — "
+    "the gravity-model read behind warehouse placement (if demand "
+    "does NOT decay with distance, the hub set is wrong or shipping "
+    "is under-priced). Quantized-deci-km distances keep the band "
+    "edges integral; the demand join shuffles on the natural "
+    "custkey. Geo dim broadcast; two reduces.",
+)
+def geo_distance_decay_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pts = load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        (
+            ((F.col("c_custkey") * 48271) % 2147483647 % 1400000)
+            / 10000.0
+            - 70.0
+        ).alias("lat"),
+        (
+            ((F.col("c_custkey") * 69621) % 2147483647 % 3600000)
+            / 10000.0
+            - 180.0
+        ).alias("lon"),
+    )
+    hubs = spark.createDataFrame(
+        [
+            ("nyc", 40.7128, -74.0060),
+            ("lon", 51.5074, -0.1278),
+            ("sgp", 1.3521, 103.8198),
+            ("syd", -33.8688, 151.2093),
+            ("gru", -23.5558, -46.6396),
+        ],
+        ["hub", "hlat", "hlon"],
+    )
+    dlat = F.radians(F.col("hlat") - F.col("lat")) / 2
+    dlon = F.radians(F.col("hlon") - F.col("lon")) / 2
+    hav = (
+        F.pow(F.sin(dlat), 2)
+        + F.cos(F.radians("lat"))
+        * F.cos(F.radians("hlat"))
+        * F.pow(F.sin(dlon), 2)
+    )
+    dist = F.floor(12742.0 * F.asin(F.sqrt(hav)) * 10.0 + 0.5).cast(
+        "long"
+    )
+    nearest = (
+        pts.crossJoin(F.broadcast(hubs))
+        .select(
+            "c_custkey",
+            dist.alias("dist_dkm"),
+            F.row_number()
+            .over(
+                Window.partitionBy("c_custkey").orderBy(
+                    dist, F.col("hub")
+                )
+            )
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", scaled_long("o_totalprice", 100).alias("cents")
+    )
+    demand = orders.join(
+        nearest, orders.o_custkey == nearest.c_custkey
+    ).select(
+        F.expr("dist_dkm div 20000").alias("dist_band_2000km"), "cents"
+    )
+    return (
+        demand.groupBy(
+            F.col("dist_band_2000km")
+            .cast("long")
+            .alias("dist_band_2000km")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.expr("sum(cents) div count(*)")
+            .cast("long")
+            .alias("avg_order_cents_floor"),
+        )
+        .orderBy("dist_band_2000km")
+    )
+
+
+@staged10(
+    "graph_edge_weight_distribution",
+    oracle_sql="""
+        WITH pair_counts AS (
+            SELECT a.user_id AS u, b.user_id AS v,
+                   CAST(count(DISTINCT a.h) AS BIGINT) AS w
+            FROM (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                  FROM events WHERE event_type = 'purchase') a
+            JOIN (SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+                  FROM events WHERE event_type = 'purchase') b
+              ON a.h = b.h AND a.user_id < b.user_id
+            GROUP BY a.user_id, b.user_id
+        )
+        SELECT CAST(least(w, 5) AS BIGINT) AS weight_bucket,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(w) AS BIGINT) AS total_cooccurrences
+        FROM pair_counts GROUP BY weight_bucket
+        ORDER BY weight_bucket
+    """,
+    description="Co-purchase edge-weight distribution: how many "
+    "DISTINCT hours each user pair co-purchased in (the edge weight "
+    "the unweighted graph family — triangles, k-core, components — "
+    "throws away), histogrammed (capped 5+) — weight-1 edges are "
+    "coincidence, repeated co-occurrence is signal, and the "
+    "weight threshold that separates them is read off exactly this "
+    "table before any weighted-graph algorithm runs. Same "
+    "hour-blocked join bound as the rest of the graph family.",
+)
+def graph_edge_weight_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(
+            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
+        )
+        .agg(F.countDistinct("a.h").cast("long").alias("w"))
+    )
+    return (
+        pair_counts.groupBy(
+            F.least(F.col("w"), F.lit(5))
+            .cast("long")
+            .alias("weight_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_edges"),
+            F.sum("w").cast("long").alias("total_cooccurrences"),
+        )
+        .orderBy("weight_bucket")
+    )
