@@ -3173,3 +3173,209 @@ def graph_edge_weight_distribution(
         )
         .orderBy("weight_bucket")
     )
+
+
+@staged10(
+    "events_activity_powerlaw_fit",
+    oracle_sql="""
+        WITH activity AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT c,
+                   row_number() OVER (ORDER BY c DESC, user_id) AS rk
+            FROM activity
+        ), pts AS (
+            SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(c AS DOUBLE)) * 10000 + 0.5)
+                        AS BIGINT) AS y
+            FROM ranked
+        ), m AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx
+            FROM pts
+        )
+        SELECT n AS n_users,
+               CASE WHEN n * sxx - sx * sx > 0 THEN
+                   (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * sx)
+               END AS powerlaw_slope,
+               CAST(sxx AS BIGINT) AS sxx_scaled
+        FROM m
+    """,
+    description="Power-law fit of user activity: OLS slope of "
+    "ln(events) on ln(rank) over the activity-ranked users — "
+    "text_zipf_fit's machinery pointed at BEHAVIOR instead of "
+    "vocabulary (a slope near -1 means a heavy-tailed power-user "
+    "distribution; flat means uniform engagement, which for an "
+    "organic product usually means bots — cf. "
+    "dq_bot_regularity_detect). Same quantize-ln-then-exact-power-"
+    "sums discipline; rank ties broken on user_id. One reduce + "
+    "bounded window.",
+)
+def events_activity_powerlaw_fit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    activity = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = activity.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "user_id"))
+        .alias("rk"),
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rk").cast("double")) * 10000 + 0.5)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 10000 + 0.5)
+        .cast("long")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.when(
+            den > 0,
+            (
+                F.col("n").cast("double") * F.col("sxy")
+                - F.col("sx").cast("double") * F.col("sy")
+            )
+            / den.cast("double"),
+        ).alias("powerlaw_slope"),
+        F.col("sxx").cast("long").alias("sxx_scaled"),
+    )
+
+
+@staged10(
+    "corpus_quality_length_matrix",
+    oracle_sql="""
+        WITH flagged AS (
+            SELECT least(n_chars // 256, 3) AS len_bucket,
+                   CASE WHEN len(string_split(text, ' ')) >= 10
+                        AND n_chars >= 64 THEN 'pass'
+                        ELSE 'fail' END AS verdict,
+                   lang
+            FROM documents
+        )
+        SELECT CAST(len_bucket AS BIGINT) AS len_bucket, verdict,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM flagged GROUP BY len_bucket, verdict
+        ORDER BY len_bucket, verdict
+    """,
+    description="Quality-verdict x length-bucket contingency: the "
+    "minimum-token/minimum-char gate cross-tabulated against 256-"
+    "char length bands — the interaction view that catches a "
+    "quality filter that is secretly just a length filter (if "
+    "'fail' lives entirely in bucket 0, the quality rule adds "
+    "nothing over a length cut, and the cheaper cut should run "
+    "first in the pipeline; corpus_quality_composite_filter orders "
+    "its rules on exactly this evidence). One narrow pass + "
+    "bounded census.",
+)
+def corpus_quality_length_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    flagged = load(spark, sf_dir, "documents").select(
+        F.least(F.expr("n_chars div 256").cast("long"), F.lit(3)).alias(
+            "len_bucket"
+        ),
+        F.when(
+            (F.size(F.split("text", " ")) >= 10)
+            & (F.col("n_chars") >= 64),
+            "pass",
+        )
+        .otherwise("fail")
+        .alias("verdict"),
+        "lang",
+    )
+    return (
+        flagged.groupBy("len_bucket", "verdict")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+        )
+        .orderBy("len_bucket", "verdict")
+    )
+
+
+@staged10(
+    "part_brand_price_dispersion",
+    oracle_sql="""
+        WITH prices AS (
+            SELECT p_brand,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+            FROM part
+        ), m AS (
+            SELECT p_brand,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cents) AS BIGINT) AS s1,
+                   CAST(sum(cents * cents) AS BIGINT) AS s2,
+                   CAST(min(cents) AS BIGINT) AS min_cents,
+                   CAST(max(cents) AS BIGINT) AS max_cents
+            FROM prices GROUP BY p_brand HAVING count(*) >= 2
+        )
+        SELECT p_brand, n AS n_parts, min_cents, max_cents,
+               CAST(n * s2 - s1 * s1 AS BIGINT) AS var_num_scaled,
+               CAST(CASE WHEN 4 * n * (n * s2 - s1 * s1) > s1 * s1
+                    THEN 1 ELSE 0 END AS BIGINT) AS high_dispersion
+        FROM m ORDER BY p_brand
+    """,
+    description="Brand price-dispersion audit: per-brand exact "
+    "variance numerator n*S2 - S1^2 plus the high-dispersion flag "
+    "CV > 1/2 evaluated as the pure integer inequality 4n(nS2 - "
+    "S1^2) > S1^2 (the wave-C CV-threshold rearrangement, reused) — "
+    "pricing-governance: a brand whose price dispersion explodes "
+    "is either mis-mastered (same product, different records) or "
+    "price-discriminating, and both need a human. Singleton brands "
+    "excluded. One reduce.",
+)
+def part_brand_price_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    prices = load(spark, sf_dir, "part").select(
+        "p_brand", scaled_long("p_retailprice", 100).alias("cents")
+    )
+    m = (
+        prices.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s1"),
+            F.sum(F.col("cents") * F.col("cents"))
+            .cast("long")
+            .alias("s2"),
+            F.min("cents").cast("long").alias("min_cents"),
+            F.max("cents").cast("long").alias("max_cents"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    var_num = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    return m.select(
+        "p_brand",
+        F.col("n").alias("n_parts"),
+        "min_cents",
+        "max_cents",
+        var_num.cast("long").alias("var_num_scaled"),
+        F.when(
+            4 * F.col("n") * var_num > F.col("s1") * F.col("s1"), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("high_dispersion"),
+    ).orderBy("p_brand")
