@@ -3379,3 +3379,392 @@ def part_brand_price_dispersion(
         .cast("long")
         .alias("high_dispersion"),
     ).orderBy("p_brand")
+
+
+@staged10(
+    "orders_growth_contribution",
+    oracle_sql="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   o_orderpriority,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY m, o_orderpriority
+        ), with_prev AS (
+            SELECT m, o_orderpriority, cents,
+                   lag(cents) OVER (PARTITION BY o_orderpriority
+                       ORDER BY m) AS prev_cents
+            FROM monthly
+        ), totals AS (
+            SELECT m,
+                   CAST(sum(cents) AS BIGINT) AS tot,
+                   CAST(sum(prev_cents) AS BIGINT) AS prev_tot
+            FROM with_prev GROUP BY m
+        )
+        SELECT CAST(epoch_us(w.m) AS BIGINT) AS month_us,
+               w.o_orderpriority,
+               CAST(w.cents - w.prev_cents AS BIGINT) AS delta_cents,
+               CAST(t.tot - t.prev_tot AS BIGINT) AS total_delta_cents,
+               CAST((w.cents - w.prev_cents) * 10000
+                    // nullif(t.tot - t.prev_tot, 0) AS BIGINT)
+                   AS contribution_bp
+        FROM with_prev w JOIN totals t ON w.m = t.m
+        WHERE w.prev_cents IS NOT NULL AND t.prev_tot IS NOT NULL
+        ORDER BY month_us, o_orderpriority
+    """,
+    description="Month-over-month growth contribution by priority "
+    "class: each class's revenue delta as a floor-bp share of the "
+    "total delta (nullif-guarded for flat months; contributions sum "
+    "to ~10000 bp by construction — the growth-accounting identity) "
+    "— the decomposition a revenue review opens with ('growth was "
+    "+8%, 6 of it from URGENT'). The per-class lag windows and the "
+    "totals reduce share the bounded monthly rollup. Note "
+    "contributions are signed: a shrinking class in a growing month "
+    "shows negative bp, exactly as the waterfall should.",
+)
+def orders_growth_contribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").alias("m"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("m")
+    with_prev = monthly.select(
+        "m",
+        "o_orderpriority",
+        "cents",
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    totals = with_prev.groupBy("m").agg(
+        F.sum("cents").cast("long").alias("tot"),
+        F.sum("prev_cents").cast("long").alias("prev_tot"),
+    )
+    return (
+        with_prev.join(totals, "m")
+        .where(
+            F.col("prev_cents").isNotNull()
+            & F.col("prev_tot").isNotNull()
+        )
+        .select(
+            F.unix_micros("m").alias("month_us"),
+            "o_orderpriority",
+            (F.col("cents") - F.col("prev_cents"))
+            .cast("long")
+            .alias("delta_cents"),
+            (F.col("tot") - F.col("prev_tot"))
+            .cast("long")
+            .alias("total_delta_cents"),
+            F.expr(
+                "(cents - prev_cents) * 10000 "
+                "div nullif(tot - prev_tot, 0)"
+            )
+            .cast("long")
+            .alias("contribution_bp"),
+        )
+        .orderBy("month_us", "o_orderpriority")
+    )
+
+
+@staged10(
+    "events_session_velocity_audit",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id))
+                        > 1800000000
+                        OR lag(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) IS NULL
+                   THEN 1 ELSE 0 END AS is_start
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts,
+                   sum(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS sid
+            FROM seq
+        ), stats AS (
+            SELECT user_id, sid,
+                   CAST(count(*) AS BIGINT) AS n_ev,
+                   CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+                        AS BIGINT) AS span_us
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_ev >= 5
+                        AND n_ev * 60000000 > span_us * 30
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_superhuman,
+               CAST(max(n_ev) AS BIGINT) AS max_events_per_session,
+               CAST(sum(CASE WHEN n_ev >= 2 AND span_us = 0
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_zero_span_multi
+        FROM stats
+    """,
+    description="Session-velocity bot audit: sessions whose event "
+    "rate exceeds 30 events/minute over >= 5 events (the integer "
+    "cross-multiplication n*60s > span*30 — no rate float), plus "
+    "the zero-span multi-event sessions that indicate replayed or "
+    "batched logging — the behavioral-infeasibility complement to "
+    "dq_bot_regularity_detect's timing-regularity signal (fast AND "
+    "metronomic is a different bot class than fast alone). Reuses "
+    "the 30-min gaps-and-islands convention; one user exchange.",
+)
+def events_session_velocity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    order = ["ts", "event_id"]
+    wu = Window.partitionBy("user_id").orderBy(*order)
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(F.lag("ts").over(wu))
+                > 1800000000
+            )
+            | F.lag("ts").over(wu).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = seq.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(wu.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    stats = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ev"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+        .cast("long")
+        .alias("span_us"),
+    )
+    return stats.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum(
+            F.when(
+                (F.col("n_ev") >= 5)
+                & (F.col("n_ev") * 60000000 > F.col("span_us") * 30),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_superhuman"),
+        F.max("n_ev").cast("long").alias("max_events_per_session"),
+        F.sum(
+            F.when(
+                (F.col("n_ev") >= 2) & (F.col("span_us") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_zero_span_multi"),
+    )
+
+
+@staged10(
+    "bidask_donchian_channel_daily",
+    oracle_sql="""
+        WITH trades AS (
+            SELECT date_trunc('day', ts) AS d, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS p
+            FROM events WHERE event_type = 'purchase'
+        ), channel AS (
+            SELECT d, ts, event_id, p,
+                   CAST(max(p) OVER (PARTITION BY d
+                       ORDER BY ts, event_id) AS BIGINT) AS run_high,
+                   CAST(min(p) OVER (PARTITION BY d
+                       ORDER BY ts, event_id) AS BIGINT) AS run_low
+            FROM trades
+        ), flags AS (
+            SELECT d, p, run_high, run_low,
+                   CASE WHEN p = run_high AND p > lag(run_high) OVER (
+                        PARTITION BY d ORDER BY ts, event_id)
+                   THEN 1 ELSE 0 END AS new_high,
+                   CASE WHEN p = run_low AND p < lag(run_low) OVER (
+                        PARTITION BY d ORDER BY ts, event_id)
+                   THEN 1 ELSE 0 END AS new_low
+            FROM channel
+        )
+        SELECT CAST(epoch_us(d) AS BIGINT) AS day_us,
+               CAST(count(*) AS BIGINT) AS n_trades,
+               CAST(max(run_high) AS BIGINT) AS day_high_cents,
+               CAST(min(run_low) AS BIGINT) AS day_low_cents,
+               CAST(sum(new_high) AS BIGINT) AS n_new_highs,
+               CAST(sum(new_low) AS BIGINT) AS n_new_lows
+        FROM flags GROUP BY d ORDER BY day_us
+    """,
+    description="Intraday Donchian channel: running session high/low "
+    "per day with new-extreme breakout counts (a trade is a new "
+    "high iff it equals the running max AND strictly exceeds the "
+    "previous running max — the lag guard that stops equal-price "
+    "re-touches double counting) — the breakout-frequency profile "
+    "trend-following systems calibrate on, and a balance read "
+    "(many new highs AND lows in one day = churn, not trend). All "
+    "exact cents; one day-partitioned ordered window.",
+)
+def bidask_donchian_channel_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    trades = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", "ts").alias("d"),
+            "ts",
+            "event_id",
+            scaled_long("value", 100).alias("p"),
+        )
+    )
+    w = (
+        Window.partitionBy("d")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wl = Window.partitionBy("d").orderBy("ts", "event_id")
+    channel = trades.select(
+        "d",
+        "ts",
+        "event_id",
+        "p",
+        F.max("p").over(w).alias("run_high"),
+        F.min("p").over(w).alias("run_low"),
+    )
+    flags = channel.select(
+        "d",
+        "run_high",
+        "run_low",
+        F.when(
+            (F.col("p") == F.col("run_high"))
+            & (F.col("p") > F.lag("run_high").over(wl)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_high"),
+        F.when(
+            (F.col("p") == F.col("run_low"))
+            & (F.col("p") < F.lag("run_low").over(wl)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_low"),
+    )
+    return (
+        flags.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trades"),
+            F.max("run_high").cast("long").alias("day_high_cents"),
+            F.min("run_low").cast("long").alias("day_low_cents"),
+            F.sum("new_high").cast("long").alias("n_new_highs"),
+            F.sum("new_low").cast("long").alias("n_new_lows"),
+        )
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "n_trades",
+            "day_high_cents",
+            "day_low_cents",
+            "n_new_highs",
+            "n_new_lows",
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged10(
+    "parts_demand_intermittency",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT l_partkey, date_trunc('day', l_shipdate) AS d,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lineitem GROUP BY 1, 2
+        ), spans AS (
+            SELECT l_partkey,
+                   CAST(count(*) AS BIGINT) AS demand_days,
+                   CAST(datediff('day', min(d), max(d)) + 1 AS BIGINT)
+                       AS span_days,
+                   CAST(sum(q) AS BIGINT) AS s1,
+                   CAST(sum(q * q) AS BIGINT) AS s2
+            FROM daily GROUP BY l_partkey
+            HAVING count(*) >= 3
+        ), classed AS (
+            SELECT l_partkey,
+                   CASE WHEN span_days * 100 < demand_days * 132
+                        THEN 'smooth_adi' ELSE 'intermittent_adi' END
+                       AS adi_class,
+                   CASE WHEN 4 * demand_days *
+                             (demand_days * s2 - s1 * s1)
+                             < s1 * s1 * 2
+                        THEN 'low_cv' ELSE 'high_cv' END AS cv_class
+            FROM spans
+        )
+        SELECT adi_class, cv_class,
+               CAST(count(*) AS BIGINT) AS n_parts
+        FROM classed GROUP BY adi_class, cv_class
+        ORDER BY adi_class, cv_class
+    """,
+    description="Demand-intermittency quadrant (Syntetos-Boylan): "
+    "parts classed by average demand interval (ADI = span/demand-"
+    "days vs the 1.32 cutoff, as the integer cross-multiplication "
+    "span*100 < days*132) and demand-size CV^2 (vs 0.49 ~ 1/2, via "
+    "the exact power-sum inequality 4n(nS2 - S1^2) < 2*S1^2) into "
+    "smooth / intermittent / erratic / lumpy — the router that "
+    "decides WHICH forecaster each part gets (smooth -> the "
+    "backtest's OLS family; lumpy -> Croston-class methods that "
+    "this engine would stage next). No rational ever materializes "
+    "at either boundary. One keyed reduce + census.",
+)
+def parts_demand_intermittency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            "l_partkey", F.date_trunc("day", "l_shipdate").alias("d")
+        )
+        .agg(F.sum(scaled_long("l_quantity", 1)).alias("q"))
+    )
+    spans = (
+        daily.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("demand_days"),
+            (F.datediff(F.max("d"), F.min("d")) + 1)
+            .cast("long")
+            .alias("span_days"),
+            F.sum("q").cast("long").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("long").alias("s2"),
+        )
+        .where(F.col("demand_days") >= 3)
+    )
+    var_num = F.col("demand_days") * F.col("s2") - F.col("s1") * F.col(
+        "s1"
+    )
+    classed = spans.select(
+        F.when(
+            F.col("span_days") * 100 < F.col("demand_days") * 132,
+            "smooth_adi",
+        )
+        .otherwise("intermittent_adi")
+        .alias("adi_class"),
+        F.when(
+            4 * F.col("demand_days") * var_num
+            < F.col("s1") * F.col("s1") * 2,
+            "low_cv",
+        )
+        .otherwise("high_cv")
+        .alias("cv_class"),
+    )
+    return (
+        classed.groupBy("adi_class", "cv_class")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_parts"))
+        .orderBy("adi_class", "cv_class")
+    )
