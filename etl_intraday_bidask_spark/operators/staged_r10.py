@@ -4085,3 +4085,209 @@ def orders_dow_anova_fstat(
             )
         ).alias("f_stat"),
     )
+
+
+@staged10(
+    "stream_watermark_delay_sweep",
+    oracle_sql="""
+        WITH bounds AS (
+            SELECT max(ts) AS mx FROM events
+        ), delays(delay_min) AS (VALUES (0), (30), (120)),
+        windows AS (
+            SELECT d.delay_min,
+                   date_trunc('hour', e.ts) AS w,
+                   count(*) AS n
+            FROM events e, delays d
+            GROUP BY d.delay_min, date_trunc('hour', e.ts)
+        )
+        SELECT CAST(w2.delay_min AS BIGINT) AS watermark_delay_min,
+               CAST(count(*) AS BIGINT) AS n_closed_windows,
+               CAST(sum(w2.n) AS BIGINT) AS n_events_in_closed
+        FROM windows w2, bounds b
+        WHERE w2.w + INTERVAL 1 HOUR
+              + to_minutes(CAST(w2.delay_min AS BIGINT)) <= b.mx
+        GROUP BY w2.delay_min ORDER BY watermark_delay_min
+    """,
+    description="Watermark-delay sweep (batch form of the append-mode "
+    "lifecycle): for delays of 0 / 30 / 120 minutes, how many hourly "
+    "windows would have CLOSED (window end + delay <= max event "
+    "time) and how many events they contain — the latency-vs-"
+    "completeness tradeoff table that chooses the production "
+    "watermark (every closed window is emittable-and-evictable "
+    "state; a longer delay trades freshness for late-data "
+    "tolerance). Same closed-window algebra the streaming append "
+    "ops are hash-graded by (stream_tumbling_append_closed), swept "
+    "across the delay dimension in one conditional aggregate.",
+)
+def stream_watermark_delay_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("w"), "ts"
+    )
+    bounds = ev.agg(F.max("ts").alias("mx"))
+    delays = spark.createDataFrame([(0,), (30,), (120,)], ["delay_min"])
+    windows = (
+        ev.crossJoin(F.broadcast(delays))
+        .groupBy("delay_min", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    closed = windows.crossJoin(F.broadcast(bounds)).where(
+        F.col("w")
+        + F.expr("INTERVAL 1 HOUR")
+        + F.expr("make_dt_interval(0, 0, delay_min)")
+        <= F.col("mx")
+    )
+    return (
+        closed.groupBy(
+            F.col("delay_min").cast("long").alias("watermark_delay_min")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_closed_windows"),
+            F.sum("n").cast("long").alias("n_events_in_closed"),
+        )
+        .orderBy("watermark_delay_min")
+    )
+
+
+@staged10(
+    "eval_threshold_capacity_planner",
+    oracle_sql="""
+        WITH scored AS (
+            SELECT date_trunc('day', ts) AS d,
+                   CAST(round(value * 100) AS BIGINT) AS s
+            FROM events WHERE event_type IN ('purchase', 'view')
+        ), cutoff AS (
+            SELECT CAST(quantile_disc(s, 0.95) AS BIGINT) AS thr
+            FROM scored
+        )
+        SELECT CAST(epoch_us(sc.d) AS BIGINT) AS day_us,
+               CAST(count(*) AS BIGINT) AS n_scored,
+               CAST(sum(CASE WHEN sc.s >= c.thr THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_actioned,
+               CAST(sum(CASE WHEN sc.s >= c.thr THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT)
+                   AS action_rate_floor_bp
+        FROM scored sc, cutoff c
+        GROUP BY sc.d ORDER BY day_us
+    """,
+    description="Alert-capacity planner: the global 95th-percentile "
+    "score cutoff (discrete member — exact) applied per day, with "
+    "the daily actioned count and rate — the review-queue staffing "
+    "table (a threshold tuned on aggregate data produces LUMPY "
+    "daily workloads; the per-day distribution is what the ops team "
+    "must staff for, and its spread justifies or kills a daily-"
+    "requantiled threshold). 1-row broadcast cutoff; one daily "
+    "reduce.",
+)
+def eval_threshold_capacity_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            F.date_trunc("day", "ts").alias("d"),
+            scaled_long("value", 100).alias("s"),
+        )
+    )
+    cutoff = scored.agg(
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY s)")
+        .cast("long")
+        .alias("thr")
+    )
+    return (
+        scored.crossJoin(F.broadcast(cutoff))
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum(F.when(F.col("s") >= F.col("thr"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_actioned"),
+            F.expr(
+                "sum(case when s >= thr then 1 else 0 end) * 10000 "
+                "div count(*)"
+            )
+            .cast("long")
+            .alias("action_rate_floor_bp"),
+        )
+        .select(
+            F.unix_micros("d").alias("day_us"),
+            "n_scored",
+            "n_actioned",
+            "action_rate_floor_bp",
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged10(
+    "events_user_temporal_entropy",
+    oracle_sql="""
+        WITH cells AS (
+            SELECT user_id, CAST(hour(ts) AS BIGINT) AS hod,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id, hod
+        ), totals AS (
+            SELECT user_id, CAST(sum(n) AS BIGINT) AS tot,
+                   CAST(count(*) AS BIGINT) AS n_hours
+            FROM cells GROUP BY user_id
+        ), terms AS (
+            SELECT c.user_id, t.tot, t.n_hours,
+                   CAST(floor(CAST(c.n AS DOUBLE) / t.tot
+                       * ln(CAST(t.tot AS DOUBLE) / c.n) * 1000000
+                       + 0.5) AS BIGINT) AS h_term_ppm
+            FROM cells c JOIN totals t ON c.user_id = t.user_id
+        )
+        SELECT user_id,
+               CAST(max(n_hours) AS BIGINT) AS active_hours,
+               CAST(max(tot) AS BIGINT) AS n_events,
+               CAST(sum(h_term_ppm) AS BIGINT) AS entropy_ppm
+        FROM terms GROUP BY user_id ORDER BY user_id
+    """,
+    description="Per-user temporal entropy over hour-of-day activity: "
+    "Shannon H = sum p*ln(1/p) with each term quantized to ppm "
+    "BEFORE the cross-cell sum (the float-crossing-aggregation "
+    "rule; p = n/tot is the same rational in both engines' term, "
+    "evaluated in one congruent chain) — the circadian-footprint "
+    "feature: humans concentrate in 8-14 waking hours (low-mid "
+    "entropy), 24/7-uniform actors are schedulers (max entropy "
+    "ln(24) ~ 3.178e6 ppm), single-hour actors are cron jobs "
+    "(zero). The third leg of the bot triad with regularity and "
+    "velocity. One (user, hod) reduce + join-back.",
+)
+def events_user_temporal_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.hour("ts").cast("long").alias("hod"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    totals = cells.groupBy("user_id").agg(
+        F.sum("n").cast("long").alias("tot"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    terms = cells.join(totals, "user_id").select(
+        "user_id",
+        "tot",
+        "n_hours",
+        F.floor(
+            F.col("n").cast("double")
+            / F.col("tot")
+            * F.log(F.col("tot").cast("double") / F.col("n"))
+            * 1000000
+            + 0.5
+        )
+        .cast("long")
+        .alias("h_term_ppm"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.max("n_hours").cast("long").alias("active_hours"),
+            F.max("tot").cast("long").alias("n_events"),
+            F.sum("h_term_ppm").cast("long").alias("entropy_ppm"),
+        )
+        .orderBy("user_id")
+    )
