@@ -664,6 +664,10 @@ def events_markov_stationary(
         .distinct()
     )
     ns = states.count()
+    if ns == 0:
+        # Empty chain (no transitions): stationary distribution is the
+        # empty relation on both engines.
+        return spark.createDataFrame([], "state string, pi_ppm long")
     v = states.select(
         "s", F.lit(1000000 // ns).cast("long").alias("v")
     )
@@ -3999,35 +4003,44 @@ def sql_set_dedup_semantics(
             SELECT CAST(sum(n_g) AS BIGINT) AS n,
                    CAST(sum(s_g) AS BIGINT) AS s,
                    CAST(sum(ss_g) AS BIGINT) AS ss,
-                   CAST(count(*) AS BIGINT) AS k
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(CAST(product(CAST(n_g AS DOUBLE)) AS HUGEINT)
+                        AS HUGEINT) AS dprod
             FROM groups
-        ), parts AS (
-            SELECT t.n, t.k,
-                   sum(CAST(g.s_g AS HUGEINT) * g.s_g * t.n
-                       / g.n_g) AS sum_gsq_scaled,
-                   CAST(t.s AS HUGEINT) * t.s AS gs_sq,
-                   CAST(t.ss AS HUGEINT) * t.n AS ss_scaled
+        ), scaled AS (
+            -- A = sum over groups of s_g^2 * (dprod / n_g): exact —
+            -- dprod/n_g is integral by construction (n_g | dprod).
+            SELECT t.n, t.k, t.s, t.ss, t.dprod,
+                   sum(CAST(g.s_g AS HUGEINT) * g.s_g
+                       * (t.dprod // g.n_g)) AS a_scaled
             FROM groups g, tot t
-            GROUP BY t.n, t.k, t.s, t.ss
+            GROUP BY t.n, t.k, t.s, t.ss, t.dprod
         )
         SELECT CAST(n AS BIGINT) AS n_days,
                CAST(k AS BIGINT) AS n_groups,
-               CAST(sum_gsq_scaled - gs_sq AS DOUBLE)
-                   / (k - 1)
-                   / (CAST(ss_scaled - sum_gsq_scaled AS DOUBLE)
-                      / (n - k)) AS f_stat
-        FROM parts
+               CASE WHEN k > 1 AND n > k
+                    AND CAST(ss AS HUGEINT) * n * dprod
+                        - a_scaled * n <> 0 THEN
+                   CAST(a_scaled * n - CAST(s AS HUGEINT) * s * dprod
+                        AS DOUBLE) * (n - k)
+                   / CAST(CAST(ss AS HUGEINT) * n * dprod
+                          - a_scaled * n AS DOUBLE) / (k - 1)
+               END AS f_stat
+        FROM scaled
     """,
     description="One-way ANOVA F-statistic for weekday effect on "
-    "daily order volume: between-group and within-group sums of "
-    "squares assembled from per-group power sums, all n-scaled so "
-    "no group mean ever exists as a rational (SSB*n = sum of "
-    "n*S_g^2/n_g - S^2, carried in 128-bit; the scale cancels in "
-    "the F ratio), with the statistic one textually-congruent float "
-    "chain — the 'is the weekday pattern real or noise' test that "
-    "should precede every dow-keyed feature (events_seasonality "
-    "shows the pattern; this sizes its significance against daily "
-    "variance). Bounded rollup + 7-group reduce.",
+    "daily order volume, EXACT to the final division: the "
+    "between/within sums of squares are assembled over the common "
+    "denominator D = product of group sizes (k <= 7 groups, so D "
+    "fits 128-bit and every D/n_g is integral), giving F = "
+    "[A*n - S^2*D]*(n-k) / ([SS*n*D - A*n]*(k-1)) with all "
+    "intermediates exact 128-bit integers and ONE float chain at "
+    "the end — no group mean, no rational sum, no order-dependent "
+    "float accumulation anywhere (the product aggregate is exact "
+    "in double below 2^53, then cast back integral). Degenerate "
+    "designs (single group, saturated n == k, zero within-variance) "
+    "emit NULL identically. The 'is the weekday pattern real' test "
+    "that should precede every dow-keyed feature.",
 )
 def orders_dow_anova_fstat(
     spark: SparkSession, sf_dir: str
@@ -4045,44 +4058,45 @@ def orders_dow_anova_fstat(
         F.sum("y").cast("long").alias("s_g"),
         F.sum(F.col("y") * F.col("y")).cast("long").alias("ss_g"),
     )
+    dec = "decimal(38,0)"
     tot = groups.agg(
         F.sum("n_g").cast("long").alias("n"),
         F.sum("s_g").cast("long").alias("s"),
         F.sum("ss_g").cast("long").alias("ss"),
         F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.collect_list("n_g"),
+            F.lit(1).cast(dec),
+            lambda acc, x: acc * x.cast(dec),
+        ).alias("dprod"),
     )
-    dec = "decimal(38,6)"
-    parts = (
+    scaled = (
         groups.crossJoin(F.broadcast(tot))
-        .groupBy("n", "k", "s", "ss")
+        .groupBy("n", "k", "s", "ss", "dprod")
         .agg(
             F.sum(
                 F.col("s_g").cast(dec)
                 * F.col("s_g")
-                * F.col("n")
-                / F.col("n_g")
-            ).alias("sum_gsq_scaled")
-        )
-        .select(
-            "n",
-            "k",
-            "sum_gsq_scaled",
-            (F.col("s").cast(dec) * F.col("s")).alias("gs_sq"),
-            (F.col("ss").cast(dec) * F.col("n")).alias("ss_scaled"),
+                * F.expr("dprod div n_g")
+            ).alias("a_scaled")
         )
     )
-    return parts.select(
+    ssb_num = F.col("a_scaled") * F.col("n") - F.col("s").cast(
+        dec
+    ) * F.col("s") * F.col("dprod")
+    ssw_num = (
+        F.col("ss").cast(dec) * F.col("n") * F.col("dprod")
+        - F.col("a_scaled") * F.col("n")
+    )
+    return scaled.select(
         F.col("n").alias("n_days"),
         F.col("k").alias("n_groups"),
-        (
-            (F.col("sum_gsq_scaled") - F.col("gs_sq")).cast("double")
-            / (F.col("k") - 1)
-            / (
-                (F.col("ss_scaled") - F.col("sum_gsq_scaled")).cast(
-                    "double"
-                )
-                / (F.col("n") - F.col("k"))
-            )
+        F.when(
+            (F.col("k") > 1) & (F.col("n") > F.col("k")) & (ssw_num != 0),
+            ssb_num.cast("double")
+            * (F.col("n") - F.col("k"))
+            / ssw_num.cast("double")
+            / (F.col("k") - 1),
         ).alias("f_stat"),
     )
 

@@ -19,10 +19,12 @@ from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
 
-# Merge waves C, D and E into the fuzz-drivable spec pool (separate
-# dicts by design; see staged_r7/8/9.py).
-_ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9}
+# Merge waves C, D, E and F into the fuzz-drivable spec pool (separate
+# dicts by design; see staged_r7/8/9/10.py).
+_ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9,
+               **STAGED_R10}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,
@@ -140,9 +142,37 @@ EVENT_STAGED = [
     "attr_campaign_overlap",
     "attr_incrementality_did",
     "attr_markov_removal_effect",
+    # Wave F (round 6). Streaming ops (checkpoint recovery,
+    # incremental batches, state metrics) are excluded: each fuzz
+    # example would pay multi-second stream startups; their recovery
+    # semantics are pinned by dedicated tests instead.
+    "events_kaplan_meier_weekly",
+    "events_funnel_by_dow",
+    "events_session_velocity_audit",
+    "events_user_temporal_entropy",
+    "events_simpson_diversity",
+    "events_markov_stationary",
+    "events_activity_powerlaw_fit",
+    "ts_stl_anomaly_days",
+    "bidask_donchian_channel_daily",
+    "bidask_glosten_harris_decomp",
+    "stream_watermark_delay_sweep",
+    "eval_threshold_capacity_planner",
+    "ab_sequential_bound_check",
+    "eval_demographic_parity_80pct",
+    "eval_equalized_odds_gap",
+    "eval_precision_at_k_curve",
+    "eval_score_histogram_by_class",
+    "sessionize_dwell_profile",
+    "graph_edge_weight_distribution",
+    "graph_degree_assortativity",
 ]
 
 DOC_STAGED = [
+    "text_compression_ratio_proxy",
+    "corpus_source_syndication_matrix",
+    "multimodal_fixed_chunking",
+    "corpus_quality_length_matrix",
     "corpus_tokenizer_fertility",
     "corpus_dup_threshold_curve",
     "corpus_langid_confusion",
@@ -168,6 +198,11 @@ DOC_STAGED = [
 ]
 
 ORDER_STAGED = [
+    "orders_growth_contribution",
+    "orders_repurchase_interval",
+    "orders_cohort_ltv_curve",
+    "orders_dow_anova_fstat",
+    "orders_customer_hhi_by_nation",
     "ts_backtest_linear_origins",
     "gov_access_tiering_plan",
     "gov_column_profile_drift",
@@ -214,6 +249,13 @@ ORDER_STAGED = [
 # makes the OLS normal equations singular on every example — exactly the
 # det==0 guard this list exists to exercise.
 LINEITEM_STAGED = [
+    "parts_safety_stock_plan",
+    "parts_eoq_reorder_point",
+    "parts_demand_intermittency",
+    "orders_basket_size_profile",
+    "dq_range_contract_audit",
+    "dq_price_consistency_audit",
+    "orders_promo_cannibalization",
     "gov_partition_skew_audit",
     "orders_price_elasticity_bands",
     "lineitem_return_rate_monthly",

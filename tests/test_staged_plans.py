@@ -183,6 +183,7 @@ import pytest
 
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
 
 _PY_MARKERS = (
     "BatchEvalPython",
@@ -192,14 +193,19 @@ _PY_MARKERS = (
     "PythonUDTF",
 )
 
-# Side-effecting on build (writes a parquet stage) or driver-looping
-# (the Markov value iteration localCheckpoints per round, so its plan
-# is not one static tree): exercised by the parity tests instead.
+# Side-effecting on build (streaming runs / parquet stages execute
+# eagerly) or driver-looping (iterative localCheckpoint chains whose
+# plan is not one static tree): exercised by the parity tests instead.
 _SKIP_PLAN = {
     "attr_markov_removal_effect",
+    "events_markov_stationary",
+    "stream_checkpoint_recovery",
+    "stream_incremental_batches",
+    "stream_state_store_metrics",
+    "sql_set_dedup_semantics",
 }
 
-_WAVE_DE = {**STAGED_R8, **STAGED_R9}
+_WAVE_DE = {**STAGED_R8, **STAGED_R9, **STAGED_R10}
 
 
 @pytest.mark.parametrize(
