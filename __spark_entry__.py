@@ -222,6 +222,66 @@ _DEFER_NEW_R6 = [
 ]
 
 
+# Wave C, activated in round 7: the 50 staged_r7 operators. All 50 are
+# never-driver-graded, so they occupy the entire round-7 50-slot window.
+# Ordering puts the two ADVICE-review bug fixes first (k-core keep-set
+# census, seasonal-index integral decimal div — both fixed in round 6
+# with pinned counter-examples) so their first driver grades double as
+# fix verification; the rest follow in staged insertion order.
+_DEFER_NEW_R7 = [
+    "graph_kcore_peel",
+    "orders_seasonal_index_monthly",
+    "sample_largest_remainder_alloc",
+    "dq_benford_first_digit",
+    "join_exists_flag_mark",
+    "win_bollinger_bands",
+    "win_drawdown_duration",
+    "agg_corr_matrix_pairwise",
+    "bidask_kyle_lambda_daily",
+    "embed_hubness_reverse_knn",
+    "text_readability_score",
+    "etl_compaction_plan",
+    "sql_window_clause_shared",
+    "dq_duplicate_payment_detect",
+    "cep_top_paths",
+    "orders_sla_breach_by_priority",
+    "bidask_bar_resample_check",
+    "parts_abc_xyz_matrix",
+    "graph_link_prediction_jaccard",
+    "sample_purged_time_folds",
+    "stream_topk_per_window",
+    "etl_lineage_provenance_hash",
+    "etl_merkle_reconcile",
+    "subquery_correlated_scalar",
+    "pivot_multi_metric",
+    "bidask_quote_trade_ratio",
+    "embed_drift_split_halves",
+    "ts_seasonal_naive_residuals",
+    "dedup_incremental_batch",
+    "text_boilerplate_prefix_detect",
+    "events_lifecycle_stages",
+    "orders_aging_buckets",
+    "dq_categorical_entropy",
+    "embed_norm_histogram",
+    "graph_degree_distribution",
+    "bidask_market_beta_per_user",
+    "orders_fill_rate",
+    "events_power_user_curve",
+    "merge_upsert_scd3",
+    "dq_key_gap_detect",
+    "graph_clustering_coefficient",
+    "dq_split_leakage_check",
+    "dedup_lsh_band_sweep",
+    "dq_orphan_rate_monthly",
+    "orders_mix_shift_yoy",
+    "events_cumulative_uniques",
+    "text_unicode_profile",
+    "events_hazard_curve",
+    "etl_retention_prune_plan",
+    "dq_bot_regularity_detect",
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -305,6 +365,12 @@ def rotation_order(
             for i, n in enumerate(_DEFER_NEW_R6)
         }
     )
+    deferred.update(
+        {
+            n: len(_DEFER_NEW_R4) + len(_DEFER_NEW_R5) + len(_DEFER_NEW_R6) + i
+            for i, n in enumerate(_DEFER_NEW_R7)
+        }
+    )
     return sorted(
         keys,
         key=lambda k: (
@@ -325,7 +391,7 @@ def _ordered_registry():
     assert not missing, f"priority list names unknown operators: {missing}"
     missing_defer = [
         n
-        for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 + _DEFER_NEW_R6
+        for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 + _DEFER_NEW_R6 + _DEFER_NEW_R7
         if n not in registry
     ]
     assert not missing_defer, (

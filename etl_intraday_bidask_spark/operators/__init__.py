@@ -48,6 +48,15 @@ from etl_intraday_bidask_spark.registry import activate_staged  # noqa: E402
 
 activate_staged(staged_r6.STAGED)
 
+# Round 7: activate wave C — the 50 staged_r7 operators (parity-tested
+# at sf0.001/0.01/0.1, fuzz-battered, cross-asserted, plan-audited since
+# round 5; the two ADVICE-flagged bugs — k-core keep-set census and the
+# seasonal-index decimal division — were fixed in round 6 before
+# activation). They join the graded surface as SURVEY.md §2.29.
+from etl_intraday_bidask_spark.operators import staged_r7  # noqa: E402
+
+activate_staged(staged_r7.STAGED_R7)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

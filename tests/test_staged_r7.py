@@ -1,6 +1,9 @@
-"""Parity tests for the STAGED round-7 wave C
-(operators/staged_r7.py) — same harness as tests/test_staged_r6.py,
-separate dict so round-6 activation can't over-register."""
+"""Parity tests for wave C (operators/staged_r7.py).
+
+Staged through rounds 5-6, ACTIVATED in round 7 — the registry-driven
+sweeps now cover these ops too; this file keeps the direct
+oracle-parity drive plus the activation guard that pins the round-7
+window composition."""
 
 from __future__ import annotations
 
@@ -29,12 +32,23 @@ def test_staged_r7_parity(spark, duck_small, name):
     )
 
 
-def test_staged_r7_not_registered():
+def test_wave_c_activated():
+    """Round 7 activated wave C: all 50 staged_r7 ops are in the global
+    registry with their exact staged specs, and the wave is exactly the
+    driver's 50-slot window (every key never-graded as of r06,
+    everything else green r1-r6)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.registry import load_all_operators
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED_R7) & set(registry))
-    assert not leaked, f"wave C leaked into the registry: {leaked}"
+    assert len(STAGED_R7) == 50
+    missing = sorted(set(STAGED_R7) - set(registry))
+    assert not missing, f"wave-C ops not activated: {missing}"
+    for name, spec in STAGED_R7.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R7) == set(STAGED_R7), (
+        "_DEFER_NEW_R7 and the staged wave diverge"
+    )
     overlap = sorted(set(STAGED_R7) & set(STAGED))
     assert not overlap, f"wave C collides with wave A/B names: {overlap}"
