@@ -392,3 +392,518 @@ def ts_changepoint_two_level(
         F.col("j").alias("offset_in_segment"),
         F.col("score").cast("long").alias("score_scaled"),
     ).orderBy("segment_side")
+
+
+@staged11(
+    "sql_values_inline_table",
+    oracle_sql="""
+        SELECT tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders
+        JOIN (VALUES ('1-URGENT', 'expedite'),
+                     ('2-HIGH', 'expedite'),
+                     ('3-MEDIUM', 'standard'),
+                     ('4-NOT SPECIFIED', 'standard'),
+                     ('5-LOW', 'deferred')) AS m(pri, tier)
+          ON o_orderpriority = pri
+        GROUP BY tier
+        ORDER BY tier
+    """,
+    description="Inline VALUES table as a join dimension (SQL "
+    "surface): the 5-row priority->tier mapping is declared as a "
+    "VALUES literal inside the query text — the zero-IO way to ship "
+    "a tiny static dim with the query itself (Catalyst folds it to a "
+    "LocalRelation and broadcast-joins it; no scan, no shuffle on "
+    "the dim side at any scale). Graded through spark.sql() so the "
+    "parser surface is exercised; identical VALUES syntax both "
+    "engines.",
+)
+def sql_values_inline_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_vit")
+    return spark.sql(
+        """
+        SELECT tier,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS revenue_cents
+        FROM orders_vit
+        JOIN (VALUES ('1-URGENT', 'expedite'),
+                     ('2-HIGH', 'expedite'),
+                     ('3-MEDIUM', 'standard'),
+                     ('4-NOT SPECIFIED', 'standard'),
+                     ('5-LOW', 'deferred')) AS m(pri, tier)
+          ON o_orderpriority = pri
+        GROUP BY tier
+        ORDER BY tier
+        """
+    )
+
+
+@staged11(
+    "join_full_outer_reconcile",
+    oracle_sql="""
+        WITH a AS (
+            SELECT o_custkey AS k,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1994 GROUP BY k
+        ), b AS (
+            SELECT o_custkey AS k,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders WHERE year(o_orderdate) = 1995 GROUP BY k
+        )
+        SELECT CASE WHEN b.k IS NULL THEN 'left_only'
+                    WHEN a.k IS NULL THEN 'right_only'
+                    ELSE 'both' END AS side,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(coalesce(a.cents, 0)) AS BIGINT) AS cents_1994,
+               CAST(sum(coalesce(b.cents, 0)) AS BIGINT) AS cents_1995
+        FROM a FULL OUTER JOIN b ON a.k = b.k
+        GROUP BY side
+        ORDER BY side
+    """,
+    description="Full-outer reconciliation census: per-customer 1994 "
+    "vs 1995 spend full-outer-joined and bucketed left-only / "
+    "right-only / both with exact cent totals on each side — the "
+    "two-snapshot reconciliation report every migration/backfill "
+    "sign-off reads (who disappeared, who appeared, what the "
+    "overlapping population's totals are). One key-partitioned "
+    "shuffle join on the pre-aggregated customer grain; at 100 TB "
+    "both sides reduce before joining so the join input is the "
+    "customer dim, never the fact table.",
+)
+def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+
+    def year_spend(y: int, out: str) -> DataFrame:
+        return (
+            orders.where(F.year("o_orderdate") == y)
+            .groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.sum(scaled_long("o_totalprice", 100)).alias(out))
+        )
+
+    a = year_spend(1994, "cents_a")
+    b = year_spend(1995, "cents_b").withColumnRenamed("k", "kb")
+    return (
+        a.join(b, a.k == b.kb, "full_outer")
+        .select(
+            F.when(F.col("kb").isNull(), "left_only")
+            .when(F.col("k").isNull(), "right_only")
+            .otherwise("both")
+            .alias("side"),
+            F.coalesce(F.col("cents_a"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cents_b"), F.lit(0)).alias("cb"),
+        )
+        .groupBy("side")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("ca").cast("long").alias("cents_1994"),
+            F.sum("cb").cast("long").alias("cents_1995"),
+        )
+        .orderBy("side")
+    )
+
+
+@staged11(
+    "subquery_not_in_null_trap",
+    oracle_sql="""
+        WITH probe AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS pk
+            FROM orders
+        )
+        SELECT
+            CAST((SELECT count(*) FROM customer
+                  WHERE c_custkey NOT IN (SELECT pk FROM probe))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT count(*) FROM customer c
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.pk = c.c_custkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT count(*) FROM probe WHERE pk IS NULL)
+                 AS BIGINT) AS n_probe_nulls
+    """,
+    description="NOT IN vs NOT EXISTS null-semantics census: the "
+    "probe set carries NULLs (every 97th orderkey masked), so "
+    "three-valued logic makes `NOT IN` return ZERO rows while the "
+    "null-safe `NOT EXISTS` anti join returns the real complement — "
+    "the classic silent-empty-result landmine. Both counts plus the "
+    "null count are graded, pinning that BOTH engines compile the "
+    "two forms to the same (null-aware anti join vs anti join) "
+    "semantics. Scale: each count is one anti join on the customer "
+    "dim; the null-aware variant needs the null-existence flag "
+    "broadcast, which Spark plans as a single-row aggregate — no "
+    "cartesian anywhere.",
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders_nint")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer_nint")
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS pk
+            FROM orders_nint
+        )
+        SELECT
+            CAST((SELECT count(*) FROM customer_nint
+                  WHERE c_custkey NOT IN (SELECT pk FROM probe))
+                 AS BIGINT) AS n_not_in,
+            CAST((SELECT count(*) FROM customer_nint c
+                  WHERE NOT EXISTS (SELECT 1 FROM probe p
+                                    WHERE p.pk = c.c_custkey))
+                 AS BIGINT) AS n_not_exists,
+            CAST((SELECT count(*) FROM probe WHERE pk IS NULL)
+                 AS BIGINT) AS n_probe_nulls
+        """
+    )
+
+
+@staged11(
+    "agg_trimmed_mean_exact",
+    oracle_sql="""
+        WITH ranked AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS ra,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey DESC)
+                        AS BIGINT) AS rd,
+                   CAST(count(*) OVER (PARTITION BY o_orderpriority)
+                        AS BIGINT) AS n
+            FROM orders
+        )
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(sum(cents) AS BIGINT) AS kept_cents,
+               CAST(sum(cents) AS DOUBLE) / count(*) / 100.0
+                   AS trimmed_mean
+        FROM ranked
+        WHERE ra * 10 > n AND rd * 10 > n
+        GROUP BY priority
+        ORDER BY priority
+    """,
+    description="10% two-sided trimmed mean of order value per "
+    "priority: rows whose ascending OR descending rank falls in the "
+    "outer decile are dropped via the EXACT integer inequality "
+    "rank*10 > n (no float quantile cut, no ties ambiguity — "
+    "(value, orderkey) tie-break makes membership deterministic), "
+    "and the mean of the kept cents divides once at the end — the "
+    "outlier-robust center a metrics pipeline reports next to the "
+    "raw mean. Two rank windows per priority partition + one "
+    "grouped agg; partition-parallel at any scale.",
+)
+def agg_trimmed_mean_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    ranked = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        scaled_long("o_totalprice", 100).alias("cents"),
+        F.row_number()
+        .over(wp.orderBy("o_totalprice", "o_orderkey"))
+        .cast("long")
+        .alias("ra"),
+        F.row_number()
+        .over(wp.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").desc()))
+        .cast("long")
+        .alias("rd"),
+        F.count(F.lit(1)).over(wp).cast("long").alias("n"),
+    )
+    return (
+        ranked.where((F.col("ra") * 10 > F.col("n")) & (F.col("rd") * 10 > F.col("n")))
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.sum("cents").cast("long").alias("kept_cents"),
+            (
+                F.sum("cents").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(100.0)
+            ).alias("trimmed_mean"),
+        )
+        .orderBy("priority")
+    )
+
+
+@staged11(
+    "agg_geometric_mean_ln",
+    oracle_sql="""
+        WITH q AS (
+            SELECT o_orderpriority AS priority,
+                   CAST(floor(ln(CAST(round(o_totalprice * 100) AS BIGINT)
+                                 / 100.0) * 1000000 + 0.5) AS BIGINT)
+                       AS ln_micro
+            FROM orders
+        )
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ln_micro) AS BIGINT) AS ln_micro_sum,
+               exp(CAST(sum(ln_micro) AS DOUBLE) / count(*) / 1000000.0)
+                   AS geo_mean
+        FROM q GROUP BY priority ORDER BY priority
+    """,
+    description="Exact-deterministic geometric mean of order value "
+    "per priority: each row's ln(value) is quantized to the 1e-6 "
+    "grid FIRST (floor(ln*1e6+0.5) — the order-insensitive float "
+    "crossing rule), the micro-nats sum as BIGINTs, and one "
+    "exp(sum/n/1e6) at the end is the same IEEE chain on both "
+    "engines. The multiplicative average a pricing/mixture report "
+    "uses where the arithmetic mean is skew-dominated; map-side "
+    "combinable, single shuffle on the group key.",
+)
+def agg_geometric_mean_ln(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    ln_micro = F.floor(
+        F.log(scaled_long("o_totalprice", 100) / F.lit(100.0)) * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        orders.select(
+            F.col("o_orderpriority").alias("priority"),
+            ln_micro.alias("ln_micro"),
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ln_micro").cast("long").alias("ln_micro_sum"),
+            F.exp(
+                F.sum("ln_micro").cast("double")
+                / F.count(F.lit(1))
+                / F.lit(1000000.0)
+            ).alias("geo_mean"),
+        )
+        .orderBy("priority")
+    )
+
+
+@staged11(
+    "agg_mann_whitney_u_exact",
+    oracle_sql="""
+        WITH s AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                        ELSE 0 END AS is_a
+            FROM orders
+            WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        ), cum AS (
+            SELECT is_a,
+                   CAST(coalesce(sum(is_a) OVER (ORDER BY cents
+                       RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS a_less,
+                   CAST(sum(is_a) OVER (PARTITION BY cents) AS BIGINT)
+                       AS a_tied
+            FROM s
+        )
+        SELECT
+            CAST(sum(CASE WHEN is_a = 0
+                          THEN 2 * a_less + a_tied ELSE 0 END)
+                 AS BIGINT) AS u2,
+            CAST(sum(is_a) AS BIGINT) AS n_a,
+            CAST(count(*) - sum(is_a) AS BIGINT) AS n_b,
+            CAST(sum(CASE WHEN is_a = 0
+                          THEN 2 * a_less + a_tied ELSE 0 END)
+                 - sum(is_a) * (count(*) - sum(is_a)) AS BIGINT)
+                AS u2_centered
+        FROM cum
+    """,
+    description="Exact Mann-Whitney U (rank-sum) test statistic "
+    "between URGENT and LOW order values, tie-correct without "
+    "midrank floats: 2U = sum over B-rows of (2*#A-strictly-less + "
+    "#A-tied), with #A-less from one RANGE-frame cumulative window "
+    "on the exact cents and #A-tied from a per-value partition "
+    "window — every term an integer, so the doubled statistic is "
+    "hash-graded exactly (u2_centered = 2U - n_a*n_b is the "
+    "direction: 0 under perfect exchangeability). The nonparametric "
+    "A/B location test an experimentation platform runs when values "
+    "are heavy-tailed; global value-ordered window at test grain "
+    "(the documented two-pass range-partition migration applies "
+    "beyond ~1e8 rows per test cell).",
+)
+def agg_mann_whitney_u_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(
+            scaled_long("o_totalprice", 100).alias("cents"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("is_a"),
+        )
+    )
+    cum = s.select(
+        "is_a",
+        F.coalesce(
+            F.sum("is_a").over(
+                Window.orderBy("cents").rangeBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("a_less"),
+        F.sum("is_a")
+        .over(Window.partitionBy("cents"))
+        .cast("long")
+        .alias("a_tied"),
+    )
+    u2 = F.sum(
+        F.when(F.col("is_a") == 0, 2 * F.col("a_less") + F.col("a_tied"))
+        .otherwise(0)
+    )
+    return cum.agg(
+        u2.cast("long").alias("u2"),
+        F.sum("is_a").cast("long").alias("n_a"),
+        (F.count(F.lit(1)) - F.sum("is_a")).cast("long").alias("n_b"),
+        (u2 - F.sum("is_a") * (F.count(F.lit(1)) - F.sum("is_a")))
+        .cast("long")
+        .alias("u2_centered"),
+    )
+
+
+@staged11(
+    "agg_mutual_information_priority_status",
+    oracle_sql="""
+        WITH joint AS (
+            SELECT o_orderpriority AS pri, o_orderstatus AS st,
+                   CAST(count(*) AS BIGINT) AS n_ij
+            FROM orders GROUP BY pri, st
+        ), marg AS (
+            SELECT pri, st, n_ij,
+                   CAST(sum(n_ij) OVER (PARTITION BY pri) AS BIGINT) AS n_i,
+                   CAST(sum(n_ij) OVER (PARTITION BY st) AS BIGINT) AS n_j,
+                   CAST(sum(n_ij) OVER () AS BIGINT) AS n
+            FROM joint
+        ), cells AS (
+            SELECT n,
+                   CAST(floor(n_ij * ln(CAST(n_ij AS DOUBLE) * n
+                                        / (n_i * n_j)) * 1000 + 0.5)
+                        AS BIGINT) AS c_milli
+            FROM marg
+        )
+        SELECT CAST(max(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(c_milli) AS BIGINT) AS mi_milli_count_sum,
+               CAST(sum(c_milli) AS DOUBLE) / max(n) / 1000.0
+                   AS mi_nats
+        FROM cells
+    """,
+    description="Exact-deterministic mutual information between "
+    "order priority and status: joint counts reduce first (the "
+    "15-cell contingency grid), marginals come from windows over "
+    "the CELLS (never a second fact pass), each cell's "
+    "n_ij*ln(n_ij*N/(n_i*n_j)) quantizes to milli-nat-counts before "
+    "the exact integer sum, and MI divides once at the end — the "
+    "dependence screen (0 = independent) a feature-selection or "
+    "DQ-drift suite runs on categorical pairs, complementing the "
+    "chi-square test's p-value view with an information-theoretic "
+    "effect size. Fact-pass cost: one map-combined groupBy.",
+)
+def agg_mutual_information_priority_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    joint = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ij"))
+    )
+    marg = joint.select(
+        "n_ij",
+        F.sum("n_ij").over(Window.partitionBy("pri")).cast("long").alias("n_i"),
+        F.sum("n_ij").over(Window.partitionBy("st")).cast("long").alias("n_j"),
+        F.sum("n_ij").over(Window.partitionBy()).cast("long").alias("n"),
+    )
+    cells = marg.select(
+        "n",
+        F.floor(
+            F.col("n_ij")
+            * F.log(
+                F.col("n_ij").cast("double") * F.col("n")
+                / (F.col("n_i") * F.col("n_j"))
+            )
+            * 1000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("c_milli"),
+    )
+    return cells.agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.sum("c_milli").cast("long").alias("mi_milli_count_sum"),
+        (F.sum("c_milli").cast("double") / F.max("n") / F.lit(1000.0)).alias(
+            "mi_nats"
+        ),
+    )
+
+
+@staged11(
+    "dq_functional_dependency_audit",
+    oracle_sql="""
+        WITH fd1 AS (
+            SELECT 'p_brand->p_type' AS fd,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_violating_keys,
+                   CAST(max(k) AS BIGINT) AS max_rhs_cardinality
+            FROM (SELECT p_brand, count(DISTINCT p_type) AS k
+                  FROM part GROUP BY p_brand)
+        ), fd2 AS (
+            SELECT 'p_type->p_size' AS fd,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(k) AS BIGINT)
+            FROM (SELECT p_type, count(DISTINCT p_size) AS k
+                  FROM part GROUP BY p_type)
+        ), fd3 AS (
+            SELECT 'p_name->p_brand' AS fd,
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT),
+                   CAST(max(k) AS BIGINT)
+            FROM (SELECT p_name, count(DISTINCT p_brand) AS k
+                  FROM part GROUP BY p_name)
+        )
+        SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+        UNION ALL SELECT * FROM fd3
+        ORDER BY fd
+    """,
+    description="Functional-dependency audit over the part dim: for "
+    "each candidate FD (brand->type, type->size, name->brand) count "
+    "determinant keys, keys with more than one dependent value "
+    "(violations), and the worst fan-out — the schema-inference / "
+    "normalization check a DQ suite runs before trusting a column "
+    "as a lookup key (a 'violated FD' on a supposed key means dirty "
+    "upstream merges). Three grouped distinct-counts on the dim "
+    "grain, unioned; each is one shuffle on the determinant.",
+)
+def dq_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+
+    def fd(lhs: str, rhs: str) -> DataFrame:
+        per_key = part.groupBy(lhs).agg(
+            F.countDistinct(rhs).cast("long").alias("k")
+        )
+        return per_key.agg(
+            F.lit(f"{lhs}->{rhs}").alias("fd"),
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_violating_keys"),
+            F.max("k").cast("long").alias("max_rhs_cardinality"),
+        )
+
+    return (
+        fd("p_brand", "p_type")
+        .unionAll(fd("p_type", "p_size"))
+        .unionAll(fd("p_name", "p_brand"))
+        .orderBy("fd")
+    )
