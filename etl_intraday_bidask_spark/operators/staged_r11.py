@@ -907,3 +907,484 @@ def dq_functional_dependency_audit(
         .unionAll(fd("p_name", "p_brand"))
         .orderBy("fd")
     )
+
+
+@staged11(
+    "orders_backlog_timeseries",
+    oracle_sql="""
+        WITH span AS (
+            SELECT o.o_orderkey,
+                   date_trunc('month', o.o_orderdate) AS m_open,
+                   date_trunc('month', max(l.l_shipdate)) AS m_close
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, m_open
+        ), deltas AS (
+            SELECT m_open AS m, 1 AS delta FROM span
+            UNION ALL
+            SELECT m_close AS m, -1 AS delta FROM span
+            WHERE m_close > m_open
+        ), monthly AS (
+            SELECT m, CAST(sum(delta) AS BIGINT) AS d
+            FROM deltas GROUP BY m
+        )
+        SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+               CAST(sum(d) OVER (ORDER BY m) AS BIGINT) AS backlog
+        FROM monthly ORDER BY month_us
+    """,
+    description="Open-order backlog time series by sweep-line: each "
+    "order contributes +1 in its order month and -1 in its "
+    "completion month (max lineitem shipdate — same-month "
+    "completions cancel before the sweep), deltas reduce to the "
+    "month grain, and one cumulative window over ~80 month rows "
+    "yields the backlog curve — the WIP/burndown series an "
+    "operations review tracks, computed without ever materializing "
+    "a month x open-order range join (the sweep is O(orders) + a "
+    "spine-sized window, the naive form O(orders x months)).",
+)
+def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(
+            lineitem, orders.o_orderkey == lineitem.l_orderkey
+        )
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("m_open"),
+        )
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
+    )
+    deltas = span.select(
+        F.col("m_open").alias("m"), F.lit(1).alias("delta")
+    ).unionAll(
+        span.where(F.col("m_close") > F.col("m_open")).select(
+            F.col("m_close").alias("m"), F.lit(-1).alias("delta")
+        )
+    )
+    monthly = deltas.groupBy("m").agg(
+        F.sum("delta").cast("long").alias("d")
+    )
+    return monthly.select(
+        F.unix_micros("m").alias("month_us"),
+        F.sum("d")
+        .over(
+            Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("backlog"),
+    ).orderBy("month_us")
+
+
+@staged11(
+    "orders_new_vs_repeat_monthly",
+    oracle_sql="""
+        WITH flagged AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) = 1 AS is_first
+            FROM orders
+        )
+        SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+               CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END)
+                    AS BIGINT) AS new_cents,
+               CAST(sum(CASE WHEN is_first THEN 0 ELSE cents END)
+                    AS BIGINT) AS repeat_cents,
+               CAST(sum(CASE WHEN is_first THEN cents ELSE 0 END) * 10000
+                    // nullif(sum(cents), 0) AS BIGINT) AS new_share_bp
+        FROM flagged GROUP BY m ORDER BY month_us
+    """,
+    description="New-vs-repeat revenue split per month: each order is "
+    "tagged first-ever for its customer (row_number over (orderdate, "
+    "orderkey) — deterministic under same-day ties), and monthly "
+    "revenue splits into acquisition vs retention cents with the new "
+    "share in exact floor basis points — the growth-mix view that "
+    "tells whether a revenue month came from new logos or the "
+    "existing base (pairs with events' first-seen growth accounting, "
+    "on money instead of traffic). One customer-partitioned window + "
+    "one month agg.",
+)
+def orders_new_vs_repeat_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    flagged = load(spark, sf_dir, "orders").select(
+        F.date_trunc("month", "o_orderdate").alias("m"),
+        scaled_long("o_totalprice", 100).alias("cents"),
+        (
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    "o_orderdate", "o_orderkey"
+                )
+            )
+            == 1
+        ).alias("is_first"),
+    )
+    new_c = F.sum(F.when(F.col("is_first"), F.col("cents")).otherwise(0))
+    return (
+        flagged.groupBy("m")
+        .agg(
+            new_c.cast("long").alias("new_cents"),
+            F.sum(F.when(F.col("is_first"), 0).otherwise(F.col("cents")))
+            .cast("long")
+            .alias("repeat_cents"),
+            F.expr(
+                "sum(CASE WHEN is_first THEN cents ELSE 0 END) * 10000"
+                " div nullif(sum(cents), 0)"
+            )
+            .cast("long")
+            .alias("new_share_bp"),
+        )
+        .select(
+            F.unix_micros("m").alias("month_us"),
+            "new_cents",
+            "repeat_cents",
+            "new_share_bp",
+        )
+        .orderBy("month_us")
+    )
+
+
+@staged11(
+    "orders_fiscal_445_calendar",
+    oracle_sql="""
+        WITH fiscal AS (
+            SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   date_diff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) // 7 AS wk
+            FROM orders
+        ), mapped AS (
+            SELECT cents,
+                   wk // 52 AS fy,
+                   wk % 52 // 13 AS fq,
+                   CASE WHEN wk % 52 % 13 < 4 THEN 0
+                        WHEN wk % 52 % 13 < 8 THEN 1
+                        ELSE 2 END AS sub
+            FROM fiscal
+        )
+        SELECT CAST(fy AS BIGINT) AS fiscal_year,
+               CAST(fq * 3 + sub + 1 AS BIGINT) AS fiscal_period,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM mapped
+        GROUP BY fiscal_year, fiscal_period
+        ORDER BY fiscal_year, fiscal_period
+    """,
+    description="4-4-5 fiscal calendar rollup: order dates map to "
+    "52-week fiscal years anchored at the fixture epoch "
+    "(1992-01-01), each 13-week quarter splitting into 4+4+5-week "
+    "periods by pure integer week arithmetic — the retail/finance "
+    "close calendar whose periods align on weekdays (comparable "
+    "週-over-week composition, unlike calendar months), computed "
+    "without any calendar table join. Revenue per (fiscal year, "
+    "period 1-12); exact integer mapping both engines.",
+)
+def orders_fiscal_445_calendar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    wk = (
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        )
+        .cast("long")
+        / F.lit(7)
+    )
+    fiscal = orders.select(
+        scaled_long("o_totalprice", 100).alias("cents"),
+        F.floor(wk).cast("long").alias("wk"),
+    )
+    wk_in_q = F.col("wk") % 52 % 13
+    mapped = fiscal.select(
+        "cents",
+        F.expr("wk div 52").alias("fy"),
+        F.expr("wk % 52 div 13").alias("fq"),
+        F.when(wk_in_q < 4, 0).when(wk_in_q < 8, 1).otherwise(2).alias("sub"),
+    )
+    return (
+        mapped.groupBy(
+            F.col("fy").cast("long").alias("fiscal_year"),
+            (F.col("fq") * 3 + F.col("sub") + 1)
+            .cast("long")
+            .alias("fiscal_period"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+@staged11(
+    "orders_net_revenue_retention",
+    oracle_sql="""
+        WITH cy AS (
+            SELECT o_custkey AS k,
+                   CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY k, y
+        )
+        SELECT b.y + 1 AS year,
+               CAST(sum(b.cents) AS BIGINT) AS base_cents,
+               CAST(sum(coalesce(n.cents, 0)) AS BIGINT)
+                   AS retained_cents,
+               CAST(sum(coalesce(n.cents, 0)) * 10000
+                    // nullif(sum(b.cents), 0) AS BIGINT) AS nrr_bp
+        FROM cy b
+        LEFT JOIN cy n ON n.k = b.k AND n.y = b.y + 1
+        WHERE b.y < (SELECT max(y) FROM cy)
+        GROUP BY year ORDER BY year
+    """,
+    description="Net revenue retention per year: for each cohort of "
+    "customers active in year y, their total year-(y+1) revenue over "
+    "their year-y revenue in exact floor basis points (NRR > 10000 "
+    "= expansion beats churn) — the single number subscription and "
+    "platform businesses are valued on, here computed on the "
+    "customer-year grain so the join input is the reduced dim, "
+    "never the fact table. One self-join on (custkey, year+1).",
+)
+def orders_net_revenue_retention(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cy = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("k"),
+            F.year("o_orderdate").cast("long").alias("y"),
+        )
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    max_y = cy.agg(F.max("y").alias("max_y"))
+    nxt = cy.select(
+        F.col("k").alias("nk"),
+        F.col("y").alias("ny"),
+        F.col("cents").alias("ncents"),
+    )
+    return (
+        cy.crossJoin(F.broadcast(max_y))
+        .where(F.col("y") < F.col("max_y"))
+        .join(
+            nxt,
+            (F.col("nk") == F.col("k")) & (F.col("ny") == F.col("y") + 1),
+            "left",
+        )
+        .groupBy((F.col("y") + 1).cast("long").alias("year"))
+        .agg(
+            F.sum("cents").cast("long").alias("base_cents"),
+            F.sum(F.coalesce(F.col("ncents"), F.lit(0)))
+            .cast("long")
+            .alias("retained_cents"),
+            F.expr(
+                "sum(coalesce(ncents, 0)) * 10000 div nullif(sum(cents), 0)"
+            )
+            .cast("long")
+            .alias("nrr_bp"),
+        )
+        .orderBy("year")
+    )
+
+
+@staged11(
+    "orders_quarter_end_concentration",
+    oracle_sql="""
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+               CAST(quarter(o_orderdate) AS BIGINT) AS q,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS quarter_cents,
+               CAST(sum(CASE WHEN month(o_orderdate) % 3 = 0
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS final_month_cents,
+               CAST(sum(CASE WHEN month(o_orderdate) % 3 = 0
+                             THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                             ELSE 0 END) * 10000
+                    // nullif(sum(CAST(round(o_totalprice * 100)
+                                       AS BIGINT)), 0) AS BIGINT)
+                   AS final_month_share_bp
+        FROM orders
+        GROUP BY y, q ORDER BY y, q
+    """,
+    description="Quarter-end concentration (hockey-stick detector): "
+    "per (year, quarter), the share of revenue booked in the "
+    "quarter's final month in exact floor basis points — sustained "
+    "shares far above ~3333 bp are the sales-pulling-deals-forward "
+    "signature finance audits for (and a volume-spike warning for "
+    "capacity planning). One grouped agg with conditional sums; a "
+    "uniform fixture reads ~flat, which is exactly the null "
+    "baseline the op documents.",
+)
+def orders_quarter_end_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    cents = scaled_long("o_totalprice", 100)
+    fin = F.when(F.month("o_orderdate") % 3 == 0, cents).otherwise(0)
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+        )
+        .agg(
+            F.sum(cents).cast("long").alias("quarter_cents"),
+            F.sum(fin).cast("long").alias("final_month_cents"),
+            F.expr(
+                "sum(CASE WHEN month(o_orderdate) % 3 = 0 THEN"
+                " cast(floor(o_totalprice * 100.0 + 0.5) as bigint)"
+                " ELSE 0 END) * 10000 div nullif(sum(cast(floor("
+                "o_totalprice * 100.0 + 0.5) as bigint)), 0)"
+            )
+            .cast("long")
+            .alias("final_month_share_bp"),
+        )
+        .orderBy("y", "q")
+    )
+
+
+@staged11(
+    "orders_price_index_laspeyres",
+    oracle_sql="""
+        WITH py AS (
+            SELECT l_partkey AS pk,
+                   CAST(year(l_shipdate) AS BIGINT) AS y,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS ext_cents,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                        AS BIGINT) AS qty_cq
+            FROM lineitem
+            WHERE year(l_shipdate) IN (1995, 1996)
+            GROUP BY pk, y
+        ), matched AS (
+            SELECT b.pk, b.ext_cents AS base_cents, b.qty_cq,
+                   CAST(floor(CAST(b.qty_cq AS DOUBLE) * t.ext_cents
+                              / t.qty_cq + 0.5) AS BIGINT)
+                       AS repriced_cents
+            FROM py b JOIN py t ON b.pk = t.pk
+            WHERE b.y = 1995 AND t.y = 1996
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_parts_matched,
+               CAST(sum(base_cents) AS BIGINT) AS base_cents,
+               CAST(sum(repriced_cents) AS BIGINT) AS repriced_cents,
+               CAST(sum(repriced_cents) AS DOUBLE) / sum(base_cents)
+                   * 10000.0 AS laspeyres_index_bp
+        FROM matched
+    """,
+    description="Laspeyres price index 1995->1996 over parts shipped "
+    "in both years: each part's base-year quantity is repriced at "
+    "the current-year average unit price (qty_b * ext_t / qty_t — "
+    "the one float division, quantized to cents per part before the "
+    "exact sum), and the index is repriced-over-base — the "
+    "inflation/price-realization decomposition that separates price "
+    "from mix (a revenue change with index ~10000 bp is pure "
+    "volume/mix). Per-(part, year) reduction first, then a "
+    "part-keyed self-join on the reduced grain.",
+)
+def orders_price_index_laspeyres(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    py = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.year("l_shipdate").cast("long").alias("y"),
+        )
+        .agg(
+            F.sum(scaled_long("l_extendedprice", 100)).alias("ext_cents"),
+            F.sum(scaled_long("l_quantity", 100)).alias("qty_cq"),
+        )
+    )
+    b = py.where(F.col("y") == 1995)
+    t = py.where(F.col("y") == 1996).select(
+        F.col("pk").alias("tpk"),
+        F.col("ext_cents").alias("t_ext"),
+        F.col("qty_cq").alias("t_qty"),
+    )
+    matched = b.join(t, b.pk == t.tpk).select(
+        F.col("ext_cents").alias("base_cents"),
+        F.floor(
+            F.col("qty_cq").cast("double") * F.col("t_ext") / F.col("t_qty")
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("repriced_cents"),
+    )
+    return matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts_matched"),
+        F.sum("base_cents").cast("long").alias("base_cents"),
+        F.sum("repriced_cents").cast("long").alias("repriced_cents"),
+        (
+            F.sum("repriced_cents").cast("double")
+            / F.sum("base_cents")
+            * F.lit(10000.0)
+        ).alias("laspeyres_index_bp"),
+    )
+
+
+@staged11(
+    "parts_supplier_concentration",
+    oracle_sql="""
+        WITH ps AS (
+            SELECT l_partkey AS pk, l_suppkey AS sk,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY pk, sk
+        ), ranked AS (
+            SELECT pk, cents,
+                   CAST(sum(cents) OVER (PARTITION BY pk) AS BIGINT)
+                       AS part_cents,
+                   row_number() OVER (PARTITION BY pk
+                       ORDER BY cents DESC, sk) AS rk
+            FROM ps
+        ), per_part AS (
+            SELECT pk, part_cents,
+                   cents * 10000 // part_cents AS top_share_bp
+            FROM ranked WHERE rk = 1 AND part_cents > 0
+        )
+        SELECT CAST(top_share_bp // 1000 AS BIGINT) AS share_bucket,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(sum(part_cents) AS BIGINT) AS revenue_cents
+        FROM per_part GROUP BY share_bucket ORDER BY share_bucket
+    """,
+    description="Supplier concentration per part: each part's "
+    "top-supplier revenue share (exact floor bp, suppkey tie-break) "
+    "bucketed into 10%-wide bands with part counts and revenue per "
+    "band — the single-source-risk histogram a procurement review "
+    "reads (bucket 10 = sole-sourced revenue at risk if that "
+    "supplier fails). Reduce to the (part, supplier) grain first; "
+    "one part-partitioned rank window over the reduced rows.",
+)
+def parts_supplier_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ps = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
+        )
+        .agg(F.sum(scaled_long("l_extendedprice", 100)).alias("cents"))
+    )
+    wp = Window.partitionBy("pk")
+    ranked = ps.select(
+        "pk",
+        "cents",
+        F.sum("cents").over(wp).cast("long").alias("part_cents"),
+        F.row_number()
+        .over(wp.orderBy(F.col("cents").desc(), "sk"))
+        .alias("rk"),
+    )
+    per_part = ranked.where(
+        (F.col("rk") == 1) & (F.col("part_cents") > 0)
+    ).select(
+        "part_cents",
+        F.expr("cents * 10000 div part_cents").alias("top_share_bp"),
+    )
+    return (
+        per_part.groupBy(
+            F.expr("top_share_bp div 1000").cast("long").alias("share_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("part_cents").cast("long").alias("revenue_cents"),
+        )
+        .orderBy("share_bucket")
+    )
