@@ -1388,3 +1388,510 @@ def parts_supplier_concentration(
         )
         .orderBy("share_bucket")
     )
+
+
+@staged11(
+    "events_stickiness_dau_wau",
+    oracle_sql="""
+        WITH du AS (
+            SELECT DISTINCT
+                   date_diff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) // 7 AS wk,
+                   CAST(ts AS DATE) AS d, user_id
+            FROM events
+        ), dau AS (
+            SELECT wk, d, CAST(count(*) AS BIGINT) AS dau
+            FROM du GROUP BY wk, d
+        ), wau AS (
+            SELECT wk, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+            FROM du GROUP BY wk
+        )
+        SELECT CAST(a.wk AS BIGINT) AS wk,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(a.dau) AS BIGINT) AS dau_sum,
+               CAST(max(w.wau) AS BIGINT) AS wau,
+               CAST(sum(a.dau) * 10000
+                    // nullif(count(*) * max(w.wau), 0) AS BIGINT)
+                   AS stickiness_bp
+        FROM dau a JOIN wau w ON a.wk = w.wk
+        GROUP BY a.wk ORDER BY wk
+    """,
+    description="DAU/WAU stickiness per 7-day week (anchored at the "
+    "fixture epoch so week membership is pure integer arithmetic): "
+    "mean daily actives over weekly actives in exact floor basis "
+    "points — the engagement-frequency ratio (10000 bp = every "
+    "active user active every day) product teams track beside the "
+    "growth curve. Everything reduces to the distinct (week, day, "
+    "user) grain first, so the fact table is scanned once and the "
+    "ratio arithmetic runs on week-grain rows.",
+)
+def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    du = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr(
+                "datediff(cast(ts as date), date'2024-01-01') div 7"
+            ).alias("wk"),
+            F.col("ts").cast("date").alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("wk", "d").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    wau = du.groupBy(F.col("wk").alias("wwk")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.wk == wau.wwk)
+        .groupBy(F.col("wk").cast("long").alias("wk"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum("dau").cast("long").alias("dau_sum"),
+            F.max("wau").cast("long").alias("wau"),
+            F.expr(
+                "sum(dau) * 10000 div nullif(count(1) * max(wau), 0)"
+            )
+            .cast("long")
+            .alias("stickiness_bp"),
+        )
+        .orderBy("wk")
+    )
+
+
+@staged11(
+    "events_session_bounce_rate",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts)) OVER (
+                                   PARTITION BY user_id
+                                   ORDER BY ts, event_id)
+                             > 1800000000
+                          OR lag(ts) OVER (PARTITION BY user_id
+                                           ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_start
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts,
+                   CAST(sum(is_start) OVER (PARTITION BY user_id
+                       ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sid
+            FROM gaps
+        ), per_sess AS (
+            SELECT user_id, sid,
+                   CAST(min(ts) AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_us,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounce,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS bounce_bp
+        FROM per_sess GROUP BY d ORDER BY day_us
+    """,
+    description="Session bounce rate per day: 30-minute-gap "
+    "sessionization (event_id tie-break on equal timestamps), "
+    "sessions attributed to their start day, single-event sessions "
+    "counted as bounces, rate in exact floor basis points — the "
+    "engagement-quality complement to session counts (traffic with "
+    "rising bounce share is often bot or deep-link traffic). One "
+    "user-partitioned window pass + a session-grain reduce.",
+)
+def events_session_bounce_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_us = F.lag(F.unix_micros("ts")).over(wo)
+    gaps = events.select(
+        "user_id",
+        "ts",
+        F.when(
+            prev_us.isNull()
+            | (F.unix_micros("ts") - prev_us > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = gaps.select(
+        "user_id",
+        "ts",
+        F.sum("is_start")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("sid"),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.min("ts").cast("date").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return (
+        per_sess.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounce"),
+            F.expr(
+                "sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) * 10000"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("bounce_bp"),
+        )
+        .select(
+            F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+            "n_sessions",
+            "n_bounce",
+            "bounce_bp",
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged11(
+    "events_interval_union_coverage",
+    oracle_sql="""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + 300000000 AS e
+            FROM events
+        ), runmax AS (
+            SELECT user_id, s, e,
+                   max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING) AS prev_max_e
+            FROM iv
+        ), flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                        THEN 1 ELSE 0 END AS new_seg
+            FROM runmax
+        ), seg AS (
+            SELECT user_id, s, e,
+                   CAST(sum(new_seg) OVER (PARTITION BY user_id
+                       ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS seg_id
+            FROM flagged
+        ), merged AS (
+            SELECT user_id, seg_id,
+                   CAST(max(e) - min(s) AS BIGINT) AS span_us
+            FROM seg GROUP BY user_id, seg_id
+        ), per_user AS (
+            SELECT user_id,
+                   CAST(sum(span_us) // 60000000 AS BIGINT) AS cov_min
+            FROM merged GROUP BY user_id
+        )
+        SELECT CAST(cov_min // 30 AS BIGINT) AS bucket_30min,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(cov_min) AS BIGINT) AS total_minutes
+        FROM per_user GROUP BY bucket_30min ORDER BY bucket_30min
+    """,
+    description="Active-time coverage by interval union: each event "
+    "opens a 5-minute activity interval, overlapping intervals merge "
+    "per user via the running-max-end sweep (new segment exactly "
+    "when the start clears every earlier end — one ordered window, "
+    "no self-join), merged spans sum to per-user covered minutes, "
+    "histogrammed in 30-minute buckets — the 'time actually spent' "
+    "metric that dedups bursty event streams (naive count x 5min "
+    "overcounts 10x on dense sessions). The sweep is the canonical "
+    "O(n log n) interval-union plan and partitions cleanly by user.",
+)
+def events_interval_union_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    iv = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300000000).alias("e"),
+    )
+    wo = Window.partitionBy("user_id").orderBy("s", "e")
+    runmax = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.max("e")
+        .over(wo.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_max_e"),
+    )
+    flagged = runmax.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_seg"),
+    )
+    seg = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_seg")
+        .over(wo.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("seg_id"),
+    )
+    merged = seg.groupBy("user_id", "seg_id").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("span_us")
+    )
+    per_user = merged.groupBy("user_id").agg(
+        F.expr("sum(span_us) div 60000000").cast("long").alias("cov_min")
+    )
+    return (
+        per_user.groupBy(
+            F.expr("cov_min div 30").cast("long").alias("bucket_30min")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("cov_min").cast("long").alias("total_minutes"),
+        )
+        .orderBy("bucket_30min")
+    )
+
+
+@staged11(
+    "sessionize_timeout_sensitivity",
+    oracle_sql="""
+        WITH gaps AS (
+            SELECT epoch_us(ts)
+                   - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id) AS gap_us
+            FROM events
+        ), stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(count(*) - count(gap_us) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN gap_us > 600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS g10,
+                   CAST(sum(CASE WHEN gap_us > 1800000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS g30,
+                   CAST(sum(CASE WHEN gap_us > 3600000000
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS g60
+            FROM gaps
+        )
+        SELECT CAST(t.timeout_min AS BIGINT) AS timeout_min,
+               CAST(s.n_users + CASE t.timeout_min
+                    WHEN 10 THEN s.g10 WHEN 30 THEN s.g30
+                    ELSE s.g60 END AS BIGINT) AS n_sessions,
+               CAST(s.n_events * 100 // (s.n_users + CASE t.timeout_min
+                    WHEN 10 THEN s.g10 WHEN 30 THEN s.g30
+                    ELSE s.g60 END) AS BIGINT)
+                   AS events_per_session_x100
+        FROM stats s
+        CROSS JOIN (VALUES (10), (30), (60)) AS t(timeout_min)
+        ORDER BY timeout_min
+    """,
+    description="Sessionization timeout sensitivity in ONE pass: "
+    "per-user inter-event gaps are computed once, and session "
+    "counts under 10/30/60-minute timeouts all derive from the same "
+    "gap distribution (sessions = users + gaps exceeding the "
+    "timeout) — the tuning table that justifies the 30-minute "
+    "default the session ops use, structurally the session twin of "
+    "dedup_lsh_band_sweep's operating-curve pattern. Counts are "
+    "monotone decreasing in the timeout by construction, which the "
+    "grade pins; one window pass, one 3-row VALUES fan-out.",
+)
+def sessionize_timeout_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    gaps = load(spark, sf_dir, "events").select(
+        (
+            F.unix_micros("ts")
+            - F.lag(F.unix_micros("ts")).over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            )
+        ).alias("gap_us")
+    )
+    stats = gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("gap_us").cast("long").alias("n_gaps"),
+        (F.count(F.lit(1)) - F.count("gap_us")).cast("long").alias("n_users"),
+        F.sum(F.when(F.col("gap_us") > 600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("g10"),
+        F.sum(F.when(F.col("gap_us") > 1800000000, 1).otherwise(0))
+        .cast("long")
+        .alias("g30"),
+        F.sum(F.when(F.col("gap_us") > 3600000000, 1).otherwise(0))
+        .cast("long")
+        .alias("g60"),
+    )
+    timeouts = spark.range(1).select(
+        F.explode(F.array(F.lit(10), F.lit(30), F.lit(60))).alias(
+            "timeout_min"
+        )
+    )
+    g = (
+        F.when(F.col("timeout_min") == 10, F.col("g10"))
+        .when(F.col("timeout_min") == 30, F.col("g30"))
+        .otherwise(F.col("g60"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(timeouts))
+        .select(
+            F.col("timeout_min").cast("long").alias("timeout_min"),
+            (F.col("n_users") + g).cast("long").alias("n_sessions"),
+            F.expr(
+                "n_events * 100 div (n_users + CASE timeout_min"
+                " WHEN 10 THEN g10 WHEN 30 THEN g30 ELSE g60 END)"
+            )
+            .cast("long")
+            .alias("events_per_session_x100"),
+        )
+        .orderBy("timeout_min")
+    )
+
+
+@staged11(
+    "graph_reciprocity_directed",
+    oracle_sql="""
+        WITH seq AS (
+            SELECT event_type AS a,
+                   lead(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS b
+            FROM events
+        ), edges AS (
+            SELECT a, b, CAST(count(*) AS BIGINT) AS w
+            FROM seq WHERE b IS NOT NULL GROUP BY a, b
+        )
+        SELECT
+            CAST(count(*) AS BIGINT) AS n_edges,
+            CAST(sum(CASE WHEN e.a = e.b THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_self_loops,
+            CAST(sum(CASE WHEN e.a <> e.b AND r.a IS NOT NULL
+                          THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_reciprocated,
+            CAST(sum(CASE WHEN e.a <> e.b AND r.a IS NOT NULL
+                          THEN 1 ELSE 0 END) * 10000
+                 // nullif(sum(CASE WHEN e.a <> e.b THEN 1 ELSE 0 END),
+                           0) AS BIGINT) AS reciprocity_bp
+        FROM edges e
+        LEFT JOIN edges r ON e.a = r.b AND e.b = r.a
+    """,
+    description="Directed-graph reciprocity on the event-type "
+    "transition graph: distinct a->b transitions (per-user "
+    "consecutive events) joined against their own reverse to count "
+    "mutually-occurring pairs, with self-loops excluded and the "
+    "reciprocity share in exact floor basis points — the "
+    "directionality diagnostic separating funnel-like flows "
+    "(view->purchase but never back) from oscillating ones, and the "
+    "directed complement to the undirected co-purchase graph "
+    "family. The join runs on the reduced edge grain (type "
+    "cardinality squared at most), never on events.",
+)
+def graph_reciprocity_directed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    seq = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("b"),
+    )
+    edges = (
+        seq.where(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    rev = edges.select(
+        F.col("a").alias("ra"), F.col("b").alias("rb")
+    )
+    joined = edges.join(
+        rev, (edges.a == rev.rb) & (edges.b == rev.ra), "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.sum(F.when(F.col("a") == F.col("b"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_loops"),
+        F.sum(
+            F.when(
+                (F.col("a") != F.col("b")) & F.col("ra").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_reciprocated"),
+        F.expr(
+            "sum(CASE WHEN a <> b AND ra IS NOT NULL THEN 1 ELSE 0 END)"
+            " * 10000 div nullif(sum(CASE WHEN a <> b THEN 1 ELSE 0 END),"
+            " 0)"
+        )
+        .cast("long")
+        .alias("reciprocity_bp"),
+    )
+
+
+@staged11(
+    "dq_error_rate_wilson_bound",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM events GROUP BY d
+        )
+        SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_us,
+               n, k,
+               CAST(k * 10000 // n AS BIGINT) AS rate_bp,
+               (CAST(k AS DOUBLE) / n + 1.9208 / n
+                + 1.96 * sqrt((CAST(k AS DOUBLE) / n)
+                              * (1.0 - CAST(k AS DOUBLE) / n) / n
+                              + 0.9604 / (CAST(n AS DOUBLE) * n)))
+               / (1.0 + 3.8416 / n) AS wilson_upper_95
+        FROM daily ORDER BY day_us
+    """,
+    description="Daily error-rate with Wilson-score 95% upper bound: "
+    "exact integer counts per day, the rate in floor basis points, "
+    "and the small-sample-honest upper confidence bound as one "
+    "deterministic float chain from the integer (k, n) (z=1.96 "
+    "constants pre-squared into literals so both engines run the "
+    "same IEEE ops) — the alerting threshold that does not "
+    "false-fire on low-traffic days the way a raw rate does (3 "
+    "errors in 10 events and in 10000 events read very differently "
+    "through the bound). One grouped agg at day grain.",
+)
+def dq_error_rate_wilson_bound(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    p = F.col("k").cast("double") / F.col("n")
+    wilson = (
+        p
+        + F.lit(1.9208) / F.col("n")
+        + F.lit(1.96)
+        * F.sqrt(
+            p * (F.lit(1.0) - p) / F.col("n")
+            + F.lit(0.9604) / (F.col("n").cast("double") * F.col("n"))
+        )
+    ) / (F.lit(1.0) + F.lit(3.8416) / F.col("n"))
+    return daily.select(
+        F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+        "n",
+        "k",
+        F.expr("k * 10000 div n").cast("long").alias("rate_bp"),
+        wilson.alias("wilson_upper_95"),
+    ).orderBy("day_us")
