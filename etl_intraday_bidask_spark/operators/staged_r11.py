@@ -1895,3 +1895,494 @@ def dq_error_rate_wilson_bound(
         F.expr("k * 10000 div n").cast("long").alias("rate_bp"),
         wilson.alias("wilson_upper_95"),
     ).orderBy("day_us")
+
+
+@staged11(
+    "text_hapax_legomena_ratio",
+    oracle_sql="""
+        WITH tc AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), types AS (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+            FROM tc GROUP BY lang, token
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS hapax_share_bp
+        FROM types GROUP BY lang ORDER BY lang
+    """,
+    description="Hapax legomena ratio per language: the share of "
+    "vocabulary types occurring exactly once, in exact floor basis "
+    "points — the heavy-tail diagnostic that complements the Zipf "
+    "slope (a hapax share far from ~50% flags either a tiny corpus "
+    "or heavy boilerplate/dedup distortion, and it directly sizes "
+    "the OOV risk any fixed vocabulary inherits). One tokenize pass "
+    "reduced to the (lang, type) grain, then a lang-grain agg.",
+)
+def text_hapax_legomena_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    types = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    return (
+        types.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hapax"),
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.expr(
+                "sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 10000"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("hapax_share_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged11(
+    "corpus_js_divergence_sources",
+    oracle_sql="""
+        WITH tc AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token
+            FROM documents WHERE lang = 'en'
+        ), counts AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS c
+            FROM tc GROUP BY source, token
+        ), totals AS (
+            SELECT source, CAST(sum(c) AS BIGINT) AS n
+            FROM counts GROUP BY source
+        ), pairs AS (
+            SELECT a.source AS s1, b.source AS s2,
+                   a.n AS n1, b.n AS n2
+            FROM totals a JOIN totals b ON a.source < b.source
+        ), pair_terms AS (
+            SELECT p.s1, p.s2, p.n1, p.n2, c.token,
+                   CAST(sum(CASE WHEN c.source = p.s1 THEN c.c
+                                 ELSE 0 END) AS BIGINT) AS c1,
+                   CAST(sum(CASE WHEN c.source = p.s2 THEN c.c
+                                 ELSE 0 END) AS BIGINT) AS c2
+            FROM pairs p
+            JOIN counts c ON c.source IN (p.s1, p.s2)
+            GROUP BY p.s1, p.s2, p.n1, p.n2, c.token
+        ), contrib AS (
+            SELECT s1, s2,
+                   CAST(floor((
+                       CASE WHEN c1 > 0 THEN
+                           0.5 * (CAST(c1 AS DOUBLE) / n1)
+                           * ln((CAST(c1 AS DOUBLE) / n1)
+                                / ((CAST(c1 AS DOUBLE) / n1
+                                    + CAST(c2 AS DOUBLE) / n2) / 2.0))
+                       ELSE 0.0 END
+                       +
+                       CASE WHEN c2 > 0 THEN
+                           0.5 * (CAST(c2 AS DOUBLE) / n2)
+                           * ln((CAST(c2 AS DOUBLE) / n2)
+                                / ((CAST(c1 AS DOUBLE) / n1
+                                    + CAST(c2 AS DOUBLE) / n2) / 2.0))
+                       ELSE 0.0 END) * 1000000000 + 0.5) AS BIGINT)
+                       AS c_nano
+            FROM pair_terms
+        )
+        SELECT s1, s2,
+               CAST(count(*) AS BIGINT) AS n_union_terms,
+               CAST(sum(c_nano) AS BIGINT) AS jsd_nano_sum,
+               CAST(sum(c_nano) AS DOUBLE) / 1000000000.0 AS jsd_nats
+        FROM contrib GROUP BY s1, s2 ORDER BY s1, s2
+    """,
+    description="Jensen-Shannon divergence between every source pair "
+    "('en' unigram distributions): per-term contributions "
+    "0.5*p*ln(p/m) + 0.5*q*ln(q/m) over the UNION support (the "
+    "pair-conditioned grouped agg produces union support without a "
+    "full-outer join), each quantized to nano-nats before the exact "
+    "sum — the symmetric, bounded (<= ln 2) distribution distance "
+    "that ranks which sources are stylistically interchangeable for "
+    "mixing and which would shift the corpus (vocab-overlap measures "
+    "set intersection; JSD weighs it by mass). Postings reduce to "
+    "(source, type) first; the pair fan-out multiplies the TYPE "
+    "grain, never documents.",
+)
+def corpus_js_divergence_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    counts = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("lang") == "en")
+        .select("source", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n")
+    )
+    a = totals.select(
+        F.col("source").alias("s1"), F.col("n").alias("n1")
+    )
+    b = totals.select(
+        F.col("source").alias("s2"), F.col("n").alias("n2")
+    )
+    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    pair_terms = (
+        pairs.join(
+            counts,
+            (counts.source == F.col("s1"))
+            | (counts.source == F.col("s2")),
+        )
+        .groupBy("s1", "s2", "n1", "n2", "token")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == F.col("s1"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("c1"),
+            F.sum(
+                F.when(F.col("source") == F.col("s2"), F.col("c")).otherwise(0)
+            )
+            .cast("long")
+            .alias("c2"),
+        )
+    )
+    p = F.col("c1").cast("double") / F.col("n1")
+    q = F.col("c2").cast("double") / F.col("n2")
+    m = (p + q) / F.lit(2.0)
+    term = F.when(F.col("c1") > 0, F.lit(0.5) * p * F.log(p / m)).otherwise(
+        F.lit(0.0)
+    ) + F.when(F.col("c2") > 0, F.lit(0.5) * q * F.log(q / m)).otherwise(
+        F.lit(0.0)
+    )
+    contrib = pair_terms.select(
+        "s1",
+        "s2",
+        F.floor(term * F.lit(1000000000) + F.lit(0.5))
+        .cast("long")
+        .alias("c_nano"),
+    )
+    return (
+        contrib.groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_union_terms"),
+            F.sum("c_nano").cast("long").alias("jsd_nano_sum"),
+            (F.sum("c_nano").cast("double") / F.lit(1000000000.0)).alias(
+                "jsd_nats"
+            ),
+        )
+        .orderBy("s1", "s2")
+    )
+
+
+@staged11(
+    "text_vocab_coverage_topk",
+    oracle_sql="""
+        WITH types AS (
+            SELECT lang, token, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT lang, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY lang, token
+        ), ranked AS (
+            SELECT lang, c,
+                   row_number() OVER (PARTITION BY lang
+                       ORDER BY c DESC, token) AS rk
+            FROM types
+        )
+        SELECT lang,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) * 10000
+                    // sum(c) AS BIGINT) AS top100_bp,
+               CAST(sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) * 10000
+                    // sum(c) AS BIGINT) AS top1000_bp
+        FROM ranked GROUP BY lang ORDER BY lang
+    """,
+    description="Vocabulary coverage curve per language: the share "
+    "of token mass covered by the top-100 and top-1000 types "
+    "(frequency rank, token tie-break), in exact floor basis points "
+    "— the two points on the coverage curve that size a fixed "
+    "vocabulary or stopword list (high top-100 coverage means a "
+    "tiny vocab already explains most mass; the gap to top-1000 "
+    "prices the next 900 entries). Type-grain rank window after "
+    "the tokenize reduce; no per-token second pass.",
+)
+def text_vocab_coverage_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    types = (
+        load(spark, sf_dir, "documents")
+        .select("lang", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    ranked = types.select(
+        "lang",
+        "c",
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.col("c").desc(), "token")
+        )
+        .alias("rk"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab_size"),
+            F.expr(
+                "sum(CASE WHEN rk <= 100 THEN c ELSE 0 END) * 10000"
+                " div sum(c)"
+            )
+            .cast("long")
+            .alias("top100_bp"),
+            F.expr(
+                "sum(CASE WHEN rk <= 1000 THEN c ELSE 0 END) * 10000"
+                " div sum(c)"
+            )
+            .cast("long")
+            .alias("top1000_bp"),
+        )
+        .orderBy("lang")
+    )
+
+
+@staged11(
+    "text_term_burstiness_fano",
+    oracle_sql="""
+        WITH nd AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents WHERE lang = 'en'
+        ), per_doc AS (
+            SELECT doc_id, token, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                  FROM documents WHERE lang = 'en')
+            GROUP BY doc_id, token
+        ), term AS (
+            SELECT token,
+                   CAST(sum(c) AS BIGINT) AS total_c,
+                   CAST(sum(c * c) AS BIGINT) AS total_c2,
+                   CAST(count(*) AS BIGINT) AS df
+            FROM per_doc GROUP BY token
+        ), ranked AS (
+            SELECT t.token, t.total_c, t.total_c2, t.df, n.n_docs,
+                   row_number() OVER (ORDER BY t.total_c DESC, t.token)
+                       AS rk
+            FROM term t CROSS JOIN nd n
+        )
+        SELECT token, total_c, df,
+               (CAST(total_c2 AS DOUBLE) / n_docs
+                - (CAST(total_c AS DOUBLE) / n_docs)
+                  * (CAST(total_c AS DOUBLE) / n_docs))
+               / (CAST(total_c AS DOUBLE) / n_docs) AS fano_factor
+        FROM ranked WHERE rk <= 20 ORDER BY token
+    """,
+    description="Term burstiness via the Fano factor (variance over "
+    "mean of per-document counts, zeros included) for the 20 most "
+    "frequent 'en' terms: power sums (sum c, sum c^2, df) reduce "
+    "exactly on the (doc, term) grain and the Fano evaluates as one "
+    "float chain from integers — Fano ~1 is Poisson-like function "
+    "words, Fano >> 1 is bursty content terms (Church's burstiness "
+    "observation), the signal that separates topical vocabulary "
+    "from glue and flags template-duplicated boilerplate. Zeros "
+    "need no rows: the moments fold them in via N_docs.",
+)
+def text_term_burstiness_fano(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs_en = load(spark, sf_dir, "documents").where(F.col("lang") == "en")
+    nd = docs_en.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    per_doc = (
+        docs_en.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    term = per_doc.groupBy("token").agg(
+        F.sum("c").cast("long").alias("total_c"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("total_c2"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    ranked = term.crossJoin(F.broadcast(nd)).select(
+        "token",
+        "total_c",
+        "total_c2",
+        "df",
+        "n_docs",
+        F.row_number()
+        .over(Window.orderBy(F.col("total_c").desc(), "token"))
+        .alias("rk"),
+    )
+    mean = F.col("total_c").cast("double") / F.col("n_docs")
+    return (
+        ranked.where(F.col("rk") <= 20)
+        .select(
+            "token",
+            "total_c",
+            "df",
+            (
+                (F.col("total_c2").cast("double") / F.col("n_docs")
+                 - mean * mean)
+                / mean
+            ).alias("fano_factor"),
+        )
+        .orderBy("token")
+    )
+
+
+@staged11(
+    "text_cdc_chunk_boundaries",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT doc_id, lang, arr[i] AS token, i AS pos
+            FROM (SELECT doc_id, lang,
+                         string_split(text, ' ') AS arr
+                  FROM documents),
+                 unnest(generate_series(1, len(arr))) AS u(i)
+        ), flagged AS (
+            SELECT doc_id, lang, pos,
+                   CASE WHEN CAST(('0x' || substr(md5(token), 1, 15))
+                                  AS BIGINT) % 64 = 0
+                        THEN 1 ELSE 0 END AS is_boundary
+            FROM toks
+        ), chunked AS (
+            SELECT doc_id, lang,
+                   CAST(sum(is_boundary) OVER (PARTITION BY doc_id
+                       ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS chunk_id
+            FROM flagged
+        ), chunks AS (
+            SELECT lang, doc_id, chunk_id,
+                   CAST(count(*) AS BIGINT) AS chunk_len
+            FROM chunked GROUP BY lang, doc_id, chunk_id
+        )
+        SELECT lang,
+               CAST(CASE WHEN chunk_len >= 128 THEN 128
+                         ELSE chunk_len // 16 * 16 END AS BIGINT)
+                   AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(chunk_len) AS BIGINT) AS n_tokens
+        FROM chunks GROUP BY lang, len_bucket
+        ORDER BY lang, len_bucket
+    """,
+    description="Content-defined chunking boundary profile: a token "
+    "is a chunk boundary when its md5-derived 60-bit id is 0 mod 64 "
+    "(expected chunk length 64 tokens — the same arithmetic-hash "
+    "idiom as the minhash family, identical both engines), chunk "
+    "lengths histogram in 16-token buckets capped at 128 — the "
+    "dedup/delta-sync chunking (rsync/LBFS/CDC) whose content-keyed "
+    "boundaries survive insertions that shift every fixed-width "
+    "window, graded on the boundary-statistics level where "
+    "determinism lives. One tokenize pass + per-doc cumulative "
+    "window on position.",
+)
+def text_cdc_chunk_boundaries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("pos0", "token"),
+    )
+    flagged = toks.select(
+        "doc_id",
+        "lang",
+        (F.col("pos0") + 1).alias("pos"),
+        F.when(
+            F.conv(F.substring(F.md5("token"), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            % 64
+            == 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("is_boundary"),
+    )
+    chunked = flagged.select(
+        "doc_id",
+        "lang",
+        F.sum("is_boundary")
+        .over(
+            Window.partitionBy("doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        .cast("long")
+        .alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("lang", "doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("chunk_len")
+    )
+    bucket = (
+        F.when(F.col("chunk_len") >= 128, 128)
+        .otherwise(F.expr("chunk_len div 16 * 16"))
+        .cast("long")
+    )
+    return (
+        chunks.groupBy("lang", bucket.alias("len_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum("chunk_len").cast("long").alias("n_tokens"),
+        )
+        .orderBy("lang", "len_bucket")
+    )
+
+
+@staged11(
+    "text_token_length_histogram",
+    oracle_sql="""
+        WITH toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        )
+        SELECT lang,
+               CAST(CASE WHEN len(token) >= 12 THEN 12
+                         ELSE len(token) END AS BIGINT) AS len_bucket,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) * 10000 // (sum(count(*))
+                    OVER (PARTITION BY lang)) AS BIGINT) AS share_bp
+        FROM toks GROUP BY lang, len_bucket
+        ORDER BY lang, len_bucket
+    """,
+    description="Token-length histogram per language (capped at 12+ "
+    "chars) with shares in exact floor basis points — the "
+    "morphology fingerprint that sizes subword vocabularies (long-"
+    "tail-heavy languages need more merges for the same fertility) "
+    "and catches tokenization regressions (a whitespace bug shifts "
+    "this histogram before it shifts any model metric). Counts "
+    "reduce on the (lang, length) grain; the share derives from a "
+    "window over the ~13-row histogram, not a second scan.",
+)
+def text_token_length_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    hist = toks.groupBy(
+        "lang",
+        F.when(F.length("token") >= 12, 12)
+        .otherwise(F.length("token"))
+        .cast("long")
+        .alias("len_bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    return hist.select(
+        "lang",
+        "len_bucket",
+        "n_tokens",
+        F.expr(
+            "n_tokens * 10000 div (sum(n_tokens)"
+            " OVER (PARTITION BY lang))"
+        )
+        .cast("long")
+        .alias("share_bp"),
+    ).orderBy("lang", "len_bucket")
