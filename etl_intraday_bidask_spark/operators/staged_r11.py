@@ -2386,3 +2386,511 @@ def text_token_length_histogram(
         .cast("long")
         .alias("share_bp"),
     ).orderBy("lang", "len_bucket")
+
+
+@staged11(
+    "embed_kcenter_greedy_init",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000
+                              + 0.5) AS BIGINT) AS x
+            FROM embeddings
+        ), c0 AS (
+            SELECT i, x AS y FROM exp WHERE vec_id = 0
+        ), d0 AS (
+            SELECT e.vec_id,
+                   CAST(sum((e.x - c.y) * (e.x - c.y)) AS BIGINT) AS d2
+            FROM exp e JOIN c0 c ON e.i = c.i
+            GROUP BY e.vec_id
+        ), b1 AS (
+            SELECT vec_id, d2 FROM (
+                SELECT vec_id, d2,
+                       row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk
+                FROM d0) WHERE rk = 1
+        ), c1 AS (
+            SELECT e.i, e.x AS y FROM exp e JOIN b1 ON e.vec_id = b1.vec_id
+        ), d1 AS (
+            SELECT e.vec_id,
+                   CAST(sum((e.x - c.y) * (e.x - c.y)) AS BIGINT) AS d2
+            FROM exp e JOIN c1 c ON e.i = c.i
+            GROUP BY e.vec_id
+        ), dmin AS (
+            SELECT d0.vec_id,
+                   CAST(least(d0.d2, d1.d2) AS BIGINT) AS d2
+            FROM d0 JOIN d1 ON d0.vec_id = d1.vec_id
+        ), b2 AS (
+            SELECT vec_id, d2 FROM (
+                SELECT vec_id, d2,
+                       row_number() OVER (ORDER BY d2 DESC, vec_id) AS rk
+                FROM dmin) WHERE rk = 1
+        )
+        SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS center_rank,
+                   CAST(0 AS BIGINT) AS vec_id,
+                   CAST(0 AS BIGINT) AS sel_d2
+            UNION ALL
+            SELECT 1, CAST(vec_id AS BIGINT), d2 FROM b1
+            UNION ALL
+            SELECT 2, CAST(vec_id AS BIGINT), d2 FROM b2
+        ) ORDER BY center_rank
+    """,
+    description="k-center greedy (farthest-point) initialization, "
+    "k=3, fully deterministic: seed = vec_id 0, then twice pick the "
+    "vector maximizing its min squared L2 distance to the selected "
+    "set (vec_id tie-break) — kmeans++'s derandomized cousin and "
+    "the IVF-coarse seeding that cannot collapse the way "
+    "knn_ivf_kmeans' seed collisions were shown to. Distances are "
+    "EXACT int64 (1e-4-grid components, integer squares), so "
+    "selection admits no float-order ambiguity; each round is one "
+    "broadcast of <=64 center components + a map-side d2 agg — the "
+    "k-round pattern distributes as k scans, never a pairwise join.",
+)
+def embed_kcenter_greedy_init(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "xd"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("xd") * 10000 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    c0 = exp.where(F.col("vec_id") == 0).select(
+        F.col("i").alias("ci"), F.col("x").alias("y")
+    )
+    d0 = (
+        exp.join(F.broadcast(c0), exp.i == c0.ci)
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") - F.col("y")) * (F.col("x") - F.col("y")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    b1 = (
+        d0.select(
+            "vec_id",
+            "d2",
+            F.row_number()
+            .over(Window.orderBy(F.col("d2").desc(), "vec_id"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    c1 = exp.join(
+        F.broadcast(b1.select(F.col("vec_id").alias("bv"))),
+        exp.vec_id == F.col("bv"),
+    ).select(F.col("i").alias("ci"), F.col("x").alias("y"))
+    d1 = (
+        exp.join(F.broadcast(c1), exp.i == c1.ci)
+        .groupBy("vec_id")
+        .agg(
+            F.sum((F.col("x") - F.col("y")) * (F.col("x") - F.col("y")))
+            .cast("long")
+            .alias("d2")
+        )
+    )
+    dmin = d0.join(
+        d1.select(F.col("vec_id").alias("v1"), F.col("d2").alias("d2b")),
+        d0.vec_id == F.col("v1"),
+    ).select("vec_id", F.least("d2", "d2b").cast("long").alias("d2"))
+    b2 = (
+        dmin.select(
+            "vec_id",
+            "d2",
+            F.row_number()
+            .over(Window.orderBy(F.col("d2").desc(), "vec_id"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") == 1)
+        .drop("rk")
+    )
+    seed = spark.range(1).select(
+        F.lit(0).cast("long").alias("center_rank"),
+        F.lit(0).cast("long").alias("vec_id"),
+        F.lit(0).cast("long").alias("sel_d2"),
+    )
+    return (
+        seed.unionAll(
+            b1.select(
+                F.lit(1).cast("long").alias("center_rank"),
+                F.col("vec_id").cast("long"),
+                F.col("d2").alias("sel_d2"),
+            )
+        )
+        .unionAll(
+            b2.select(
+                F.lit(2).cast("long").alias("center_rank"),
+                F.col("vec_id").cast("long"),
+                F.col("d2").alias("sel_d2"),
+            )
+        )
+        .orderBy("center_rank")
+    )
+
+
+@staged11(
+    "embed_simhash_bit_balance",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000
+                              + 0.5) AS BIGINT) AS x
+            FROM embeddings
+        ), planes AS (
+            SELECT p.j, d.i,
+                   CASE WHEN CAST(('0x' || substr(
+                            md5(CAST(p.j AS VARCHAR) || '_'
+                                || CAST(d.i AS VARCHAR)), 1, 15))
+                            AS BIGINT) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM unnest(generate_series(0, 15)) AS p(j),
+                 unnest(generate_series(1, 64)) AS d(i)
+        ), proj AS (
+            SELECT e.vec_id, p.j,
+                   CAST(sum(p.s * e.x) AS BIGINT) AS dot
+            FROM exp e JOIN planes p ON e.i = p.i
+            GROUP BY e.vec_id, p.j
+        )
+        SELECT CAST(j AS BIGINT) AS plane,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_positive,
+               CAST(sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS balance_bp
+        FROM proj GROUP BY plane ORDER BY plane
+    """,
+    description="SimHash plane balance audit: 16 sign-random "
+    "hyperplanes (md5-derived +-1 entries — the de-correlated house "
+    "idiom the multitable-LSH fix standardized on) project every "
+    "embedding as an EXACT integer dot product, and each plane "
+    "reports its positive-side share in floor basis points — the "
+    "ANN health check that a usable plane splits the corpus near "
+    "5000 bp (a plane at 9000 bp wastes a bit of every signature "
+    "and halves bucket diversity; correlated or mean-offset "
+    "embeddings show up here before recall drops). One explode + "
+    "broadcast of the 1024-entry sign matrix + map-combined agg.",
+)
+def embed_simhash_bit_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "xd"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("xd") * 10000 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    planes = (
+        spark.range(16)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(
+            spark.range(1, 65).select(F.col("id").cast("int").alias("pi"))
+        )
+        .select(
+            "j",
+            "pi",
+            F.when(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_", F.col("j").cast("string"),
+                                F.col("pi").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2
+                == 0,
+                1,
+            )
+            .otherwise(-1)
+            .alias("s"),
+        )
+    )
+    proj = (
+        exp.join(F.broadcast(planes), exp.i == planes.pi)
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("x")).cast("long").alias("dot"))
+    )
+    return (
+        proj.groupBy(F.col("j").cast("long").alias("plane"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.when(F.col("dot") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_positive"),
+            F.expr(
+                "sum(CASE WHEN dot > 0 THEN 1 ELSE 0 END) * 10000"
+                " div count(1)"
+            )
+            .cast("long")
+            .alias("balance_bp"),
+        )
+        .orderBy("plane")
+    )
+
+
+@staged11(
+    "knn_norm_bound_prune",
+    oracle_sql="""
+        WITH exp AS (
+            SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000
+                              + 0.5) AS BIGINT) AS x
+            FROM embeddings
+        ), q AS (
+            SELECT i, x AS y FROM exp WHERE vec_id = 0
+        ), qn AS (
+            SELECT CAST(sum(y * y) AS BIGINT) AS q2 FROM q
+        ), cand AS (
+            SELECT e.vec_id,
+                   CAST(sum(e.x * q.y) AS BIGINT) AS dot,
+                   CAST(sum(e.x * e.x) AS BIGINT) AS x2
+            FROM exp e JOIN q ON e.i = q.i
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id
+        ), kth AS (
+            SELECT dot AS d10 FROM (
+                SELECT dot, row_number() OVER (ORDER BY dot DESC, vec_id)
+                       AS rk FROM cand) WHERE rk = 10
+        ), top1 AS (
+            SELECT vec_id AS top1_vec_id FROM (
+                SELECT vec_id, row_number() OVER (ORDER BY dot DESC,
+                       vec_id) AS rk FROM cand) WHERE rk = 1
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+               CAST(sum(CASE WHEN k.d10 > 0 AND
+                             CAST(n.q2 AS HUGEINT) * c.x2
+                             < CAST(k.d10 AS HUGEINT) * k.d10
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_prunable,
+               CAST(sum(CASE WHEN k.d10 > 0 AND
+                             CAST(n.q2 AS HUGEINT) * c.x2
+                             < CAST(k.d10 AS HUGEINT) * k.d10
+                             THEN 1 ELSE 0 END) * 10000 // count(*)
+                    AS BIGINT) AS prune_bp,
+               CAST(max(t.top1_vec_id) AS BIGINT) AS top1_vec_id,
+               CAST(max(k.d10) AS BIGINT) AS d10_dot
+        FROM cand c CROSS JOIN kth k CROSS JOIN qn n CROSS JOIN top1 t
+    """,
+    description="Filter-refine pruning audit via the Cauchy-Schwarz "
+    "bound: for dot-product top-10 against query vec 0, a candidate "
+    "whose |q|^2 * |x|^2 falls below the exact 10th-best dot squared "
+    "can NEVER enter the top-10 (|<q,x>| <= |q||x|), and the op "
+    "reports how many candidates a norm-index would prune with "
+    "recall mathematically guaranteed — the two-phase (cheap-bound "
+    "filter, exact refine) pattern production vector search uses "
+    "before touching full vectors. All quantities exact integers; "
+    "the norm-squared products run in 128-bit (HUGEINT/DECIMAL(38,0)) "
+    "because int64 overflows at dim-64 grid scale.",
+)
+def knn_norm_bound_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exp = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "i0", "xd"
+        ),
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("xd") * 10000 + F.lit(0.5)).cast("long").alias("x"),
+    )
+    q = exp.where(F.col("vec_id") == 0).select(
+        F.col("i").alias("qi"), F.col("x").alias("y")
+    )
+    qn = q.agg(F.sum(F.col("y") * F.col("y")).cast("long").alias("q2"))
+    cand = (
+        exp.where(F.col("vec_id") != 0)
+        .join(F.broadcast(q), exp.i == q.qi)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("dot"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("x2"),
+        )
+    )
+    wd = Window.orderBy(F.col("dot").desc(), "vec_id")
+    kth = (
+        cand.select("dot", F.row_number().over(wd).alias("rk"))
+        .where(F.col("rk") == 10)
+        .select(F.col("dot").alias("d10"))
+    )
+    top1 = (
+        cand.select("vec_id", F.row_number().over(wd).alias("rk"))
+        .where(F.col("rk") == 1)
+        .select(F.col("vec_id").alias("top1_vec_id"))
+    )
+    prunable = F.when(
+        (F.col("d10") > 0)
+        & (
+            F.col("q2").cast("decimal(38,0)") * F.col("x2")
+            < F.col("d10").cast("decimal(38,0)") * F.col("d10")
+        ),
+        1,
+    ).otherwise(0)
+    flagged = (
+        cand.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(qn))
+        .crossJoin(F.broadcast(top1))
+        .select("top1_vec_id", "d10", prunable.alias("p"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum("p").cast("long").alias("n_prunable"),
+        F.expr("sum(p) * 10000 div count(1)")
+        .cast("long")
+        .alias("prune_bp"),
+        F.max("top1_vec_id").cast("long").alias("top1_vec_id"),
+        F.max("d10").cast("long").alias("d10_dot"),
+    )
+
+
+@staged11(
+    "multimodal_aspect_bucket_stats",
+    oracle_sql="""
+        WITH media AS (
+            SELECT doc_id AS media_id,
+                   ['image', 'audio', 'video'][CAST(doc_id % 3 + 1
+                       AS INT)] AS media_type,
+                   octet_length(encode(text)) AS n_bytes,
+                   n_chars % 640 + 16 AS width,
+                   n_chars * 7 % 480 + 16 AS height
+            FROM documents
+        )
+        SELECT media_type,
+               CASE WHEN width * 100 // height < 75 THEN 'portrait'
+                    WHEN width * 100 // height <= 133 THEN 'square'
+                    ELSE 'landscape' END AS aspect_class,
+               CAST(count(*) AS BIGINT) AS n_media,
+               CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(sum(width * height) AS BIGINT) AS total_pixels
+        FROM media
+        GROUP BY media_type, aspect_class
+        ORDER BY media_type, aspect_class
+    """,
+    description="Aspect-ratio bucketing stats over the media view "
+    "(same synthesized metadata as the §2.13 family): media classed "
+    "portrait / square / landscape by the exact integer ratio "
+    "width*100 div height, with counts, payload bytes, and pixel "
+    "totals per (type, class) — the batching-efficiency profile a "
+    "vision-training pipeline computes before grouping samples into "
+    "fixed-aspect buckets (mixed-aspect batches waste pad pixels; "
+    "these totals price the padding). Metadata-only arithmetic: the "
+    "binary payload contributes its length and is never decoded.",
+)
+def multimodal_aspect_bucket_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from etl_intraday_bidask_spark.operators.multimodal import media_table
+
+    media = media_table(spark, sf_dir)
+    ratio = F.expr("width * 100 div height")
+    return (
+        media.select(
+            "media_type",
+            F.when(ratio < 75, "portrait")
+            .when(ratio <= 133, "square")
+            .otherwise("landscape")
+            .alias("aspect_class"),
+            F.octet_length("payload").alias("n_bytes"),
+            (F.col("width") * F.col("height")).alias("pixels"),
+        )
+        .groupBy("media_type", "aspect_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.sum("pixels").cast("long").alias("total_pixels"),
+        )
+        .orderBy("media_type", "aspect_class")
+    )
+
+
+@staged11(
+    "multimodal_byte_entropy",
+    oracle_sql="""
+        WITH hx AS (
+            SELECT lang, hex(encode(text)) AS h FROM documents
+        ), pairs AS (
+            SELECT lang, substr(h, 2 * i - 1, 2) AS byte_hex
+            FROM hx, unnest(generate_series(1, len(h) // 2)) AS u(i)
+        ), freq AS (
+            SELECT lang, byte_hex, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY lang, byte_hex
+        ), quant AS (
+            SELECT lang, n,
+                   CAST(floor(n * ln(CAST(n AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) AS nlogn_micro
+            FROM freq
+        )
+        SELECT lang,
+               CAST(sum(n) AS BIGINT) AS n_bytes,
+               CAST(count(*) AS BIGINT) AS n_distinct_bytes,
+               ln(CAST(sum(n) AS DOUBLE))
+               - CAST(sum(nlogn_micro) AS DOUBLE) / 1000000.0 / sum(n)
+                   AS entropy_nats
+        FROM quant GROUP BY lang ORDER BY lang
+    """,
+    description="Byte-level entropy of the binary payload per "
+    "language: payload bytes surface as hex pairs (the "
+    "engine-portable byte iterator — no BLOB indexing needed), "
+    "frequencies reduce exactly, each n*ln(n) quantizes to "
+    "micro-nat units before the exact sum, and H = ln(N) - "
+    "sum(n ln n)/N evaluates once — the compressibility / "
+    "corruption fingerprint for opaque media columns (encrypted or "
+    "compressed payloads sit near ln 256 ~ 5.55 nats; text-like "
+    "payloads far below — a shift flags pipeline corruption "
+    "without decoding anything). Tokenize-free: cost is one "
+    "hex-explode pass reduced to <=256 rows per language.",
+)
+def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hx = load(spark, sf_dir, "documents").select(
+        "lang", F.hex(F.col("text").cast("binary")).alias("h")
+    )
+    pairs = hx.select(
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.expr("length(h) div 2").cast("int")),
+                lambda i: F.substring(F.col("h"), (i * 2 - 1).cast("int"), 2),
+            )
+        ).alias("byte_hex"),
+    )
+    freq = pairs.groupBy("lang", "byte_hex").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    quant = freq.select(
+        "lang",
+        "n",
+        F.floor(
+            F.col("n") * F.log(F.col("n").cast("double")) * 1000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("nlogn_micro"),
+    )
+    return (
+        quant.groupBy("lang")
+        .agg(
+            F.sum("n").cast("long").alias("n_bytes"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_bytes"),
+            (
+                F.log(F.sum("n").cast("double"))
+                - F.sum("nlogn_micro").cast("double")
+                / F.lit(1000000.0)
+                / F.sum("n")
+            ).alias("entropy_nats"),
+        )
+        .orderBy("lang")
+    )
