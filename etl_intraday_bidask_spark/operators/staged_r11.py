@@ -2894,3 +2894,473 @@ def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@staged11(
+    "ts_peak_prominence_daily",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY d
+        ), ctx AS (
+            SELECT d, y,
+                   max(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 1 PRECEDING) AS max_l,
+                   max(y) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                       AND 3 FOLLOWING) AS max_r,
+                   min(y) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 1 PRECEDING) AS min_l,
+                   min(y) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                       AND 3 FOLLOWING) AS min_r,
+                   CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                       AND 1 PRECEDING) AS BIGINT) AS n_l,
+                   CAST(count(*) OVER (ORDER BY d ROWS BETWEEN 1 FOLLOWING
+                       AND 3 FOLLOWING) AS BIGINT) AS n_r
+            FROM daily
+        )
+        SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_us,
+               y,
+               CAST(y - greatest(min_l, min_r) AS BIGINT) AS prominence
+        FROM ctx
+        WHERE n_l = 3 AND n_r = 3 AND y > max_l AND y > max_r
+        ORDER BY day_us
+    """,
+    description="Local peak detection with windowed prominence on "
+    "the daily traffic series: a day is a peak when it strictly "
+    "exceeds every count in the 3 days on each side (interior days "
+    "only — boundary windows are excluded by the exact frame-size "
+    "count, not by assumption), and its prominence is the rise over "
+    "the higher of the two flanking valley minima — all integer "
+    "comparisons, no float threshold. The capacity-planning / "
+    "incident-review view that separates one-day spikes from "
+    "plateau edges; bounded +-3-row frames keep every window "
+    "O(1) per row at any series length.",
+)
+def ts_peak_prominence_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wl = Window.orderBy("d").rowsBetween(-3, -1)
+    wr = Window.orderBy("d").rowsBetween(1, 3)
+    ctx = daily.select(
+        "d",
+        "y",
+        F.max("y").over(wl).alias("max_l"),
+        F.max("y").over(wr).alias("max_r"),
+        F.min("y").over(wl).alias("min_l"),
+        F.min("y").over(wr).alias("min_r"),
+        F.count(F.lit(1)).over(wl).cast("long").alias("n_l"),
+        F.count(F.lit(1)).over(wr).cast("long").alias("n_r"),
+    )
+    return (
+        ctx.where(
+            (F.col("n_l") == 3)
+            & (F.col("n_r") == 3)
+            & (F.col("y") > F.col("max_l"))
+            & (F.col("y") > F.col("max_r"))
+        )
+        .select(
+            F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+            "y",
+            (F.col("y") - F.greatest("min_l", "min_r"))
+            .cast("long")
+            .alias("prominence"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged11(
+    "ts_runs_test_exact",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY d
+        ), tot AS (
+            SELECT d, y,
+                   CAST(count(*) OVER () AS BIGINT) AS n,
+                   CAST(sum(y) OVER () AS BIGINT) AS t
+            FROM daily
+        ), signs AS (
+            SELECT d, CASE WHEN y * n > t THEN 1 ELSE 0 END AS above
+            FROM tot
+        ), flips AS (
+            SELECT above,
+                   CASE WHEN lag(above) OVER (ORDER BY d) IS NULL
+                          OR lag(above) OVER (ORDER BY d) <> above
+                        THEN 1 ELSE 0 END AS new_run
+            FROM signs
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(above) AS BIGINT) AS n_above,
+               CAST(count(*) - sum(above) AS BIGINT) AS n_below,
+               CAST(sum(new_run) AS BIGINT) AS n_runs,
+               1.0 + 2.0 * CAST(sum(above) AS DOUBLE)
+                   * (count(*) - sum(above)) / count(*)
+                   AS expected_runs
+        FROM flips
+    """,
+    description="Wald-Wolfowitz runs test (exact counts) on the "
+    "daily traffic series: days sign as above/below the exact mean "
+    "via the integer cross-product y*n > total (no float mean is "
+    "ever compared), runs count via lag flips, and the expected run "
+    "count 1 + 2ab/n evaluates once from integers — the randomness "
+    "check that catches residual autocorrelation and regime "
+    "stickiness (far fewer runs than expected = trending series; "
+    "far more = oscillation) before anyone trusts an i.i.d. "
+    "assumption downstream. One day-grain window pass.",
+)
+def ts_runs_test_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    wall = Window.partitionBy()
+    tot = daily.select(
+        "d",
+        "y",
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        F.sum("y").over(wall).cast("long").alias("t"),
+    )
+    signs = tot.select(
+        "d",
+        F.when(F.col("y") * F.col("n") > F.col("t"), 1)
+        .otherwise(0)
+        .alias("above"),
+    )
+    prev = F.lag("above").over(Window.orderBy("d"))
+    flips = signs.select(
+        "above",
+        F.when(prev.isNull() | (prev != F.col("above")), 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    return flips.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("above").cast("long").alias("n_above"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n_below"),
+        F.sum("new_run").cast("long").alias("n_runs"),
+        (
+            F.lit(1.0)
+            + F.lit(2.0)
+            * F.sum("above").cast("double")
+            * (F.count(F.lit(1)) - F.sum("above"))
+            / F.count(F.lit(1))
+        ).alias("expected_runs"),
+    )
+
+
+@staged11(
+    "ts_theil_sen_slope_daily",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY d
+        ), idx AS (
+            SELECT CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i,
+                   y
+            FROM daily
+        ), slopes AS (
+            SELECT a.i AS i, b.i AS j,
+                   CAST(b.y - a.y AS DOUBLE) / (b.i - a.i) AS s
+            FROM idx a JOIN idx b ON b.i > a.i
+        ), ranked AS (
+            SELECT s,
+                   CAST(row_number() OVER (ORDER BY s, i, j) AS BIGINT)
+                       AS rk,
+                   CAST(count(*) OVER () AS BIGINT) AS m
+            FROM slopes
+        )
+        SELECT CAST(max(m) AS BIGINT) AS n_pairs,
+               sum(CASE WHEN rk = (m + 1) // 2 OR rk = m // 2 + 1
+                        THEN s ELSE 0 END) / 2.0 AS theil_sen_slope
+        FROM ranked
+    """,
+    description="Theil-Sen robust trend slope of the daily series: "
+    "the median of all pairwise slopes (y_j - y_i)/(j - i) — the "
+    "estimator that shrugs off the outlier days that wreck OLS "
+    "(29% breakdown point). Each slope is ONE identical IEEE "
+    "division of integers; the median picks the two middle ranks "
+    "((m+1) div 2 and m div 2 + 1, averaging them handles odd and "
+    "even m in one expression) under a fully tie-broken ordering. "
+    "Deliberately day-grain: the O(n^2) pair join is bounded by the "
+    "spine length (~30 rows -> 435 pairs), never by event volume — "
+    "the documented contract for running it at 100 TB is 'aggregate "
+    "to the spine first', same as every spine op in this engine.",
+)
+def ts_theil_sen_slope_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("d")).cast("long").alias("i"),
+        "y",
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("y").alias("yb"))
+    slopes = idx.join(b, F.col("j") > F.col("i")).select(
+        "i",
+        "j",
+        ((F.col("yb") - F.col("y")).cast("double") / (F.col("j") - F.col("i"))).alias(
+            "s"
+        ),
+    )
+    ranked = slopes.select(
+        "s",
+        F.row_number()
+        .over(Window.orderBy("s", "i", "j"))
+        .cast("long")
+        .alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    mid = F.when(
+        (F.col("rk") == F.expr("(m + 1) div 2"))
+        | (F.col("rk") == F.expr("m div 2 + 1")),
+        F.col("s"),
+    ).otherwise(0.0)
+    return ranked.agg(
+        F.max("m").cast("long").alias("n_pairs"),
+        (F.sum(mid) / F.lit(2.0)).alias("theil_sen_slope"),
+    )
+
+
+@staged11(
+    "ts_median3_smoother",
+    oracle_sql="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY d
+        ), ctx AS (
+            SELECT d, y,
+                   lag(y) OVER (ORDER BY d) AS a,
+                   lead(y) OVER (ORDER BY d) AS c
+            FROM daily
+        )
+        SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_us,
+               y,
+               CAST(greatest(least(a, y), least(greatest(a, y), c))
+                    AS BIGINT) AS smoothed,
+               CAST(abs(y - greatest(least(a, y),
+                                     least(greatest(a, y), c)))
+                    AS BIGINT) AS abs_residual
+        FROM ctx WHERE a IS NOT NULL AND c IS NOT NULL
+        ORDER BY day_us
+    """,
+    description="Tukey median-of-3 smoother over the daily series: "
+    "each interior day replaced by the median of itself and its two "
+    "neighbors via the branch-free max(min(a,b), min(max(a,b), c)) "
+    "identity — pure integer comparisons, and the residual |y - "
+    "smoothed| isolates single-day impulses EXACTLY (a lone spike's "
+    "residual is its full height; trend and plateau days have "
+    "residual zero), which is why median-prefilters precede "
+    "changepoint and anomaly passes. Two lag/lead windows, "
+    "boundary rows excluded explicitly.",
+)
+def ts_median3_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.orderBy("d")
+    ctx = daily.select(
+        "d",
+        "y",
+        F.lag("y").over(w).alias("a"),
+        F.lead("y").over(w).alias("c"),
+    )
+    med = F.greatest(
+        F.least("a", "y"), F.least(F.greatest("a", "y"), F.col("c"))
+    )
+    return (
+        ctx.where(F.col("a").isNotNull() & F.col("c").isNotNull())
+        .select(
+            F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+            "y",
+            med.cast("long").alias("smoothed"),
+            F.abs(F.col("y") - med).cast("long").alias("abs_residual"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@staged11(
+    "bidask_impact_decay_profile",
+    oracle_sql="""
+        WITH px AS (
+            SELECT user_id, ts, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS pc
+            FROM events WHERE event_type = 'purchase'
+        ), seq AS (
+            SELECT pc,
+                   pc - lag(pc) OVER w AS dprev,
+                   lead(pc, 1) OVER w AS p1,
+                   lead(pc, 2) OVER w AS p2,
+                   lead(pc, 3) OVER w AS p3
+            FROM px
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), signed AS (
+            SELECT CASE WHEN dprev > 0 THEN 1
+                        WHEN dprev < 0 THEN -1 ELSE 0 END AS s,
+                   p1 - pc AS d1, p2 - pc AS d2, p3 - pc AS d3
+            FROM seq WHERE dprev IS NOT NULL AND dprev <> 0
+        )
+        SELECT CAST(h.h AS BIGINT) AS horizon,
+               CAST(count(CASE h.h WHEN 1 THEN d1 WHEN 2 THEN d2
+                          ELSE d3 END) AS BIGINT) AS n_trades,
+               CAST(sum(s * (CASE h.h WHEN 1 THEN d1 WHEN 2 THEN d2
+                             ELSE d3 END)) AS BIGINT)
+                   AS signed_drift_cents,
+               CAST(sum(s * (CASE h.h WHEN 1 THEN d1 WHEN 2 THEN d2
+                             ELSE d3 END)) * 1000
+                    // nullif(count(CASE h.h WHEN 1 THEN d1
+                              WHEN 2 THEN d2 ELSE d3 END), 0) AS BIGINT)
+                   AS mean_drift_millicents
+        FROM signed CROSS JOIN (VALUES (1), (2), (3)) AS h(h)
+        GROUP BY h.h ORDER BY horizon
+    """,
+    description="Price-impact decay profile: tick-rule-signed trades "
+    "(sign of the previous price change; zero-ticks excluded) are "
+    "followed 1, 2, and 3 trades ahead within the same stream, and "
+    "the signed forward drift s*(p_{t+h} - p_t) aggregates exactly "
+    "per horizon (cents; floor-millicent mean) — the transient-vs-"
+    "permanent impact decomposition (Kyle lambda gives impact AT the "
+    "trade; this measures how much of it reverts, the "
+    "market-microstructure mean-reversion signature). One "
+    "user-partitioned window pass with three leads; all arithmetic "
+    "integer until the final floor division.",
+)
+def bidask_impact_decay_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    px = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", "ts", "event_id", scaled_long("value", 100).alias("pc")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = px.select(
+        "pc",
+        (F.col("pc") - F.lag("pc").over(w)).alias("dprev"),
+        F.lead("pc", 1).over(w).alias("p1"),
+        F.lead("pc", 2).over(w).alias("p2"),
+        F.lead("pc", 3).over(w).alias("p3"),
+    )
+    signed = seq.where(
+        F.col("dprev").isNotNull() & (F.col("dprev") != 0)
+    ).select(
+        F.when(F.col("dprev") > 0, 1).otherwise(-1).alias("s"),
+        (F.col("p1") - F.col("pc")).alias("d1"),
+        (F.col("p2") - F.col("pc")).alias("d2"),
+        (F.col("p3") - F.col("pc")).alias("d3"),
+    )
+    horizons = spark.range(1, 4).select(F.col("id").cast("int").alias("h"))
+    d = (
+        F.when(F.col("h") == 1, F.col("d1"))
+        .when(F.col("h") == 2, F.col("d2"))
+        .otherwise(F.col("d3"))
+    )
+    return (
+        signed.crossJoin(F.broadcast(horizons))
+        .select("s", "h", d.alias("d"))
+        .groupBy(F.col("h").cast("long").alias("horizon"))
+        .agg(
+            F.count("d").cast("long").alias("n_trades"),
+            F.sum(F.col("s") * F.col("d")).cast("long").alias(
+                "signed_drift_cents"
+            ),
+            F.expr("sum(s * d) * 1000 div nullif(count(d), 0)")
+            .cast("long")
+            .alias("mean_drift_millicents"),
+        )
+        .orderBy("horizon")
+    )
+
+
+@staged11(
+    "bidask_anchored_vwap_monthly",
+    oracle_sql="""
+        WITH px AS (
+            SELECT ts, event_id,
+                   date_trunc('month', ts) AS m,
+                   CAST(ts AS DATE) AS d,
+                   CAST(round(value * 100) AS BIGINT) AS pc
+            FROM events WHERE event_type = 'purchase'
+        ), cum AS (
+            SELECT d,
+                   CAST(sum(pc) OVER w AS BIGINT) AS cum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS cum_n,
+                   row_number() OVER (PARTITION BY d
+                       ORDER BY ts DESC, event_id DESC) AS rk
+            FROM px
+            WINDOW w AS (PARTITION BY m ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(epoch_us(CAST(d AS TIMESTAMP)) AS BIGINT) AS day_us,
+               cum_n AS trades_mtd,
+               CAST(cum_cents // cum_n AS BIGINT)
+                   AS anchored_vwap_cents
+        FROM cum WHERE rk = 1 ORDER BY day_us
+    """,
+    description="Month-anchored VWAP at each day's close: the "
+    "running trade-value average since month start (unit-size "
+    "trades -> running mean price in exact cents, floor division "
+    "deferred to the report row), sampled at the last trade of "
+    "each day (full (ts, event_id) DESC tie-break) — the "
+    "execution-quality benchmark ('am I buying above or below the "
+    "month's average so far?') that resets at the anchor instead "
+    "of sliding. The cumulative window partitions by MONTH, so "
+    "months process in parallel and state never crosses the "
+    "anchor boundary — the anchored form is cheaper than the "
+    "sliding form at scale, not dearer.",
+)
+def bidask_anchored_vwap_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    px = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "ts",
+            "event_id",
+            F.date_trunc("month", "ts").alias("m"),
+            F.col("ts").cast("date").alias("d"),
+            scaled_long("value", 100).alias("pc"),
+        )
+    )
+    wc = (
+        Window.partitionBy("m")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = px.select(
+        "d",
+        F.sum("pc").over(wc).cast("long").alias("cum_cents"),
+        F.count(F.lit(1)).over(wc).cast("long").alias("cum_n"),
+        F.row_number()
+        .over(
+            Window.partitionBy("d").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+        )
+        .alias("rk"),
+    )
+    return (
+        cum.where(F.col("rk") == 1)
+        .select(
+            F.unix_micros(F.col("d").cast("timestamp")).alias("day_us"),
+            F.col("cum_n").alias("trades_mtd"),
+            F.expr("cum_cents div cum_n").cast("long").alias(
+                "anchored_vwap_cents"
+            ),
+        )
+        .orderBy("day_us")
+    )
