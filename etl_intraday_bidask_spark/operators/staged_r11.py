@@ -1,11 +1,23 @@
-"""STAGED round-11 operators (wave G seeds) — implemented and
-parity-tested, NOT registered, NOT part of the wave B-F windows
-(rounds 6-10). Same staging contract as staged_r6..r10: own
-``STAGED_R11`` dict + leak guard (tests/test_staged_r11.py).
+"""STAGED round-11 operators (wave G, 50 ops) — implemented and
+parity-tested at sf0.001/0.01/0.1, NOT registered, NOT part of the
+wave B-F windows (rounds 6-10). Same staging contract as
+staged_r6..r10: own ``STAGED_R11`` dict + leak guard
+(tests/test_staged_r11.py).
 
-Seed themes: behavioral segment migration, cross-split language-model
-evaluation, recursive changepoint segmentation — continuations of the
-RFM, bigram-LM, and binseg families with the next level of structure.
+Themes: SQL-surface semantics (VALUES dims, NOT-IN null traps,
+full-outer reconciliation), exact nonparametric statistics
+(Mann-Whitney U, runs test, Theil-Sen, Cohen's kappa, mutual
+information, trimmed/geometric means), BI/finance calendars (4-4-5
+fiscal, NRR, Laspeyres, backlog sweep-line, quarter-end
+concentration), engagement analytics (DAU/WAU stickiness, bounce
+rate, interval-union coverage, timeout sensitivity), corpus/text
+observability (hapax, JSD, vocab coverage, Fano burstiness, CDC
+chunking), embedding/ANN audits (k-center init, SimHash bit balance,
+norm-bound pruning), multimodal metadata (aspect buckets, byte
+entropy), microstructure (impact decay, anchored VWAP), and
+ETL/optimizer plumbing (surrogate-key stability, backfill plan,
+selectivity census) — continuations of the registered families with
+the next level of structure.
 """
 
 from __future__ import annotations
@@ -922,7 +934,6 @@ def dq_functional_dependency_audit(
             SELECT m_open AS m, 1 AS delta FROM span
             UNION ALL
             SELECT m_close AS m, -1 AS delta FROM span
-            WHERE m_close > m_open
         ), monthly AS (
             SELECT m, CAST(sum(delta) AS BIGINT) AS d
             FROM deltas GROUP BY m
@@ -954,12 +965,15 @@ def orders_backlog_timeseries(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.date_trunc("month", F.max("l_shipdate")).alias("m_close"))
     )
+    # -1 lands in the completion month UNCONDITIONALLY: a same-month
+    # completion must cancel its own +1 inside the month bucket (an
+    # earlier draft filtered m_close > m_open, which left every
+    # same-month order inflating the backlog forever — caught by the
+    # ends-at-zero cross-assert, tests/test_staged_cross_assert.py).
     deltas = span.select(
         F.col("m_open").alias("m"), F.lit(1).alias("delta")
     ).unionAll(
-        span.where(F.col("m_close") > F.col("m_open")).select(
-            F.col("m_close").alias("m"), F.lit(-1).alias("delta")
-        )
+        span.select(F.col("m_close").alias("m"), F.lit(-1).alias("delta"))
     )
     monthly = deltas.groupBy("m").agg(
         F.sum("delta").cast("long").alias("d")
@@ -2033,10 +2047,10 @@ def corpus_js_divergence_sources(
     b = totals.select(
         F.col("source").alias("s2"), F.col("n").alias("n2")
     )
-    pairs = a.join(b, F.col("s1") < F.col("s2"))
+    pairs = a.join(F.broadcast(b), F.col("s1") < F.col("s2"))
     pair_terms = (
-        pairs.join(
-            counts,
+        counts.join(
+            F.broadcast(pairs),
             (counts.source == F.col("s1"))
             | (counts.source == F.col("s2")),
         )
@@ -3104,7 +3118,7 @@ def ts_theil_sen_slope_daily(
         "y",
     )
     b = idx.select(F.col("i").alias("j"), F.col("y").alias("yb"))
-    slopes = idx.join(b, F.col("j") > F.col("i")).select(
+    slopes = idx.join(F.broadcast(b), F.col("j") > F.col("i")).select(
         "i",
         "j",
         ((F.col("yb") - F.col("y")).cast("double") / (F.col("j") - F.col("i"))).alias(
@@ -3363,4 +3377,705 @@ def bidask_anchored_vwap_monthly(
             ),
         )
         .orderBy("day_us")
+    )
+
+
+@staged11(
+    "eval_cohens_kappa_rules",
+    oracle_sql="""
+        WITH labeled AS (
+            SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END
+                       AS a,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS b
+            FROM orders
+        ), counts AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(a * b) AS BIGINT) AS n11,
+                   CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00,
+                   CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+                   CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+                   CAST(sum(a) AS BIGINT) AS a1,
+                   CAST(sum(b) AS BIGINT) AS b1
+            FROM labeled
+        )
+        SELECT n, n11, n00, n10, n01,
+               CAST((n11 + n00) * n - (a1 * b1 + (n - a1) * (n - b1))
+                    AS DOUBLE)
+               / (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+                   AS cohens_kappa
+        FROM counts
+    """,
+    description="Cohen's kappa between two deterministic labeling "
+    "rules (high-value: totalprice > 150k; expedited: priority "
+    "URGENT/HIGH): chance-corrected agreement computed as ONE "
+    "integer ratio — ((n11+n00)*n - chance) / (n^2 - chance) with "
+    "chance = a1*b1 + a0*b0 — so the only float op is the final "
+    "division (the po/pe intermediate floats never exist). The "
+    "inter-annotator / rule-agreement metric labeling pipelines "
+    "gate on (kappa ~ 0 here is the expected null: price and "
+    "priority are independent in the fixture, which the grade "
+    "pins). One map-combined agg.",
+)
+def eval_cohens_kappa_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = load(spark, sf_dir, "orders").select(
+        F.when(F.col("o_totalprice") > 150000, 1).otherwise(0).alias("a"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("b"),
+    )
+    counts = labeled.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n11"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b")))
+        .cast("long")
+        .alias("n00"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("long").alias("n01"),
+        F.sum("a").cast("long").alias("a1"),
+        F.sum("b").cast("long").alias("b1"),
+    )
+    chance = F.col("a1") * F.col("b1") + (F.col("n") - F.col("a1")) * (
+        F.col("n") - F.col("b1")
+    )
+    return counts.select(
+        "n",
+        "n11",
+        "n00",
+        "n10",
+        "n01",
+        (
+            ((F.col("n11") + F.col("n00")) * F.col("n") - chance).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("n") - chance)
+        ).alias("cohens_kappa"),
+    )
+
+
+@staged11(
+    "eval_topk_overlap_champion",
+    oracle_sql="""
+        WITH spend AS (
+            SELECT o_custkey AS k,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY k
+        ), champ AS (
+            SELECT k FROM (
+                SELECT k, row_number() OVER (ORDER BY cents DESC, k)
+                       AS rk FROM spend) WHERE rk <= 100
+        ), chall AS (
+            SELECT k FROM (
+                SELECT k, row_number() OVER (ORDER BY n_orders DESC, k)
+                       AS rk FROM spend) WHERE rk <= 100
+        )
+        SELECT CAST(100 AS BIGINT) AS k,
+               CAST((SELECT count(*) FROM champ JOIN chall
+                     ON champ.k = chall.k) AS BIGINT) AS n_overlap,
+               CAST((SELECT count(*) FROM champ JOIN chall
+                     ON champ.k = chall.k) * 10000
+                    // (200 - (SELECT count(*) FROM champ JOIN chall
+                               ON champ.k = chall.k)) AS BIGINT)
+                   AS jaccard_bp
+    """,
+    description="Champion-challenger top-k overlap: the top-100 "
+    "customers by revenue (champion ranking) vs by order count "
+    "(challenger), overlap and Jaccard in exact floor basis points "
+    "— the cheap pre-deployment diff that tells how much a ranking "
+    "change would reshuffle the sets downstream consumers actually "
+    "see (score-level metrics like AUC deltas can look tiny while "
+    "the top-k set churns; this measures the churn itself). Both "
+    "rankings come from ONE customer-grain aggregate; two rank "
+    "windows + a key join on 100-row sets.",
+)
+def eval_topk_overlap_champion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(
+            F.sum(scaled_long("o_totalprice", 100)).alias("cents"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+    )
+    champ = (
+        spend.select(
+            "k",
+            F.row_number()
+            .over(Window.orderBy(F.col("cents").desc(), "k"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 100)
+        .select("k")
+    )
+    chall = (
+        spend.select(
+            "k",
+            F.row_number()
+            .over(Window.orderBy(F.col("n_orders").desc(), "k"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 100)
+        .select(F.col("k").alias("ck"))
+    )
+    overlap = champ.join(chall, champ.k == F.col("ck")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_overlap")
+    )
+    return overlap.select(
+        F.lit(100).cast("long").alias("k"),
+        "n_overlap",
+        F.expr("n_overlap * 10000 div (200 - n_overlap)")
+        .cast("long")
+        .alias("jaccard_bp"),
+    )
+
+
+@staged11(
+    "etl_partition_backfill_plan",
+    oracle_sql="""
+        WITH pm AS (
+            SELECT date_trunc('month', l_shipdate) AS m,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY m
+        ), med AS (
+            SELECT n_rows AS median_rows FROM (
+                SELECT n_rows,
+                       row_number() OVER (ORDER BY n_rows, m) AS rk,
+                       count(*) OVER () AS c
+                FROM pm) WHERE rk = (c + 1) // 2
+        )
+        SELECT CAST(epoch_us(m) AS BIGINT) AS month_us,
+               n_rows,
+               CAST(median_rows AS BIGINT) AS median_rows,
+               CAST(n_rows * 10000 // median_rows AS BIGINT)
+                   AS fill_ratio_bp
+        FROM pm CROSS JOIN med
+        WHERE n_rows * 2 < median_rows
+        ORDER BY month_us
+    """,
+    description="Partition backfill plan: ship-month partitions "
+    "whose row count falls below half the median month are flagged "
+    "with their fill ratio in exact floor basis points — the "
+    "short-partition report an incremental loader publishes before "
+    "scheduling backfills (the fixture's first and last ship months "
+    "are structurally partial, so the plan is non-vacuous by "
+    "construction — the same boundary effect a real lake shows at "
+    "its retention edges). Partition-grain stats only; the exact "
+    "median comes from a rank pick over ~80 month rows, never a "
+    "fact-table sort.",
+)
+def etl_partition_backfill_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pm = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("m"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    med = (
+        pm.select(
+            "n_rows",
+            F.row_number().over(Window.orderBy("n_rows", "m")).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("c"),
+        )
+        .where(F.col("rk") == F.expr("(c + 1) div 2"))
+        .select(F.col("n_rows").alias("median_rows"))
+    )
+    return (
+        pm.crossJoin(F.broadcast(med))
+        .where(F.col("n_rows") * 2 < F.col("median_rows"))
+        .select(
+            F.unix_micros("m").alias("month_us"),
+            "n_rows",
+            F.col("median_rows").cast("long").alias("median_rows"),
+            F.expr("n_rows * 10000 div median_rows")
+            .cast("long")
+            .alias("fill_ratio_bp"),
+        )
+        .orderBy("month_us")
+    )
+
+
+@staged11(
+    "etl_surrogate_key_stable",
+    oracle_sql="""
+        WITH full_combos AS (
+            SELECT DISTINCT p_brand, p_type FROM part
+        ), full_keys AS (
+            SELECT p_brand, p_type,
+                   CAST(row_number() OVER (ORDER BY p_brand, p_type)
+                        AS BIGINT) AS sk
+            FROM full_combos
+        ), half AS (
+            SELECT DISTINCT p_brand, p_type FROM part
+            WHERE p_partkey * 2 <= (SELECT max(p_partkey) FROM part)
+        ), half_keys AS (
+            SELECT p_brand, p_type,
+                   CAST(row_number() OVER (ORDER BY p_brand, p_type)
+                        AS BIGINT) AS sk
+            FROM half
+        )
+        SELECT
+            CAST((SELECT count(*) FROM full_keys) AS BIGINT)
+                AS n_combos_full,
+            CAST((SELECT count(*) FROM half_keys) AS BIGINT)
+                AS n_combos_half,
+            CAST((SELECT count(*) FROM full_keys f
+                  JOIN half_keys h ON f.p_brand = h.p_brand
+                  AND f.p_type = h.p_type
+                  WHERE f.sk <> h.sk) AS BIGINT) AS n_shifted,
+            CAST((SELECT count(*) FROM full_keys f
+                  JOIN half_keys h ON f.p_brand = h.p_brand
+                  AND f.p_type = h.p_type
+                  WHERE f.sk <> h.sk) * 10000
+                 // nullif((SELECT count(*) FROM half_keys), 0)
+                 AS BIGINT) AS shifted_bp
+    """,
+    description="Surrogate-key stability audit: dense keys assigned "
+    "by ordered row_number over the (brand, type) natural key, "
+    "computed on the full dim AND on the half-sized 'day 1' subset "
+    "— combos whose key CHANGED between loads are counted, "
+    "quantifying exactly why rank-derived surrogate keys are "
+    "load-order-unstable (new combos landing mid-order shift every "
+    "later key) and why production dims use hash keys or "
+    "monotonic-append allocation instead. The audit shape itself "
+    "is the deliverable: run per load, alert on n_shifted > 0. "
+    "Dim-grain windows only.",
+)
+def etl_surrogate_key_stable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    full_keys = (
+        part.select("p_brand", "p_type")
+        .distinct()
+        .select(
+            "p_brand",
+            "p_type",
+            F.row_number()
+            .over(Window.orderBy("p_brand", "p_type"))
+            .cast("long")
+            .alias("sk"),
+        )
+    )
+    maxk = part.agg(F.max("p_partkey").alias("mk"))
+    half_keys = (
+        part.crossJoin(F.broadcast(maxk))
+        .where(F.col("p_partkey") * 2 <= F.col("mk"))
+        .select("p_brand", "p_type")
+        .distinct()
+        .select(
+            F.col("p_brand").alias("hb"),
+            F.col("p_type").alias("ht"),
+            F.row_number()
+            .over(Window.orderBy("p_brand", "p_type"))
+            .cast("long")
+            .alias("hsk"),
+        )
+    )
+    joined = full_keys.join(
+        half_keys,
+        (full_keys.p_brand == half_keys.hb)
+        & (full_keys.p_type == half_keys.ht),
+    )
+    n_full = full_keys.agg(
+        F.count(F.lit(1)).cast("long").alias("n_combos_full")
+    )
+    stats = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_combos_half"),
+        F.sum(F.when(F.col("sk") != F.col("hsk"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_shifted"),
+    )
+    return (
+        n_full.crossJoin(F.broadcast(stats))
+        .select(
+            "n_combos_full",
+            "n_combos_half",
+            "n_shifted",
+            F.expr("n_shifted * 10000 div nullif(n_combos_half, 0)")
+            .cast("long")
+            .alias("shifted_bp"),
+        )
+    )
+
+
+@staged11(
+    "scan_selectivity_census",
+    oracle_sql="""
+        WITH stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN l_shipdate >=
+                            TIMESTAMP '1995-01-01 00:00:00'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+                   CAST(sum(CASE WHEN l_discount > 0.05
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+                   CAST(sum(CASE WHEN l_quantity >= 25
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+                   CAST(sum(CASE WHEN l_returnflag = 'R'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+                   CAST(sum(CASE WHEN l_shipdate >=
+                            TIMESTAMP '1995-01-01 00:00:00'
+                            AND l_discount > 0.05
+                            THEN 1 ELSE 0 END) AS BIGINT) AS p12
+            FROM lineitem
+        )
+        SELECT t.predicate, t.n_match,
+               CAST(t.n_match * 10000 // s.n AS BIGINT)
+                   AS selectivity_bp
+        FROM stats s CROSS JOIN LATERAL (
+            VALUES ('shipdate_ge_1995', s.p1),
+                   ('discount_gt_5pct', s.p2),
+                   ('quantity_ge_25', s.p3),
+                   ('returnflag_R', s.p4),
+                   ('shipdate_AND_discount', s.p12)
+        ) AS t(predicate, n_match)
+        ORDER BY t.predicate
+    """,
+    description="Predicate selectivity census in ONE scan: observed "
+    "match counts and selectivities (exact floor bp) for four "
+    "representative predicates plus one conjunction — the statistics "
+    "a cost-based optimizer keeps per column, and the correlation "
+    "check (compare the conjunction's observed selectivity with the "
+    "independence product of its factors) that decides whether "
+    "multi-column stats are needed. The census pattern matters at "
+    "100 TB: five filtered counts as conditional sums in one "
+    "map-combined pass, not five scans.",
+)
+def scan_selectivity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    ship = F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp")
+    disc = F.col("l_discount") > 0.05
+    stats = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(ship, 1).otherwise(0)).cast("long").alias("p1"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("p2"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0))
+        .cast("long")
+        .alias("p3"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("long")
+        .alias("p4"),
+        F.sum(F.when(ship & disc, 1).otherwise(0))
+        .cast("long")
+        .alias("p12"),
+    )
+    names = F.array(
+        F.lit("shipdate_ge_1995"),
+        F.lit("discount_gt_5pct"),
+        F.lit("quantity_ge_25"),
+        F.lit("returnflag_R"),
+        F.lit("shipdate_AND_discount"),
+    )
+    vals = F.array("p1", "p2", "p3", "p4", "p12")
+    return (
+        stats.select(
+            "n",
+            F.explode(F.arrays_zip(names.alias("predicate"), vals.alias("v")))
+            .alias("z"),
+        )
+        .select(
+            F.col("z.predicate").alias("predicate"),
+            F.col("z.v").cast("long").alias("n_match"),
+            F.expr("z.v * 10000 div n").cast("long").alias("selectivity_bp"),
+        )
+        .orderBy("predicate")
+    )
+
+
+@staged11(
+    "graph_rich_club_topdeg",
+    oracle_sql="""
+        WITH buckets AS (
+            SELECT DISTINCT date_trunc('hour', ts) AS h, user_id
+            FROM events WHERE event_type = 'purchase'
+        ), edges AS (
+            SELECT DISTINCT a.user_id AS u, b.user_id AS v
+            FROM buckets a JOIN buckets b
+              ON a.h = b.h AND a.user_id < b.user_id
+        ), deg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM edges
+                  UNION ALL SELECT v FROM edges)
+            GROUP BY node
+        ), club AS (
+            SELECT node FROM (
+                SELECT node, row_number() OVER (ORDER BY d DESC, node)
+                       AS rk FROM deg) WHERE rk <= 20
+        ), club_edges AS (
+            SELECT count(*) AS ce FROM edges e
+            JOIN club c1 ON e.u = c1.node
+            JOIN club c2 ON e.v = c2.node
+        )
+        SELECT CAST(20 AS BIGINT) AS club_size,
+               CAST((SELECT count(*) FROM edges) AS BIGINT)
+                   AS n_edges_total,
+               CAST((SELECT ce FROM club_edges) AS BIGINT)
+                   AS n_club_edges,
+               CAST((SELECT ce FROM club_edges) * 10000 // 190
+                    AS BIGINT) AS club_density_bp
+    """,
+    description="Rich-club coefficient of the co-purchase graph: "
+    "edge density among the 20 highest-degree nodes (degree rank, "
+    "node tie-break) in exact floor basis points over the 190 "
+    "possible club pairs — high density means hubs preferentially "
+    "interconnect (the rich-club phenomenon), which operationally "
+    "predicts that hub-keyed joins skew TOGETHER (one salting "
+    "decision covers them) rather than independently. Same "
+    "hour-bucket edge construction as the triangle/clustering "
+    "family; the club join touches a 20-row broadcast.",
+)
+def graph_rich_club_topdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .select(F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    club = (
+        deg.select(
+            "node",
+            F.row_number()
+            .over(Window.orderBy(F.col("d").desc(), "node"))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= 20)
+        .select("node")
+    )
+    c1 = club.select(F.col("node").alias("cu"))
+    c2 = club.select(F.col("node").alias("cv"))
+    club_edges = (
+        edges.join(F.broadcast(c1), edges.u == F.col("cu"))
+        .join(F.broadcast(c2), edges.v == F.col("cv"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_club_edges"))
+    )
+    totals = edges.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges_total")
+    )
+    return (
+        totals.crossJoin(F.broadcast(club_edges))
+        .select(
+            F.lit(20).cast("long").alias("club_size"),
+            "n_edges_total",
+            "n_club_edges",
+            F.expr("n_club_edges * 10000 div 190")
+            .cast("long")
+            .alias("club_density_bp"),
+        )
+    )
+
+
+@staged11(
+    "win_rolling_percentile_rank",
+    oracle_sql="""
+        WITH monthly AS (
+            SELECT date_trunc('month', o_orderdate) AS m,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY m
+        ), idx AS (
+            SELECT m, cents,
+                   CAST(row_number() OVER (ORDER BY m) AS BIGINT) AS i
+            FROM monthly
+        )
+        SELECT CAST(epoch_us(a.m) AS BIGINT) AS month_us,
+               a.cents,
+               CAST(sum(CASE WHEN b.cents <= a.cents THEN 1 ELSE 0 END)
+                    * 10000 // 12 AS BIGINT) AS pct_rank_bp
+        FROM idx a JOIN idx b ON b.i BETWEEN a.i - 11 AND a.i
+        WHERE a.i >= 12
+        GROUP BY a.m, a.cents
+        ORDER BY month_us
+    """,
+    description="Rolling percentile rank: each month's revenue "
+    "ranked against its trailing 12-month window (count of frame "
+    "values <= current, over the fixed 12-row frame, in exact floor "
+    "basis points; months without full history excluded explicitly) "
+    "— the 'is this month high FOR RECENT HISTORY' normalization "
+    "that absolute thresholds and global ranks both miss (a "
+    "declining business can set local highs while falling "
+    "globally). The frame join runs on the ~80-row month spine; at "
+    "any scale the pattern stays spine-sized because the fact "
+    "table reduced first.",
+)
+def win_rolling_percentile_rank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    monthly = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+    )
+    idx = monthly.select(
+        "m",
+        "cents",
+        F.row_number().over(Window.orderBy("m")).cast("long").alias("i"),
+    )
+    b = idx.select(F.col("i").alias("j"), F.col("cents").alias("bc"))
+    return (
+        idx.join(
+            F.broadcast(b),
+            (F.col("j") >= F.col("i") - 11) & (F.col("j") <= F.col("i")),
+        )
+        .where(F.col("i") >= 12)
+        .groupBy("m", "cents")
+        .agg(
+            F.expr(
+                "sum(CASE WHEN bc <= cents THEN 1 ELSE 0 END) * 10000"
+                " div 12"
+            )
+            .cast("long")
+            .alias("pct_rank_bp")
+        )
+        .select(
+            F.unix_micros("m").alias("month_us"), "cents", "pct_rank_bp"
+        )
+        .orderBy("month_us")
+    )
+
+
+@staged11(
+    "parts_substitute_pairs",
+    oracle_sql="""
+        WITH p AS (
+            SELECT p_partkey, p_brand, p_type, p_size,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS pc
+            FROM part
+        )
+        SELECT a.p_type,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(abs(a.pc - b.pc)) AS BIGINT) AS gap_cents_sum,
+               CAST(sum(abs(a.pc - b.pc)) // count(*) AS BIGINT)
+                   AS avg_gap_cents
+        FROM p a JOIN p b
+          ON a.p_type = b.p_type AND a.p_size = b.p_size
+          AND a.p_partkey < b.p_partkey
+          AND a.p_brand <> b.p_brand
+          AND abs(a.pc - b.pc) * 20 <= greatest(a.pc, b.pc)
+        GROUP BY a.p_type
+        ORDER BY a.p_type
+    """,
+    description="Substitute-part pair mining: parts of the same "
+    "(type, size) but different brands whose retail prices sit "
+    "within 5% (the exact integer inequality |pa-pb|*20 <= "
+    "max(pa,pb) — no float percentage), paired under a "
+    "partkey-ordered self-join and reported per type with exact "
+    "average gaps — the interchangeability table sourcing and "
+    "recommendation systems both consume. The join is blocked on "
+    "(type, size) — the canonical blocked similarity-join shape, so "
+    "candidate pairs scale with block size squared, not catalog "
+    "squared, and skewed blocks shuffle independently.",
+)
+def parts_substitute_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        "p_type",
+        "p_size",
+        scaled_long("p_retailprice", 100).alias("pc"),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("bk"),
+        F.col("p_brand").alias("bb"),
+        F.col("p_type").alias("bt"),
+        F.col("p_size").alias("bs"),
+        F.col("pc").alias("bpc"),
+    )
+    pairs = p.join(
+        b,
+        (p.p_type == b.bt)
+        & (p.p_size == b.bs)
+        & (p.p_partkey < b.bk)
+        & (p.p_brand != b.bb)
+        & (
+            F.abs(p.pc - b.bpc) * 20
+            <= F.greatest(p.pc, b.bpc)
+        ),
+    )
+    return (
+        pairs.groupBy("p_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.abs(F.col("pc") - F.col("bpc")))
+            .cast("long")
+            .alias("gap_cents_sum"),
+            F.expr("sum(abs(pc - bpc)) div count(1)")
+            .cast("long")
+            .alias("avg_gap_cents"),
+        )
+        .orderBy("p_type")
+    )
+
+
+@staged11(
+    "lineitem_tax_discount_matrix",
+    oracle_sql="""
+        SELECT CAST(round(l_discount * 100) AS BIGINT) AS discount_pct,
+               CAST(round(l_tax * 100) AS BIGINT) AS tax_pct,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS BIGINT) AS gross_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 1000000) AS BIGINT))
+                    AS BIGINT) AS charge_micro
+        FROM lineitem
+        GROUP BY discount_pct, tax_pct
+        ORDER BY discount_pct, tax_pct
+    """,
+    description="Discount x tax pricing matrix: line counts, gross "
+    "revenue, and the fully-loaded charge "
+    "extendedprice*(1-discount)*(1+tax) — an exact 6-decimal "
+    "rational, accumulated on the 1e-6 integer grid (the same "
+    "charge discipline as the pricing summary, here per pricing "
+    "cell) — the margin-structure view that shows which "
+    "discount/tax combinations carry the book and exposes "
+    "mispriced cells. Cells are bounded (11 discount x 9 tax "
+    "bands), so the matrix is a pure map-combined aggregate at "
+    "any scale.",
+)
+def lineitem_tax_discount_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    charge_micro = F.floor(
+        F.col("l_extendedprice")
+        * (1 - F.col("l_discount"))
+        * (1 + F.col("l_tax"))
+        * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.groupBy(
+            scaled_long("l_discount", 100).alias("discount_pct"),
+            scaled_long("l_tax", 100).alias("tax_pct"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(scaled_long("l_extendedprice", 100))
+            .cast("long")
+            .alias("gross_cents"),
+            F.sum(charge_micro).cast("long").alias("charge_micro"),
+        )
+        .orderBy("discount_pct", "tax_pct")
     )

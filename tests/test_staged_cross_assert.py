@@ -257,3 +257,209 @@ def test_k_anonymity_rows_reconcile(spark):
     ).fetchone()[0]
     con.close()
     assert sum(r["n_rows"] for r in rows) == n
+
+
+# ---- wave G (round 7, operators/staged_r11.py) ---------------------
+
+
+def test_timeout_sensitivity_monotone_and_anchored(spark):
+    """Session counts must be monotone non-increasing in the timeout,
+    and the 30-minute row must equal the independently-computed
+    session count from events_session_bounce_rate (different code
+    path: VALUES fan-out over gap counts vs full sessionization)."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    rows = {
+        r["timeout_min"]: r["n_sessions"]
+        for r in STAGED_R11["sessionize_timeout_sensitivity"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert rows[10] >= rows[30] >= rows[60] > 0
+    bounce = (
+        STAGED_R11["events_session_bounce_rate"]
+        .spark_fn(spark, SF_SMALL)
+        .agg(F.sum("n_sessions"))
+        .collect()[0][0]
+    )
+    assert bounce == rows[30], (
+        f"30m sessionizations disagree: sweep {rows[30]} vs "
+        f"bounce-rate op {bounce}"
+    )
+
+
+def test_trimmed_mean_within_priority_extremes(spark):
+    """The 10% trimmed mean must lie within [min, max] of each
+    priority's order values, and keep 80%(+-rounding) of rows."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    base = (
+        load(spark, SF_SMALL, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    )
+    bounds = {r["o_orderpriority"]: r for r in base}
+    for r in (
+        STAGED_R11["agg_trimmed_mean_exact"].spark_fn(spark, SF_SMALL).collect()
+    ):
+        b = bounds[r["priority"]]
+        assert b["lo"] <= r["trimmed_mean"] <= b["hi"]
+        assert abs(r["n_kept"] - 0.8 * b["n"]) <= 2
+
+
+def test_vocab_coverage_and_hapax_read_same_vocab(spark):
+    """text_vocab_coverage_topk and text_hapax_legomena_ratio reduce
+    the same (lang, type) grain independently; vocab sizes and token
+    totals must agree, and top1000 coverage must dominate top100."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    cov = {
+        r["lang"]: r
+        for r in STAGED_R11["text_vocab_coverage_topk"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    hap = {
+        r["lang"]: r
+        for r in STAGED_R11["text_hapax_legomena_ratio"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert set(cov) == set(hap)
+    for lang in cov:
+        assert cov[lang]["vocab_size"] == hap[lang]["vocab_size"]
+        assert cov[lang]["n_tokens"] == hap[lang]["n_tokens"]
+        assert cov[lang]["top100_bp"] <= cov[lang]["top1000_bp"] <= 10000
+
+
+def test_mann_whitney_u_bounds(spark):
+    """2U is bounded by [0, 2*n_a*n_b] and the centered statistic is
+    consistent with its definition."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    r = (
+        STAGED_R11["agg_mann_whitney_u_exact"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()[0]
+    )
+    assert 0 <= r["u2"] <= 2 * r["n_a"] * r["n_b"]
+    assert r["u2_centered"] == r["u2"] - r["n_a"] * r["n_b"]
+
+
+def test_kappa_bounded_and_cells_reconcile(spark):
+    """Cohen's kappa in [-1, 1]; the 2x2 cells sum to n."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    r = (
+        STAGED_R11["eval_cohens_kappa_rules"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()[0]
+    )
+    assert r["n11"] + r["n00"] + r["n10"] + r["n01"] == r["n"]
+    assert -1.0 <= r["cohens_kappa"] <= 1.0
+
+
+def test_interval_union_bounded_by_naive_sum(spark):
+    """Merged coverage can never exceed 5 minutes per event (the
+    unmerged total) nor fall below 5 minutes per user."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    cov = (
+        STAGED_R11["events_interval_union_coverage"]
+        .spark_fn(spark, SF_SMALL)
+        .agg(F.sum("total_minutes"), F.sum("n_users"))
+        .collect()[0]
+    )
+    ev = load(spark, SF_SMALL, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert cov[1] == n_users
+    assert 5 * n_users <= cov[0] <= 5 * n_events
+
+
+def test_new_vs_repeat_reconciles_with_monthly_revenue(spark):
+    """new_cents + repeat_cents must equal the month's total revenue
+    (computed independently), every month."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+    from etl_intraday_bidask_spark.functions.parity import scaled_long
+
+    op = {
+        r["month_us"]: r["new_cents"] + r["repeat_cents"]
+        for r in STAGED_R11["orders_new_vs_repeat_monthly"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    base = {
+        r["m"]: r["cents"]
+        for r in load(spark, SF_SMALL, "orders")
+        .groupBy(
+            F.unix_micros(F.date_trunc("month", "o_orderdate")).alias("m")
+        )
+        .agg(F.sum(scaled_long("o_totalprice", 100)).alias("cents"))
+        .collect()
+    }
+    assert op == base
+
+
+def test_fiscal_445_conserves_revenue_and_orders(spark):
+    """The 4-4-5 mapping is a partition of all orders: period totals
+    must sum to the global totals, and periods run 1..12."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+    from etl_intraday_bidask_spark.functions.parity import scaled_long
+
+    df = STAGED_R11["orders_fiscal_445_calendar"].spark_fn(spark, SF_SMALL)
+    agg = df.agg(
+        F.sum("n_orders"), F.sum("revenue_cents"), F.min("fiscal_period"),
+        F.max("fiscal_period"),
+    ).collect()[0]
+    base = (
+        load(spark, SF_SMALL, "orders")
+        .agg(
+            F.count(F.lit(1)),
+            F.sum(scaled_long("o_totalprice", 100)),
+        )
+        .collect()[0]
+    )
+    assert agg[0] == base[0] and agg[1] == base[1]
+    assert 1 <= agg[2] and agg[3] <= 12
+
+
+def test_backlog_sweep_ends_at_zero_or_open(spark):
+    """The backlog series never goes negative, and the final value
+    equals the count of orders whose completion month is their order
+    month subtracted out — i.e. 0 when every order eventually ships
+    within the data window (+1/-1 deltas cancel)."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    rows = (
+        STAGED_R11["orders_backlog_timeseries"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert all(r["backlog"] >= 0 for r in rows)
+    assert rows[-1]["backlog"] == 0
+
+
+def test_simhash_balance_and_prune_consistency(spark):
+    """Every SimHash plane covers all vectors; the norm-bound prune
+    report's candidate census matches the embeddings table."""
+    from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+
+    n_vec = load(spark, SF_SMALL, "embeddings").count()
+    bal = (
+        STAGED_R11["embed_simhash_bit_balance"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(bal) == 16
+    assert all(r["n_vectors"] == n_vec for r in bal)
+    prune = (
+        STAGED_R11["knn_norm_bound_prune"].spark_fn(spark, SF_SMALL).collect()[0]
+    )
+    assert prune["n_candidates"] == n_vec - 1
+    assert 0 <= prune["n_prunable"] <= prune["n_candidates"]

@@ -20,11 +20,12 @@ from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
+from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
 
-# Merge waves C, D, E and F into the fuzz-drivable spec pool (separate
-# dicts by design; see staged_r7/8/9/10.py).
+# Merge waves C, D, E, F and G into the fuzz-drivable spec pool
+# (separate dicts by design; see staged_r7/8/9/10/11.py).
 _ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9,
-               **STAGED_R10}
+               **STAGED_R10, **STAGED_R11}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,
@@ -34,6 +35,19 @@ from tests.test_fuzz_parity import (
 from tests.test_parity import normalize
 
 EVENT_STAGED = [
+    # wave-G additions (round 7)
+    "events_stickiness_dau_wau",
+    "events_session_bounce_rate",
+    "events_interval_union_coverage",
+    "sessionize_timeout_sensitivity",
+    "graph_reciprocity_directed",
+    "dq_error_rate_wilson_bound",
+    "ts_runs_test_exact",
+    "ts_median3_smoother",
+    "ts_peak_prominence_daily",
+    "bidask_impact_decay_profile",
+    "bidask_anchored_vwap_monthly",
+    "graph_rich_club_topdeg",
     "join_asof_nearest",
     "cep_transition_matrix",
     "events_active_users_rolling",
@@ -197,6 +211,18 @@ DOC_STAGED = [
     "dedup_lsh_band_sweep",
 ]
 
+# Wave-G doc-driven additions (round 7)
+DOC_STAGED_G = [
+    "text_hapax_legomena_ratio",
+    "text_vocab_coverage_topk",
+    "text_token_length_histogram",
+    "text_cdc_chunk_boundaries",
+    "multimodal_byte_entropy",
+    "multimodal_aspect_bucket_stats",
+    "corpus_js_divergence_sources",
+    "text_term_burstiness_fano",
+]
+
 ORDER_STAGED = [
     "orders_growth_contribution",
     "orders_repurchase_interval",
@@ -243,6 +269,21 @@ ORDER_STAGED = [
     "merge_upsert_scd3",
     "orders_mix_shift_yoy",
     "etl_retention_prune_plan",
+    "orders_new_vs_repeat_monthly",
+    "orders_fiscal_445_calendar",
+    "orders_quarter_end_concentration",
+    "agg_trimmed_mean_exact",
+    "agg_geometric_mean_ln",
+    "agg_mutual_information_priority_status",
+    "eval_cohens_kappa_rules",
+    "sql_values_inline_table",
+    "join_full_outer_reconcile",
+    "subquery_not_in_null_trap",
+    "orders_net_revenue_retention",
+    "win_rolling_percentile_rank",
+    "eval_topk_overlap_champion",
+    "agg_mann_whitney_u_exact",
+    "orders_rfm_migration_matrix",
 ]
 
 # Wave-B lineitem op: the fuzz lineitem's CONSTANT l_tax (zero variance)
@@ -268,6 +309,12 @@ LINEITEM_STAGED = [
     "orders_sla_breach_by_priority",
     "orders_fill_rate",
     "dq_orphan_rate_monthly",
+    "lineitem_tax_discount_matrix",
+    "scan_selectivity_census",
+    "etl_partition_backfill_plan",
+    "orders_backlog_timeseries",
+    "orders_price_index_laspeyres",
+    "parts_supplier_concentration",
 ]
 
 
@@ -348,7 +395,7 @@ def test_staged_doc_ops_fuzzed(spark, tmp_path_factory, rows):
     variant = _stage(
         str(tmp_path_factory.mktemp("sfuzz_doc")), "documents", tbl
     )
-    _assert_staged_parity(spark, variant, DOC_STAGED)
+    _assert_staged_parity(spark, variant, DOC_STAGED + DOC_STAGED_G)
 
 
 @settings(**_SETTINGS)

@@ -184,6 +184,7 @@ import pytest
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
+from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
 
 _PY_MARKERS = (
     "BatchEvalPython",
@@ -205,7 +206,7 @@ _SKIP_PLAN = {
     "sql_set_dedup_semantics",
 }
 
-_WAVE_DE = {**STAGED_R8, **STAGED_R9, **STAGED_R10}
+_WAVE_DE = {**STAGED_R8, **STAGED_R9, **STAGED_R10, **STAGED_R11}
 
 
 @pytest.mark.parametrize(
