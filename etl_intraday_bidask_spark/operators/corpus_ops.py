@@ -150,7 +150,7 @@ def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH comp AS (
             SELECT label,
                    unnest(range(len(embedding))) AS pos,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
                         AS BIGINT) AS xq
             FROM embeddings
         ), per_dim AS (
@@ -185,7 +185,9 @@ def embed_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "label",
         "pos",
-        F.round(F.col("x").cast("double") * 10000).cast("long").alias("xq"),
+        F.floor(F.col("x").cast("double") * 10000 + F.lit(0.5))
+        .cast("long")
+        .alias("xq"),
     )
     per_dim = comp.groupBy("label", "pos").agg(
         F.sum("xq").alias("sq"), F.count(F.lit(1)).alias("n")

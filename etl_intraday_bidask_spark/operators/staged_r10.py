@@ -1885,8 +1885,8 @@ def dq_range_contract_audit(
         WITH exp AS (
             SELECT vec_id,
                    generate_subscripts(embedding, 1) AS dim,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
-                              * 1000000) AS BIGINT) AS xq
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS xq
             FROM embeddings
         ), stats AS (
             SELECT dim, CAST(count(*) AS BIGINT) AS n,

@@ -2114,7 +2114,7 @@ def bidask_quote_trade_ratio(
         WITH exp AS (
             SELECT label, vec_id % 2 AS half,
                    generate_subscripts(embedding, 1) AS i,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
                         AS BIGINT) AS x_e4
             FROM embeddings
         ), cent AS (
@@ -2712,7 +2712,7 @@ def dq_categorical_entropy(
     oracle_sql="""
         WITH comp AS (
             SELECT vec_id, label,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000)
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000 + 0.5)
                         AS BIGINT) AS x_e4
             FROM embeddings
         ), norms AS (

@@ -3042,8 +3042,8 @@ def eval_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
         WITH exp AS (
             SELECT generate_subscripts(embedding, 1) AS dim,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
-                              * 1000000) AS BIGINT) AS xq
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS xq
             FROM embeddings
         ), stats AS (
             SELECT dim, CAST(count(*) AS BIGINT) AS n,
@@ -3111,8 +3111,8 @@ def embed_dim_variance_topk(
         WITH exp AS (
             SELECT vec_id % 2 AS half, label,
                    generate_subscripts(embedding, 1) AS dim,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
-                              * 1000000) AS BIGINT) AS xq
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS xq
             FROM embeddings
         ), cents AS (
             SELECT half, label, dim,

@@ -2290,8 +2290,8 @@ def embed_matryoshka_recall(
     oracle_sql="""
         WITH exp AS (
             SELECT vec_id, label,
-                   CAST(round(CAST(unnest(embedding) AS DOUBLE)
-                              * 1000000) AS BIGINT) AS xq
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS xq
             FROM embeddings
         ), scales AS (
             SELECT vec_id, CAST(max(abs(xq)) AS BIGINT) AS s
