@@ -1273,7 +1273,7 @@ def orders_quarter_end_concentration(
                               / t.qty_cq + 0.5) AS BIGINT)
                        AS repriced_cents
             FROM py b JOIN py t ON b.pk = t.pk
-            WHERE b.y = 1995 AND t.y = 1996
+            WHERE b.y = 1995 AND t.y = 1996 AND t.qty_cq > 0
         )
         SELECT CAST(count(*) AS BIGINT) AS n_parts_matched,
                CAST(sum(base_cents) AS BIGINT) AS base_cents,
@@ -1313,7 +1313,7 @@ def orders_price_index_laspeyres(
         F.col("ext_cents").alias("t_ext"),
         F.col("qty_cq").alias("t_qty"),
     )
-    matched = b.join(t, b.pk == t.tpk).select(
+    matched = b.join(t, (b.pk == t.tpk) & (t.t_qty > 0)).select(
         F.col("ext_cents").alias("base_cents"),
         F.floor(
             F.col("qty_cq").cast("double") * F.col("t_ext") / F.col("t_qty")
@@ -2836,6 +2836,7 @@ def multimodal_aspect_bucket_stats(
     oracle_sql="""
         WITH hx AS (
             SELECT lang, hex(encode(text)) AS h FROM documents
+            WHERE octet_length(encode(text)) >= 1
         ), pairs AS (
             SELECT lang, substr(h, 2 * i - 1, 2) AS byte_hex
             FROM hx, unnest(generate_series(1, len(h) // 2)) AS u(i)
@@ -2869,8 +2870,14 @@ def multimodal_aspect_bucket_stats(
     "hex-explode pass reduced to <=256 rows per language.",
 )
 def multimodal_byte_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hx = load(spark, sf_dir, "documents").select(
-        "lang", F.hex(F.col("text").cast("binary")).alias("h")
+    # Empty payloads are excluded BEFORE the pair fan-out: Spark's
+    # sequence(1, 0) is the descending [1, 0], not empty (documented
+    # gotcha), which would fabricate two empty-string pairs per empty
+    # doc that DuckDB's empty generate_series never emits (fuzz-caught).
+    hx = (
+        load(spark, sf_dir, "documents")
+        .where(F.octet_length(F.col("text").cast("binary")) >= 1)
+        .select("lang", F.hex(F.col("text").cast("binary")).alias("h"))
     )
     pairs = hx.select(
         "lang",
@@ -3400,10 +3407,12 @@ def bidask_anchored_vwap_monthly(
             FROM labeled
         )
         SELECT n, n11, n00, n10, n01,
-               CAST((n11 + n00) * n - (a1 * b1 + (n - a1) * (n - b1))
-                    AS DOUBLE)
-               / (n * n - (a1 * b1 + (n - a1) * (n - b1)))
-                   AS cohens_kappa
+               CASE WHEN n * n = a1 * b1 + (n - a1) * (n - b1) THEN NULL
+                    ELSE CAST((n11 + n00) * n
+                              - (a1 * b1 + (n - a1) * (n - b1))
+                              AS DOUBLE)
+                         / (n * n - (a1 * b1 + (n - a1) * (n - b1)))
+               END AS cohens_kappa
         FROM counts
     """,
     description="Cohen's kappa between two deterministic labeling "
@@ -3446,11 +3455,14 @@ def eval_cohens_kappa_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n00",
         "n10",
         "n01",
-        (
+        # Degenerate single-cell tables make n^2 == chance; NULL kappa
+        # matches DuckDB (fuzz-caught ANSI divide-by-zero).
+        F.when(
+            F.col("n") * F.col("n") != chance,
             ((F.col("n11") + F.col("n00")) * F.col("n") - chance).cast(
                 "double"
             )
-            / (F.col("n") * F.col("n") - chance)
+            / (F.col("n") * F.col("n") - chance),
         ).alias("cohens_kappa"),
     )
 
