@@ -2299,8 +2299,8 @@ def embed_matryoshka_recall(
         ), coded AS (
             SELECT e.vec_id, e.label, e.xq, sc.s,
                    CASE WHEN sc.s = 0 THEN 0 ELSE
-                       CAST(round(CAST(e.xq AS DOUBLE) * 7 / sc.s)
-                            AS BIGINT) END AS code
+                       CAST(floor(CAST(e.xq AS DOUBLE) * 7 / sc.s
+                                  + 0.5) AS BIGINT) END AS code
             FROM exp e JOIN scales sc ON e.vec_id = sc.vec_id
         ), errs AS (
             SELECT label,
@@ -2322,7 +2322,7 @@ def embed_matryoshka_recall(
     "same device as every ratio in this repo). The per-label "
     "error profile extends the compression family (int8 op, PQ-ADC, "
     "sign-bit) to the 8x-compression point and tells you which "
-    "classes lose the most signal. code = round(xq*7/s) is the one "
+    "classes lose the most signal. code = floor(xq*7/s + 0.5) is the one "
     "rounding, on an irrational-free rational — round-half ties "
     "need xq*14 ≡ s (mod 2s), excluded by the fixture's continuous "
     "draws (same argument as the norm-bucket boundary note). Scale: "
@@ -2349,9 +2349,15 @@ def embed_int4_quant_error(
         "label",
         "xq",
         "s",
+        # floor(x + 0.5) on BOTH engines: F.round's shortest-decimal
+        # HALF_UP vs DuckDB's binary std::round can split on rational
+        # halves like xq*7/s that are unrepresentable in binary
+        # (wave-D-audit class); the congruent floor form cannot.
         F.when(F.col("s") == 0, 0)
         .otherwise(
-            F.round(F.col("xq").cast("double") * 7 / F.col("s"), 0)
+            F.floor(
+                F.col("xq").cast("double") * 7 / F.col("s") + F.lit(0.5)
+            )
         )
         .cast("long")
         .alias("code"),
