@@ -133,12 +133,21 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # Parse ONCE before the aggregate: referencing the extraction
+    # inside two agg functions evaluates the JSON path per function
+    # (no cross-aggregate subexpression elimination), doubling the
+    # parse cost that dominates this query's wall. Same parse-once
+    # lesson as the round-6 JSON crossover (BASELINE.md), applied to
+    # the graded op without changing its declared semantics.
+    parsed = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
     return (
-        ev.groupBy("event_type")
+        parsed.groupBy("event_type")
         .agg(
-            F.avg(k).alias("avg_k"),
-            F.max(k).cast("bigint").alias("max_k"),
+            F.avg("k").alias("avg_k"),
+            F.max("k").cast("bigint").alias("max_k"),
         )
         .orderBy("event_type")
     )
@@ -175,33 +184,42 @@ def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
         SELECT vec_id,
                CAST(len(embedding) AS BIGINT) AS dim,
-               round(CAST(embedding[1] AS DOUBLE), 4) AS first_component,
+               round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_component,
                round(list_aggregate(
                    list_transform(list_slice(embedding, 1, 8),
-                                  x -> CAST(x AS DOUBLE)), 'sum'), 4) AS head_sum,
+                                  x -> CAST(x AS DOUBLE)), 'sum'), 4) + 0.0 AS head_sum,
                list_contains(list_transform(embedding,
                                             x -> CAST(x AS DOUBLE) > 0.9), true) AS has_large
         FROM embeddings
         ORDER BY vec_id
     """,
     description="Array surface over embeddings: size / element access / "
-    "slice+aggregate / existence predicate (higher-order functions).",
+    "slice+aggregate / existence predicate (higher-order functions). "
+    "Rounded floats carry a `+ 0.0` on BOTH engines: DuckDB round() "
+    "preserves IEEE signed zero (round(-0.00004,4) = -0.0) while Spark's "
+    "BigDecimal-based round has no -0, so a near-zero negative component "
+    "canonicalizes as '-0' vs '0' and hash-mismatches with zero numeric "
+    "difference (first seen at sf0.1). `x + 0.0` maps -0.0 to +0.0 on "
+    "both engines and is a no-op for every other value.",
 )
 def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.col("embedding").getItem(0).cast("double"), 4).alias(
+        (F.round(F.col("embedding").getItem(0).cast("double"), 4) + 0.0).alias(
             "first_component"
         ),
-        F.round(
-            F.aggregate(
-                F.slice("embedding", 1, 8),
-                F.lit(0.0),
-                lambda acc, x: acc + x.cast("double"),
-            ),
-            4,
+        (
+            F.round(
+                F.aggregate(
+                    F.slice("embedding", 1, 8),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x.cast("double"),
+                ),
+                4,
+            )
+            + 0.0
         ).alias("head_sum"),
         F.exists("embedding", lambda x: x > 0.9).alias("has_large"),
     ).orderBy("vec_id")

@@ -78,3 +78,41 @@ def test_floor_half_equals_round_on_grid(vals):
     for v in vals:
         d = float(v)
         assert math.floor(d * 100 + 0.5) == int(v.scaleb(2)), v
+
+
+def test_signed_zero_normalization_cross_engine():
+    """Claim 4 (round-7 sf0.1 sweep): DuckDB round() preserves IEEE
+    -0.0 while Spark's BigDecimal round returns +0.0, so a rounded
+    near-zero negative canonicalizes as '-0' vs '0' under %.10g — a
+    hash mismatch with zero numeric difference. The house fix is
+    ``round(x, 4) + 0.0`` on BOTH engines: IEEE addition maps
+    -0.0 → +0.0 and is the identity elsewhere. Pin the DuckDB half
+    here (the engine whose sign-preservation creates the class) plus
+    the Python-level formatting asymmetry the driver canon sees; the
+    Spark half is pinned implicitly by array_funcs' sf0.1 parity.
+    No Spark session needed — milliseconds."""
+    import duckdb
+    import math
+
+    con = duckdb.connect()
+    # CAST AS DOUBLE matters: a bare -0.00004 literal is DECIMAL, and
+    # decimal round has no signed zero — only the float path does
+    # (embedding components are DOUBLE in the fixtures).
+    raw, fixed = con.execute(
+        "SELECT round(CAST(-0.00004 AS DOUBLE), 4),"
+        "       round(CAST(-0.00004 AS DOUBLE), 4) + 0.0"
+    ).fetchone()
+    # DuckDB: sign-preserving round → -0.0; +0.0 normalizes it.
+    assert raw == 0.0 and math.copysign(1.0, raw) == -1.0
+    assert fixed == 0.0 and math.copysign(1.0, fixed) == 1.0
+    # The canon-level divergence the driver's value-hash would see:
+    assert f"{raw:.10g}" == "-0" and f"{fixed:.10g}" == "0"
+    # Normalization is the identity off the zero: spot the grid edges.
+    for v in (-0.12345, -0.00015, 0.00004, 7.5, -7.5):
+        a, b = con.execute(
+            f"SELECT round(CAST({v!r} AS DOUBLE), 4),"
+            f"       round(CAST({v!r} AS DOUBLE), 4) + 0.0"
+        ).fetchone()
+        if a != 0.0:
+            assert a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
+    con.close()
