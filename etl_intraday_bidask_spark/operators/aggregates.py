@@ -20,6 +20,7 @@ from etl_intraday_bidask_spark.functions.parity import (
     exact_sum,
     scaled_long,
 )
+from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -71,7 +72,9 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg("l_discount", 100).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # ≤ 12 groups (returnflag × linestatus): presentation order via
+        # ordered_small — no range-sampling job (plans/ordering.py).
+        .transform(ordered_small, "l_returnflag", "l_linestatus")
     )
 
 
@@ -143,7 +146,9 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
             "sum_price",
         )
-        .orderBy("pri", "status")
+        # ROLLUP over two bounded dims (≤ ~5×4 leaves + subtotals):
+        # ordered_small, not a range sort (plans/ordering.py).
+        .transform(ordered_small, "pri", "status")
     )
 
 

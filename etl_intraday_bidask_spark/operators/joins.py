@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum, scaled_long
 
+from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -73,7 +74,9 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             exact_sum("o_totalprice", 100).alias("revenue"),
         )
-        .orderBy("n_name")
+        # ≤ 25 nation groups: presentation order via ordered_small —
+        # no range-sampling job (plans/ordering.py).
+        .transform(ordered_small, "n_name")
     )
 
 

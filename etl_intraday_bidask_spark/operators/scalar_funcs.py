@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load
 
@@ -143,13 +144,16 @@ def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("k"),
     )
-    return (
-        parsed.groupBy("event_type")
-        .agg(
+    # Bounded output (5 event types): ordered_small replaces the
+    # global range sort — its boundary-sampling job + range exchange
+    # cost ~2 jobs ≈ 135 ms at sf0.1 to order a handful of rows
+    # (plans/ordering.py has the 100 TB argument).
+    return ordered_small(
+        parsed.groupBy("event_type").agg(
             F.avg("k").alias("avg_k"),
             F.max("k").cast("bigint").alias("max_k"),
-        )
-        .orderBy("event_type")
+        ),
+        "event_type",
     )
 
 
