@@ -1933,10 +1933,10 @@ def etl_merkle_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
                      WHERE o2.o_custkey = o.o_custkey) AS BIGINT)
                    AS cust_lifetime_cents,
                CAST(round(o_totalprice * 100) AS BIGINT) * 10000
-                   // (SELECT sum(CAST(round(o2.o_totalprice * 100)
-                                       AS BIGINT))
-                       FROM orders o2
-                       WHERE o2.o_custkey = o.o_custkey)
+                   // CAST((SELECT sum(CAST(round(o2.o_totalprice * 100)
+                                            AS BIGINT))
+                            FROM orders o2
+                            WHERE o2.o_custkey = o.o_custkey) AS BIGINT)
                    AS share_floor_bp
         FROM orders o
         ORDER BY o_orderkey

@@ -147,6 +147,85 @@ def main() -> None:
     plan = df._jdf.queryExecution().executedPlan().toString()
     skew_applied = "skew=true" in plan
 
+    # ---- GROUP-BY key skew: the other half of the story. ----------
+    # Algebraic aggregates (sum/count/avg/min/max) are IMMUNE to group
+    # -key skew by construction: the map-side partial HashAggregate
+    # combines the hot key down to one row per task BEFORE the
+    # shuffle, so the hot reducer receives n_tasks rows like everyone
+    # else. Holistic aggregates (collect_list, exact percentile) have
+    # no partial reduction — every hot-key row crosses the shuffle and
+    # lands on ONE reducer. AQE cannot split a skewed AGG partition
+    # (splitting would break grouping correctness), so salted
+    # two-phase re-aggregation is the only distributed fix: phase 1
+    # aggregates (k, salt), phase 2 merges the S partials per key.
+
+    def agg_algebraic():
+        return fact.groupBy("k").agg(F.sum("amount_cents").alias("v"))
+
+    def agg_holistic():
+        return (
+            fact.groupBy("k")
+            .agg(F.size(F.collect_list("amount_cents")).alias("n"))
+        )
+
+    def agg_holistic_salted():
+        f = fact.withColumn("salt", F.pmod(F.hash("row_id"), F.lit(SALT)))
+        return (
+            f.groupBy("k", "salt")
+            .agg(F.collect_list("amount_cents").alias("part"))
+            .groupBy("k")
+            .agg(F.sum(F.size("part")).cast("int").alias("n"))
+        )
+
+    def run_agg(df_fn) -> tuple[float, int]:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        df_fn().count()  # warm
+        samples = []
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            n = df_fn().count()
+            samples.append(time.perf_counter() - t0)
+        return statistics.median(samples), n
+
+    wall_alg, n_alg = run_agg(agg_algebraic)
+    wall_hol, n_hol = run_agg(agg_holistic)
+    wall_hs, n_hs = run_agg(agg_holistic_salted)
+    assert n_alg == n_hol == n_hs, (n_alg, n_hol, n_hs)
+
+    # Local walls at 5M rows sit near the floor for all three (a 1.5M
+    # -row collect_list takes tens of ms), so the wall is NOT the
+    # scale signal here. The scale signal is reducer INPUT asymmetry:
+    # F.hash is the same Murmur3 Spark's HashPartitioning applies, so
+    # pmod(hash(keys), P) reproduces the exact shuffle placement, and
+    # the max/median input-rows ratio is what turns into an OOM at
+    # 100 TB (30 % of the fact into ONE reducer) for any aggregate
+    # with no partial reduction. Salting is the structural fix: the
+    # (k, salt) key flattens the distribution back to ~1.
+    P = 32
+
+    def dist(*cols) -> tuple[int, int]:
+        rows = (
+            fact.groupBy(
+                F.pmod(F.hash(*cols), F.lit(P)).alias("p")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        ns = sorted(r["n"] for r in rows)
+        return ns[-1], ns[len(ns) // 2]
+
+    f_salt = fact.withColumn(
+        "salt", F.pmod(F.hash("row_id"), F.lit(SALT))
+    )
+    mx_p, md_p = dist(F.col("k"))
+    rows = (
+        f_salt.groupBy(F.pmod(F.hash("k", "salt"), F.lit(P)).alias("p"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    ns = sorted(r["n"] for r in rows)
+    mx_s, md_s = ns[-1], ns[len(ns) // 2]
+
     out = {
         "metric": "skew_join_study",
         "n_fact": N_FACT,
@@ -155,6 +234,11 @@ def main() -> None:
         "wall_aqe_skewjoin_sec": round(wall_b, 3),
         "wall_salted_sec": round(wall_c, 3),
         "aqe_skew_split_applied": skew_applied,
+        "wall_agg_algebraic_sec": round(wall_alg, 3),
+        "wall_agg_holistic_sec": round(wall_hol, 3),
+        "wall_agg_holistic_salted_sec": round(wall_hs, 3),
+        "reducer_rows_plain_max_over_median": round(mx_p / md_p, 1),
+        "reducer_rows_salted_max_over_median": round(mx_s / md_s, 1),
         "results_identical": True,
     }
     print(json.dumps(out))
