@@ -286,3 +286,23 @@ def test_repetition_ngram_is_narrow(spark):
     tree = plan.split("\n\n")[0]  # the plan tree, not the node details
     # The only exchange allowed is the final presentation sort's.
     assert tree.count("Exchange") <= 1, tree
+
+
+def test_ordered_small_tails_have_no_range_sort(spark):
+    """The four bounded-output headline queries order their result via
+    ordered_small (coalesce(1) + in-partition sort) — the plan must
+    carry NO RangePartitioning exchange and no boundary-sampling pass
+    (plans/ordering.py). A refactor back to .orderBy would silently
+    re-add ~2 scheduler jobs per query."""
+    for name in (
+        "json_get",
+        "agg_pricing_summary",
+        "agg_rollup",
+        "join_broadcast_dims",
+    ):
+        plan = plan_of(spark, name)
+        assert "rangepartitioning" not in plan.lower(), (
+            f"{name}: range sort reintroduced"
+        )
+        assert "Coalesce" in plan, f"{name}: ordered_small tail missing"
+        assert "Sort" in plan, f"{name}: presentation sort missing"
