@@ -142,11 +142,10 @@ def main() -> None:
     try:
         import duckdb
 
+        from etl_intraday_bidask_spark.tables import TABLE_NAMES
+
         con = duckdb.connect()
-        for t in (
-            "region", "nation", "customer", "supplier", "part", "orders",
-            "lineitem", "events", "documents", "embeddings",
-        ):
+        for t in TABLE_NAMES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/{t}.parquet')"

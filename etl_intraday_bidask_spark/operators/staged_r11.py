@@ -1096,16 +1096,18 @@ def orders_fiscal_445_calendar(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    wk = (
-        F.datediff(
-            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
-        )
-        .cast("long")
-        / F.lit(7)
-    )
+    # Truncating `div`, matching the oracle's integer `//` (both
+    # truncate toward zero): floor(datediff/7) would diverge from the
+    # oracle one week out of seven for any pre-anchor date. Fixture
+    # dates never precede the 1992-01-01 anchor (SCALE.md §22), but
+    # the forms must stay congruent on all inputs regardless.
     fiscal = orders.select(
         scaled_long("o_totalprice", 100).alias("cents"),
-        F.floor(wk).cast("long").alias("wk"),
+        F.expr(
+            "datediff(cast(o_orderdate as date), date'1992-01-01') div 7"
+        )
+        .cast("long")
+        .alias("wk"),
     )
     wk_in_q = F.col("wk") % 52 % 13
     mapped = fiscal.select(
@@ -1478,7 +1480,7 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_bounce_rate",
     oracle_sql="""
         WITH gaps AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN epoch_us(ts)
                              - lag(epoch_us(ts)) OVER (
                                    PARTITION BY user_id
@@ -1491,7 +1493,7 @@ def events_stickiness_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), sess AS (
             SELECT user_id, ts,
                    CAST(sum(is_start) OVER (PARTITION BY user_id
-                       ORDER BY ts
+                       ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS sid
             FROM gaps
@@ -1526,6 +1528,7 @@ def events_session_bounce_rate(
     gaps = events.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             prev_us.isNull()
             | (F.unix_micros("ts") - prev_us > 1800000000),
@@ -1534,13 +1537,17 @@ def events_session_bounce_rate(
         .otherwise(0)
         .alias("is_start"),
     )
+    # The sid running sum MUST tie-break on event_id like the gap
+    # window above: with duplicate (user_id, ts) pairs a boundary
+    # inside the tie group would otherwise assign the tied events to
+    # sessions in plan-dependent order (round-7 review finding).
     sess = gaps.select(
         "user_id",
         "ts",
         F.sum("is_start")
         .over(
             Window.partitionBy("user_id")
-            .orderBy("ts")
+            .orderBy("ts", "event_id")
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         .cast("long")
@@ -3486,13 +3493,14 @@ def eval_cohens_kappa_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS rk FROM spend) WHERE rk <= 100
         )
         SELECT CAST(100 AS BIGINT) AS k,
-               CAST((SELECT count(*) FROM champ JOIN chall
-                     ON champ.k = chall.k) AS BIGINT) AS n_overlap,
-               CAST((SELECT count(*) FROM champ JOIN chall
-                     ON champ.k = chall.k) * 10000
-                    // (200 - (SELECT count(*) FROM champ JOIN chall
-                               ON champ.k = chall.k)) AS BIGINT)
-                   AS jaccard_bp
+               CAST(m.n_overlap AS BIGINT) AS n_overlap,
+               CAST(m.n_overlap * 10000
+                    // nullif(m.n_champ + m.n_chall - m.n_overlap, 0)
+                    AS BIGINT) AS jaccard_bp
+        FROM (SELECT (SELECT count(*) FROM champ) AS n_champ,
+                     (SELECT count(*) FROM chall) AS n_chall,
+                     (SELECT count(*) FROM champ JOIN chall
+                      ON champ.k = chall.k) AS n_overlap) m
     """,
     description="Champion-challenger top-k overlap: the top-100 "
     "customers by revenue (champion ranking) vs by order count "
@@ -3538,10 +3546,23 @@ def eval_topk_overlap_champion(
     overlap = champ.join(chall, champ.k == F.col("ck")).agg(
         F.count(F.lit(1)).cast("long").alias("n_overlap")
     )
-    return overlap.select(
+    # Jaccard over the ACTUAL set sizes, not a hardcoded 2k: with
+    # fewer than k customers both rankings shrink together and
+    # 2k - overlap would understate the true |A ∪ B| (round-7 review
+    # finding); nullif guards the both-empty degenerate under ANSI.
+    sizes = (
+        champ.agg(F.count(F.lit(1)).cast("long").alias("n_champ"))
+        .crossJoin(
+            chall.agg(F.count(F.lit(1)).cast("long").alias("n_chall"))
+        )
+    )
+    return overlap.crossJoin(F.broadcast(sizes)).select(
         F.lit(100).cast("long").alias("k"),
         "n_overlap",
-        F.expr("n_overlap * 10000 div (200 - n_overlap)")
+        F.expr(
+            "n_overlap * 10000"
+            " div nullif(n_champ + n_chall - n_overlap, 0)"
+        )
         .cast("long")
         .alias("jaccard_bp"),
     )
@@ -3824,18 +3845,21 @@ def scan_selectivity_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN club c1 ON e.u = c1.node
             JOIN club c2 ON e.v = c2.node
         )
-        SELECT CAST(20 AS BIGINT) AS club_size,
+        SELECT CAST((SELECT count(*) FROM club) AS BIGINT)
+                   AS club_size,
                CAST((SELECT count(*) FROM edges) AS BIGINT)
                    AS n_edges_total,
                CAST((SELECT ce FROM club_edges) AS BIGINT)
                    AS n_club_edges,
-               CAST((SELECT ce FROM club_edges) * 10000 // 190
+               CAST((SELECT ce FROM club_edges) * 20000
+                    // nullif((SELECT count(*) FROM club)
+                              * ((SELECT count(*) FROM club) - 1), 0)
                     AS BIGINT) AS club_density_bp
     """,
     description="Rich-club coefficient of the co-purchase graph: "
     "edge density among the 20 highest-degree nodes (degree rank, "
-    "node tie-break) in exact floor basis points over the 190 "
-    "possible club pairs — high density means hubs preferentially "
+    "node tie-break) in exact floor basis points over the actual "
+    "C(club,2) pair count — high density means hubs preferentially "
     "interconnect (the rich-club phenomenon), which operationally "
     "predicts that hub-keyed joins skew TOGETHER (one salting "
     "decision covers them) rather than independently. Same "
@@ -3885,13 +3909,25 @@ def graph_rich_club_topdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = edges.agg(
         F.count(F.lit(1)).cast("long").alias("n_edges_total")
     )
+    # Density over the ACTUAL club-pair count C(|club|, 2), not a
+    # hardcoded 190: a graph with fewer than 20 nodes has a smaller
+    # club and the fixed denominator would understate its density
+    # (round-7 review finding). ce*20000 div (n*(n-1)) is the exact
+    # floor of ce / C(n,2) in bp; nullif guards the 1-node club.
+    club_n = club.agg(
+        F.count(F.lit(1)).cast("long").alias("club_size")
+    )
     return (
         totals.crossJoin(F.broadcast(club_edges))
+        .crossJoin(F.broadcast(club_n))
         .select(
-            F.lit(20).cast("long").alias("club_size"),
+            "club_size",
             "n_edges_total",
             "n_club_edges",
-            F.expr("n_club_edges * 10000 div 190")
+            F.expr(
+                "n_club_edges * 20000"
+                " div nullif(club_size * (club_size - 1), 0)"
+            )
             .cast("long")
             .alias("club_density_bp"),
         )

@@ -203,11 +203,9 @@ def main() -> None:
     # (k, salt) key flattens the distribution back to ~1.
     P = 32
 
-    def dist(*cols) -> tuple[int, int]:
+    def dist(df, *cols) -> tuple[int, int]:
         rows = (
-            fact.groupBy(
-                F.pmod(F.hash(*cols), F.lit(P)).alias("p")
-            )
+            df.groupBy(F.pmod(F.hash(*cols), F.lit(P)).alias("p"))
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
@@ -217,14 +215,8 @@ def main() -> None:
     f_salt = fact.withColumn(
         "salt", F.pmod(F.hash("row_id"), F.lit(SALT))
     )
-    mx_p, md_p = dist(F.col("k"))
-    rows = (
-        f_salt.groupBy(F.pmod(F.hash("k", "salt"), F.lit(P)).alias("p"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    ns = sorted(r["n"] for r in rows)
-    mx_s, md_s = ns[-1], ns[len(ns) // 2]
+    mx_p, md_p = dist(fact, "k")
+    mx_s, md_s = dist(f_salt, "k", "salt")
 
     out = {
         "metric": "skew_join_study",
