@@ -82,16 +82,7 @@ def staged8(name: str, oracle_sql: str | None, description: str = ""):
     "which is how exact distributed AUC is actually computed.",
 )
 def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("long").alias("n_pos_s"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg_s"),
@@ -163,16 +154,7 @@ def eval_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "int64; no float rate is ever rounded.",
 )
 def eval_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     thr = spark.createDataFrame(
         [(1000,), (5000,), (10000,), (20000,)], ["thr"]
     )
@@ -270,7 +252,7 @@ def eval_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle_sql="""
         WITH ev AS (
             SELECT user_id, ts, event_id,
-                   CAST(epoch(ts) AS BIGINT) AS tsec,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS tsec,
                    CAST(round(value * 100) AS BIGINT) AS cents
             FROM events
         )
@@ -520,6 +502,27 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer grid BEFORE any cross-row aggregation (functions/parity.py).
 
 
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval_* family's canonical scored stream (see the shared-
+    conventions note above): events restricted to {purchase, view},
+    score s = exact integer cents, label y = 1 for purchase. Variants
+    that carry extra columns (user_id, dow, ts) build their own
+    projection; the plain (s, y) stream lives here ONCE so a change to
+    the family convention cannot silently miss an operator (round-7
+    review finding: this block was copy-pasted into every op)."""
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "view"))
+        .select(
+            scaled_long("value", 100).alias("s"),
+            F.when(F.col("event_type") == "purchase", 1)
+            .otherwise(0)
+            .alias("y"),
+        )
+    )
+
+
+
 @staged8(
     "eval_pr_auc_exact",
     oracle_sql="""
@@ -560,16 +563,7 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window + one reduce.",
 )
 def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("long").alias("n_pos_s"),
         F.count(F.lit(1)).cast("long").alias("n_s"),
@@ -664,7 +658,6 @@ def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = cells.agg(
         F.sum("n").alias("n_tot"), F.sum("n_pos").alias("pos_tot")
     )
-    w = Window.orderBy("dec").rowsBetween(Window.unboundedPreceding, 0)
     return (
         cells.crossJoin(F.broadcast(tot))
         .select(
@@ -725,16 +718,7 @@ def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-row max.",
 )
 def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("long").alias("n_pos_s"),
         (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg_s"),
@@ -809,16 +793,7 @@ def eval_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(no-prediction, no-positive) thresholds emit NULL identically.",
 )
 def eval_f1_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     thr = spark.createDataFrame(
         [(1000,), (5000,), (10000,), (20000,)], ["thr"]
     )
@@ -1173,16 +1148,7 @@ def eval_information_value_bins(
 def eval_mcnemar_paired_rules(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     paired = scored.select(
         F.when((F.col("s") >= 5000) == (F.col("y") == 1), 1)
         .otherwise(0)
@@ -2528,16 +2494,7 @@ def eval_slice_balance_audit(
 def eval_auc_rank_identity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    scored = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type").isin("purchase", "view"))
-        .select(
-            scaled_long("value", 100).alias("s"),
-            F.when(F.col("event_type") == "purchase", 1)
-            .otherwise(0)
-            .alias("y"),
-        )
-    )
+    scored = _scored(spark, sf_dir)
     per_score = scored.groupBy("s").agg(
         F.sum("y").cast("long").alias("n_pos_s"),
         F.count(F.lit(1)).cast("long").alias("n_s"),
@@ -3729,8 +3686,8 @@ def feature_session_position(
             FROM ranked WHERE rk <= 5
         )
         SELECT c.n_parts, e.n_exposed,
-               CAST(e.n_exposed * 10000 // c.n_parts AS BIGINT)
-                   AS coverage_floor_bp
+               CAST(e.n_exposed * 10000 // nullif(c.n_parts, 0)
+                    AS BIGINT) AS coverage_floor_bp
         FROM catalog c, exposed e
     """,
     description="Catalog coverage of top-k 'recommendations': the "
@@ -3776,7 +3733,7 @@ def eval_catalog_coverage_topk(
     return catalog.crossJoin(F.broadcast(exposed)).select(
         "n_parts",
         "n_exposed",
-        F.expr("n_exposed * 10000 div n_parts")
+        F.expr("n_exposed * 10000 div nullif(n_parts, 0)")
         .cast("long")
         .alias("coverage_floor_bp"),
     )
