@@ -196,7 +196,10 @@ def ts_backtest_linear_origins(
         SELECT hod,
                CAST(count(*) AS BIGINT) AS n_obs,
                CAST(sum(d_scaled) AS BIGINT) AS seasonal_sum_scaled,
-               CAST(sum(d_scaled) // count(*) AS BIGINT)
+               CAST(sum(d_scaled) // count(*)
+                    - (CASE WHEN sum(d_scaled) % count(*) <> 0
+                            AND sum(d_scaled) < 0
+                       THEN 1 ELSE 0 END) AS BIGINT)
                    AS seasonal_floor_scaled,
                CAST(min(d_scaled) AS BIGINT) AS min_scaled,
                CAST(max(d_scaled) AS BIGINT) AS max_scaled
@@ -250,7 +253,16 @@ def ts_stl_lite_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_obs"),
             F.sum("d_scaled").cast("long").alias("seasonal_sum_scaled"),
-            F.expr("sum(d_scaled) div count(*)")
+            # True floor, not truncation: sum(d_scaled) is negative
+            # for every below-trend hour-of-day, and `div` truncates
+            # toward zero — off by one vs the floor-mean the column
+            # name and description promise (round-7 review finding).
+            F.expr(
+                "sum(d_scaled) div count(*)"
+                " - (CASE WHEN sum(d_scaled) % count(*) <> 0"
+                "          AND sum(d_scaled) < 0"
+                "     THEN 1 ELSE 0 END)"
+            )
             .cast("long")
             .alias("seasonal_floor_scaled"),
             F.min("d_scaled").cast("long").alias("min_scaled"),
@@ -1223,10 +1235,13 @@ def bidask_trade_size_profile(
     oracle_sql="""
         WITH qi AS (
             SELECT c_nationkey, c_mktsegment,
-                   CAST(round(c_acctbal * 100) AS BIGINT) // 100000
-                       AS bal_band,
+                   cents // 100000
+                       - (CASE WHEN cents % 100000 <> 0 AND cents < 0
+                          THEN 1 ELSE 0 END) AS bal_band,
                    CAST(count(*) AS BIGINT) AS grp_size
-            FROM customer
+            FROM (SELECT c_nationkey, c_mktsegment,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                  FROM customer)
             GROUP BY 1, 2, 3
         )
         SELECT CAST(least(grp_size, 6) AS BIGINT) AS k_bucket,
@@ -1254,8 +1269,17 @@ def gov_k_anonymity_census(
         .groupBy(
             "c_nationkey",
             "c_mktsegment",
+            # Floor division, not the truncating `div`: truncation
+            # maps cents in (-100000, 100000) ALL to band 0, a
+            # double-width band straddling $0 that over-merges its
+            # QI classes (round-7 review finding). The correction
+            # term yields true floor on both engines (% takes the
+            # dividend's sign on both).
             F.expr(
                 "floor(c_acctbal * 100 + 0.5) div 100000"
+                " - (CASE WHEN floor(c_acctbal * 100 + 0.5) % 100000"
+                "          <> 0 AND c_acctbal < 0"
+                "     THEN 1 ELSE 0 END)"
             ).alias("bal_band"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("grp_size"))
@@ -2189,16 +2213,17 @@ def embed_sign_hamming_ann(
         WITH exp AS (
             SELECT vec_id,
                    generate_subscripts(embedding, 1) - 1 AS i,
-                   CAST(unnest(embedding) AS DOUBLE) AS x
+                   CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                              * 10000 + 0.5) AS BIGINT) AS x
             FROM embeddings
         ), q AS (
             SELECT i, x AS y FROM exp WHERE vec_id = 0
         ), budgets(d) AS (VALUES (16), (32), (64)),
         dots AS (
             SELECT b.d, e.vec_id,
-                   sum(e.x * q.y) AS dot,
-                   sum(e.x * e.x) AS na2,
-                   sum(q.y * q.y) AS nb2
+                   CAST(sum(e.x * q.y) AS BIGINT) AS dot,
+                   CAST(sum(e.x * e.x) AS BIGINT) AS na2,
+                   CAST(sum(q.y * q.y) AS BIGINT) AS nb2
             FROM exp e JOIN q ON e.i = q.i
             CROSS JOIN budgets b
             WHERE e.vec_id <> 0 AND e.i < b.d AND q.i < b.d
@@ -2206,7 +2231,9 @@ def embed_sign_hamming_ann(
         ), ranked AS (
             SELECT d, vec_id,
                    row_number() OVER (PARTITION BY d
-                       ORDER BY dot / (sqrt(na2) * sqrt(nb2)) DESC,
+                       ORDER BY CAST(dot AS DOUBLE)
+                                / (sqrt(CAST(na2 AS DOUBLE))
+                                   * sqrt(CAST(nb2 AS DOUBLE))) DESC,
                                 vec_id) AS rk
             FROM dots
         ), full_top AS (
@@ -2235,8 +2262,19 @@ def embed_matryoshka_recall(
 ) -> DataFrame:
     from etl_intraday_bidask_spark.functions.vector import as_double
 
+    # Components quantized to the exact 1e-4 fixture grid BEFORE the
+    # cross-row sums (functions/parity.py policy): integer dot/norms
+    # are order-independent, so the rank cut cannot flip on float
+    # summation order across engines or runs (round-7 review
+    # finding). Scale factors cancel in the cosine.
     exp = load(spark, sf_dir, "embeddings").select(
-        "vec_id", F.posexplode(as_double("embedding")).alias("i", "x")
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                as_double("embedding"),
+                lambda v: F.floor(v * 10000 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("i", "x"),
     )
     q = exp.where(F.col("vec_id") == 0).select(
         F.col("i").alias("qi"), F.col("x").alias("y")
@@ -2249,9 +2287,9 @@ def embed_matryoshka_recall(
         .where(F.col("i") < F.col("d"))
         .groupBy("d", "vec_id")
         .agg(
-            F.sum(F.col("x") * F.col("y")).alias("dot"),
-            F.sum(F.col("x") * F.col("x")).alias("na2"),
-            F.sum(F.col("y") * F.col("y")).alias("nb2"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("dot"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("na2"),
+            F.sum(F.col("y") * F.col("y")).cast("long").alias("nb2"),
         )
     )
     ranked = dots.select(
@@ -2261,8 +2299,11 @@ def embed_matryoshka_recall(
         .over(
             Window.partitionBy("d").orderBy(
                 (
-                    F.col("dot")
-                    / (F.sqrt(F.col("na2")) * F.sqrt(F.col("nb2")))
+                    F.col("dot").cast("double")
+                    / (
+                        F.sqrt(F.col("na2").cast("double"))
+                        * F.sqrt(F.col("nb2").cast("double"))
+                    )
                 ).desc(),
                 "vec_id",
             )
@@ -2499,16 +2540,18 @@ def corpus_tokenizer_fertility(
 def corpus_dup_threshold_curve(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    postings = (
-        load(spark, sf_dir, "documents")
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.array_distinct(F.split("text", " "))).alias(
-                "token"
-            ),
-        )
-        .distinct()
+    # No trailing .distinct(): array_distinct dedups tokens inside
+    # each doc and doc_id rows are unique, so (doc_id, lang, token)
+    # is already distinct — the extra exchange over the largest
+    # intermediate bought nothing (round-7 review finding). The
+    # oracle keeps its SELECT DISTINCT because it skips the per-list
+    # dedup.
+    postings = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.explode(F.array_distinct(F.split("text", " "))).alias(
+            "token"
+        ),
     )
     sizes = postings.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
@@ -2818,34 +2861,41 @@ def bidask_corwin_schultz_spread(
             SELECT event_type, date_trunc('day', ts) AS d,
                    CAST(count(*) AS BIGINT) AS y
             FROM events GROUP BY event_type, d
-        ), stats AS (
-            SELECT event_type,
-                   CAST(count(*) AS BIGINT) AS n,
-                   CAST(sum(y) AS BIGINT) AS ty
-            FROM daily GROUP BY event_type
+        ), idx AS (
+            SELECT event_type, d, y,
+                   CAST(row_number() OVER w AS BIGINT) AS i,
+                   CAST(sum(y) OVER (PARTITION BY event_type
+                       ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND CURRENT ROW) AS BIGINT) AS cs
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
         ), errs AS (
-            SELECT d.event_type, d.d,
-                   (d.y * s.n - s.ty) AS e_scaled, s.n
-            FROM daily d JOIN stats s ON d.event_type = s.event_type
+            SELECT event_type, i,
+                   (y * (i - 1) - (cs - y)) * 1000000 // (i - 1)
+                       AS e_ppm
+            FROM idx WHERE i >= 2
         )
         SELECT event_type,
-               CAST(max(n) AS BIGINT) AS n_days,
-               CAST(sum(e_scaled) AS BIGINT) AS cum_err_scaled,
-               CAST(sum(abs(e_scaled)) AS BIGINT) AS sum_abs_err_scaled,
-               CAST(sum(e_scaled) * 10000
-                    // nullif(sum(abs(e_scaled)), 0) AS BIGINT)
+               CAST(max(i) AS BIGINT) AS n_days,
+               CAST(sum(e_ppm) AS BIGINT) AS cum_err_ppm,
+               CAST(sum(abs(e_ppm)) AS BIGINT) AS sum_abs_err_ppm,
+               CAST(sum(e_ppm) * 10000
+                    // nullif(sum(abs(e_ppm)), 0) AS BIGINT)
                    AS tracking_signal_bp
         FROM errs GROUP BY event_type ORDER BY event_type
     """,
     description="Forecast tracking signal per event type: cumulative "
-    "error over cumulative absolute error (in floor bp) of the "
-    "constant-mean forecaster, with every error n-scaled (y*n - "
-    "total) so the mean never exists as a rational — the bias "
-    "detector demand planners watch (|signal| near 10000 bp = the "
-    "forecast is systematically one-sided and must re-fit; near 0 = "
-    "errors alternate). The mean-forecast baseline makes the "
-    "statistic self-contained; swapping in a real forecast column "
-    "keeps the identical plan. One rollup + broadcast stats join.",
+    "error over cumulative absolute error (floor bp) of the ONE-STEP-"
+    "AHEAD expanding-mean forecaster — day t is forecast from days "
+    "1..t-1 only, so the signal can actually detect bias (the round-7 "
+    "review caught the original full-window mean, whose errors sum to "
+    "zero by construction — a constant statistic). Each day's error "
+    "(y_t*(t-1) - prefix_sum) is quantized onto the ppm grid with the "
+    "toward-zero integral division both engines share, THEN "
+    "accumulated — exact integers throughout, no float boundary. "
+    "|signal| near 10000 bp = systematically one-sided (re-fit); "
+    "near 0 = errors alternate. One partitioned running window + "
+    "reduce.",
 )
 def ts_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
@@ -2853,26 +2903,31 @@ def ts_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", F.date_trunc("day", "ts").alias("d"))
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
     )
-    stats = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("y").cast("long").alias("ty"),
-    )
-    errs = daily.join(stats, "event_type").select(
+    w = Window.partitionBy("event_type").orderBy("d")
+    idx = daily.select(
         "event_type",
-        "n",
-        (F.col("y") * F.col("n") - F.col("ty")).alias("e_scaled"),
+        "y",
+        F.row_number().over(w).cast("long").alias("i"),
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cs"),
+    )
+    errs = idx.where(F.col("i") >= 2).select(
+        "event_type",
+        "i",
+        F.expr("(y * (i - 1) - (cs - y)) * 1000000 div (i - 1)").alias(
+            "e_ppm"
+        ),
     )
     return (
         errs.groupBy("event_type")
         .agg(
-            F.max("n").cast("long").alias("n_days"),
-            F.sum("e_scaled").cast("long").alias("cum_err_scaled"),
-            F.sum(F.abs("e_scaled"))
-            .cast("long")
-            .alias("sum_abs_err_scaled"),
+            F.max("i").cast("long").alias("n_days"),
+            F.sum("e_ppm").cast("long").alias("cum_err_ppm"),
+            F.sum(F.abs("e_ppm")).cast("long").alias("sum_abs_err_ppm"),
             F.expr(
-                "sum(e_scaled) * 10000 "
-                "div nullif(sum(abs(e_scaled)), 0)"
+                "sum(e_ppm) * 10000 div nullif(sum(abs(e_ppm)), 0)"
             )
             .cast("long")
             .alias("tracking_signal_bp"),
@@ -3529,9 +3584,14 @@ def join_trigram_fuzzy_names(
         F.explode(
             F.array_distinct(
                 F.transform(
-                    F.sequence(
-                        F.lit(1), F.length("c_name") - 2
-                    ),
+                    # Spark sequence(1, 0) is DESCENDING [1, 0], not
+                    # empty (house gotcha) — names shorter than 3
+                    # chars must yield NO grams, matching DuckDB's
+                    # empty generate_series(1, 0).
+                    F.when(
+                        F.length("c_name") >= 3,
+                        F.sequence(F.lit(1), F.length("c_name") - 2),
+                    ).otherwise(F.expr("array()").cast("array<int>")),
                     lambda i: F.col("c_name").substr(i, F.lit(3)),
                 )
             )
@@ -3686,7 +3746,7 @@ def orders_price_elasticity_bands(
             SELECT sum(volume_cents) AS tv FROM cells
         )
         SELECT c.hod, c.n_trades, c.volume_cents,
-               CAST(c.volume_cents * 10000 // t.tv AS BIGINT)
+               CAST(c.volume_cents * 10000 // nullif(t.tv, 0) AS BIGINT)
                    AS volume_share_bp,
                CAST(rank() OVER (ORDER BY c.volume_cents DESC, c.hod)
                     AS BIGINT) AS volume_rank
@@ -3721,7 +3781,7 @@ def bidask_intraday_u_profile(
             "hod",
             "n_trades",
             "volume_cents",
-            F.expr("volume_cents * 10000 div tv")
+            F.expr("volume_cents * 10000 div nullif(tv, 0)")
             .cast("long")
             .alias("volume_share_bp"),
             F.rank()
