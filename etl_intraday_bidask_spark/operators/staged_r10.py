@@ -111,16 +111,27 @@ def stream_checkpoint_recovery(
                 .start()
             )
             q.awaitTermination()
-            _RECOVERY_CACHE[sf_dir] = [name]
+            return name
 
         run_once()  # batch 1 only; query terminates (simulated crash)
         ev.where(F.col("event_id") % 2 == 1).write.parquet(
             f"{src}/batch=1"
         )
-        run_once()  # restart from the SAME checkpoint; batch 2 only
+        final = run_once()  # restart from the SAME checkpoint; batch 2
+        # Commit the cache ONLY after the recovery leg succeeded, and
+        # cache the collected rows, not the memory-sink table name: a
+        # failure between the legs must not pin a batch-1-only result,
+        # and the sink table dies with the SparkSession that ran it
+        # (round-7 review finding).
+        _RECOVERY_CACHE[sf_dir] = [
+            (r["event_type"], r["n_events"], r["cents"])
+            for r in spark.table(final).collect()
+        ]
 
-    name = _RECOVERY_CACHE[sf_dir][0]
-    return spark.table(name).orderBy("event_type")
+    return spark.createDataFrame(
+        _RECOVERY_CACHE[sf_dir],
+        "event_type string, n_events long, cents long",
+    ).orderBy("event_type")
 
 
 @staged10(
@@ -269,15 +280,18 @@ def geo_haversine_nearest_hub(
         )
         SELECT CAST(k AS BIGINT) AS week_k, n_risk, n_dead,
                CAST(factor_ppm AS BIGINT) AS factor_ppm,
-               CAST(CAST(
-                   (SELECT CAST(prod AS HUGEINT) FROM (
-                       SELECT CAST(exp(sum(ln(
-                           CAST(f2.factor_ppm AS DOUBLE))))
-                           * pow(1000000.0, -(count(*) - 1))
-                           + 0.5 AS HUGEINT) AS prod
-                       FROM factored f2 WHERE f2.k <= factored.k
-                       AND f2.factor_ppm > 0
-                   )) AS BIGINT) AS BIGINT) AS survival_ppm_approx
+               CAST(CASE WHEN EXISTS (
+                        SELECT 1 FROM factored f0
+                        WHERE f0.k <= factored.k AND f0.factor_ppm = 0)
+                    THEN 0
+                    ELSE CAST(CAST(exp((
+                        SELECT sum(ln(CAST(f2.factor_ppm AS DOUBLE)))
+                        FROM factored f2 WHERE f2.k <= factored.k))
+                        * pow(1000000.0, -(
+                            SELECT count(*) - 1 FROM factored f2
+                            WHERE f2.k <= factored.k))
+                        + 0.5 AS HUGEINT) AS BIGINT)
+               END AS BIGINT) AS survival_ppm_approx
         FROM factored ORDER BY week_k
     """,
     description="Kaplan-Meier weekly survival: users enter at their "
@@ -349,22 +363,33 @@ def events_kaplan_meier_weekly(
     wcum = (
         Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
     )
+    # A zero step factor zeroes survival from that week on — stated
+    # explicitly on both engines. The old form let Spark's log(0) ->
+    # NULL drop the factor from the windowed sum while the count
+    # still included its row, so a zero factor broke parity AND gave
+    # the wrong statistic (round-7 review finding, fuzz-reachable).
+    zero_cum = F.sum(
+        F.when(F.col("factor_ppm") == 0, 1).otherwise(0)
+    ).over(wcum)
     surv = factored.select(
         "k",
         "n_risk",
         "n_dead",
         "factor_ppm",
-        F.floor(
-            F.exp(
-                F.sum(
-                    F.log(F.col("factor_ppm").cast("double"))
-                ).over(wcum)
+        F.when(zero_cum > 0, F.lit(0))
+        .otherwise(
+            F.floor(
+                F.exp(
+                    F.sum(
+                        F.log(F.col("factor_ppm").cast("double"))
+                    ).over(wcum)
+                )
+                * F.pow(
+                    F.lit(1000000.0),
+                    -(F.count(F.lit(1)).over(wcum) - 1).cast("double"),
+                )
+                + 0.5
             )
-            * F.pow(
-                F.lit(1000000.0),
-                -(F.count(F.lit(1)).over(wcum) - 1).cast("double"),
-            )
-            + 0.5
         )
         .cast("long")
         .alias("survival_ppm_approx"),
@@ -1181,7 +1206,10 @@ def stream_incremental_batches(
         ev = load(spark, sf_dir, "events")
         src = tempfile.mkdtemp(prefix="incr_src_")
         for b in range(3):
-            ev.where(F.col("event_id") % 3 == b).write.parquet(
+            # coalesce(1): one part-file per third, so the mod-3
+            # split IS the micro-batch sequence even when the events
+            # scan has multiple partitions (round-7 review finding).
+            ev.where(F.col("event_id") % 3 == b).coalesce(1).write.parquet(
                 f"{src}/f{b}"
             )
         schema = spark.read.parquet(f"{src}/f0").schema
@@ -1261,7 +1289,8 @@ def stream_incremental_batches(
             FROM m
         )
         SELECT n,
-               CAST(a11 * a22 - a12 * a12 AS BIGINT) AS det_scaled,
+               CAST((a11 * a22 - a12 * a12) // 1000000 AS BIGINT)
+                   AS det_div_1m,
                CASE WHEN a11 * a22 - a12 * a12 <> 0 THEN
                    CAST(b1 * a22 - b2 * a12 AS DOUBLE)
                    / CAST(a11 * a22 - a12 * a12 AS DOUBLE)
@@ -1347,7 +1376,15 @@ def bidask_glosten_harris_decomp(
     det = F.col("a11") * F.col("a22") - F.col("a12") * F.col("a12")
     return g.select(
         "n",
-        det.cast("long").alias("det_scaled"),
+        # Graded value leaves the decimal(38,0) domain only after the
+        # 1e6 descale — det ~ 4n^4 overflowed a raw BIGINT cast with
+        # ~64x headroom at sf0.1; descaled, the graded long holds to
+        # n ~ 1.2M trades while psi/lambda keep the full-width det.
+        # Integral `div` (truncating, == DuckDB `//`): the / + cast
+        # form ROUNDS on decimals (probed: 1999999/1e6 -> 2 vs 1).
+        F.expr("(a11 * a22 - a12 * a12) div 1000000")
+        .cast("long")
+        .alias("det_div_1m"),
         F.when(
             det != 0,
             (
@@ -2955,17 +2992,22 @@ def eval_precision_at_k_curve(
 def eval_score_histogram_by_class(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # Bin on the parity helper's cents, not an inline copy of its
+    # formula — the house rounding form has changed twice and a repo
+    # sweep must not miss this site. The div stays integral.
     scored = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type").isin("purchase", "view"))
         .select(
-            F.least(
-                F.expr("floor(value * 100 + 0.5) div 2500").cast("long"),
-                F.lit(11),
-            ).alias("bin"),
+            scaled_long("value", 100).alias("cents"),
             F.when(F.col("event_type") == "purchase", 1)
             .otherwise(0)
             .alias("y"),
+        )
+        .select(
+            F.least(F.expr("cents div 2500").cast("long"), F.lit(11))
+            .alias("bin"),
+            "y",
         )
     )
     return (
@@ -3972,13 +4014,11 @@ def sql_set_dedup_semantics(
         a.unionByName(b).distinct().count(),
         a.unionByName(b).count(),
         a.intersect(b).count(),
-        a.exceptAll(b.distinct()).distinct().count(),
+        # EXCEPT DISTINCT semantics via the native subtract.
+        a.subtract(b).count(),
         a.distinct().count(),
         a.count(),
     ]
-    # exceptAll+distinct over distinct b == EXCEPT DISTINCT semantics;
-    # use the native subtract for exactness:
-    vals[3] = a.subtract(b).count()
     return spark.createDataFrame(
         [tuple(vals)],
         "union_distinct long, union_all long, intersect_distinct "
@@ -4004,8 +4044,8 @@ def sql_set_dedup_semantics(
                    CAST(sum(s_g) AS BIGINT) AS s,
                    CAST(sum(ss_g) AS BIGINT) AS ss,
                    CAST(count(*) AS BIGINT) AS k,
-                   CAST(CAST(product(CAST(n_g AS DOUBLE)) AS HUGEINT)
-                        AS HUGEINT) AS dprod
+                   list_reduce(list(CAST(n_g AS HUGEINT)),
+                               (a, b) -> a * b) AS dprod
             FROM groups
         ), scaled AS (
             -- A = sum over groups of s_g^2 * (dprod / n_g): exact —
