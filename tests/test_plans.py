@@ -100,6 +100,22 @@ def test_tfidf_broadcasts_corpus_scalar(spark):
         "the 1-row corpus-size side must broadcast"
     )
     assert "CartesianProduct" not in plan
+    # The df branch must build per-doc distinct tokens map-side
+    # (array_distinct before explode) so the query's only full-corpus
+    # exchange is the token-key aggregate, and the tf branch must run
+    # on the pruned ranked-doc scan (doc_id < 10 pushed to Parquet) —
+    # the full (doc_id, token) pair exchange must never return.
+    assert "array_distinct" in plan, (
+        "df must come from a narrow per-doc distinct, not a pair agg"
+    )
+    tf_scans = [
+        seg.split("\n")[0]
+        for seg in plan.split("PushedFilters:")[1:]
+        if "doc_id" in seg.split("\n")[0]
+    ]
+    assert any("LessThan(doc_id,10)" in s for s in tf_scans), (
+        "tf must be computed on the doc_id<10 pruned scan"
+    )
 
 
 def test_fuzzy_levenshtein_blocks_on_lang(spark):
