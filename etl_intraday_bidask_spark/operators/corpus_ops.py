@@ -251,7 +251,15 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct tokens| is doc-local: a narrow size() on the doc row
+    # replaces the postings re-aggregation — one docs-grain exchange
+    # fewer and no second aggregation pass over the exploded postings.
+    sz = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n"),
+    )
     a = tok.alias("a")
     b = tok.alias("b")
     inter = (

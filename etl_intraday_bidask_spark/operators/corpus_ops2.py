@@ -354,16 +354,19 @@ def corpus_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "lang", F.split("text", " ").alias("toks")
     ).where(F.size("toks") >= 3)
+    # The distinct is per-document ((doc_id, lang) ⊇ the dedup key),
+    # so it is doc-local: array_distinct before the explode replaces
+    # a full-corpus (doc, lang, gram) distinct exchange.
     g = t.select(
         "doc_id",
         "lang",
         F.explode(
             F.expr(
-                "transform(sequence(0, size(toks) - 3), "
-                "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2]))"
+                "array_distinct(transform(sequence(0, size(toks) - 3), "
+                "i -> concat(toks[i], ' ', toks[i + 1], ' ', toks[i + 2])))"
             )
         ).alias("gram"),
-    ).distinct()
+    )
     ev = g.where(F.col("doc_id") % 50 == 0)
     tr_d = g.where(F.col("doc_id") % 50 != 0).select("lang", "gram").distinct()
     totals = ev.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))

@@ -6,9 +6,9 @@ shaping (per-key reservoir-equivalent sampling, per-source quota caps,
 winsorized length stats, per-language vocabulary top-k).
 
 Scale notes: entropy/repetition are per-document narrow pipelines —
-the trigram forms never shuffle (higher-order array functions), the
-entropy form shuffles once on (doc, token) then once on doc, both
-map-side combined; the minhash-error op reuses the LSH band-bucket
+the trigram forms never shuffle (higher-order array functions), and
+the entropy form is likewise shuffle-free (run-length fold over the
+sorted token array); the minhash-error op reuses the LSH band-bucket
 candidate generation (equality join, never all-pairs) and re-scores
 ONLY candidates; reservoir/quota sampling are hash-rank windows
 partitioned by the sampling key — membership is a pure function of
@@ -79,21 +79,43 @@ QUOTA_CAP = 20
     "integer counts; each c·ln(c) term quantizes to the 1e-4 grid as "
     "a BIGINT before summing, so the aggregate is exact and order-"
     "independent, and the final entropy is one float chain over exact "
-    "integers on both engines. Two map-side-combined shuffles "
-    "((doc,token) then doc), no UDF.",
+    "integers on both engines. ZERO data shuffles: the statistic is "
+    "doc-local, so the per-token run counts come from a run-length "
+    "fold over the sorted token array (JVM-side higher-order "
+    "`aggregate`, O(d log d) per doc) instead of the explode + "
+    "(doc,token) + doc aggregate chain, whose two exchanges moved the "
+    "whole corpus token volume twice for a per-row answer. Each run's "
+    "c·ln(c) term uses the identical double chain the pair aggregate "
+    "used, so the fold is bit-congruent with the oracle.",
 )
 def text_entropy_token(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tok = load(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(F.split("text", " ")).alias("token")
-    )
-    cnt = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("c"))
-    agg = cnt.groupBy("doc_id").agg(
-        F.sum("c").cast("long").alias("n_tokens"),
-        F.sum(
-            F.floor(
-                F.col("c") * F.log(F.col("c").cast("double")) * 10000 + 0.5
-            ).cast("long")
-        ).alias("s_e4"),
+    fold = """
+      aggregate(
+        sort_array(split(text, ' ')),
+        named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+                     'n', 0L, 's', 0L),
+        (a, x) -> IF(a.prev IS NULL OR x != a.prev,
+                     named_struct('prev', x, 'run', 1L, 'n', a.n + 1L,
+                                  's', a.s + IF(a.prev IS NULL, 0L,
+                                       floor(CAST(a.run AS DOUBLE)
+                                             * ln(CAST(a.run AS DOUBLE))
+                                             * 10000 + 0.5))),
+                     named_struct('prev', a.prev, 'run', a.run + 1L,
+                                  'n', a.n + 1L, 's', a.s)),
+        a -> named_struct('n', a.n,
+                          's', a.s + IF(a.prev IS NULL, 0L,
+                               floor(CAST(a.run AS DOUBLE)
+                                     * ln(CAST(a.run AS DOUBLE))
+                                     * 10000 + 0.5))))
+    """
+    agg = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(fold).alias("st"))
+        .select(
+            "doc_id",
+            F.col("st.n").alias("n_tokens"),
+            F.col("st.s").alias("s_e4"),
+        )
     )
     entropy = F.log(F.col("n_tokens").cast("double")) - F.col("s_e4").cast(
         "double"
@@ -303,7 +325,15 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_lo", "doc_hi")
         .agg(F.count(F.lit(1)).alias("n_match"))
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct tokens| is doc-local — narrow size() on the doc row:
+    # one docs-grain exchange fewer and no second aggregation pass
+    # over the exploded postings.
+    sz = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n"),
+    )
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     exact = (

@@ -170,7 +170,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct tokens| is doc-local — narrow size() on the doc row:
+    # one docs-grain exchange fewer and no second aggregation pass
+    # over the exploded postings.
+    sz = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n"),
+    )
     ta = tok.alias("ta")
     tb = tok.alias("tb")
     common = (

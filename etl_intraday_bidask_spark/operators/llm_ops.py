@@ -158,7 +158,15 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct tokens| is doc-local: narrow size() on the doc row —
+    # one docs-grain exchange fewer and no second aggregation pass
+    # over the exploded postings.
+    sz = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n"),
+    )
     a = tok.alias("a")
     b = tok.alias("b")
     pairs = (
@@ -252,7 +260,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = t.select(
         "doc_id", "lang", F.explode(F.array_distinct(grams)).alias("gram")
     )
-    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct bigrams| is doc-local — computed narrowly on the doc
+    # row instead of aggregating the exploded shingle postings.
+    sz = t.select(
+        "doc_id",
+        F.size(F.array_distinct(grams)).cast("long").alias("n"),
+    )
     a = g.alias("a")
     b = g.alias("b")
     pairs = (
@@ -692,7 +705,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_lo", "doc_hi")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    sz = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # |distinct tokens| is doc-local — narrow size() on the doc row:
+    # one docs-grain exchange fewer and no second aggregation pass
+    # over the exploded postings.
+    sz = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("n"),
+    )
     sa = sz.alias("sa")
     sb = sz.alias("sb")
     jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))

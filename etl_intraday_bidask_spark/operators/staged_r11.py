@@ -2207,8 +2207,10 @@ def text_vocab_coverage_topk(
     """,
     description="Term burstiness via the Fano factor (variance over "
     "mean of per-document counts, zeros included) for the 20 most "
-    "frequent 'en' terms: power sums (sum c, sum c^2, df) reduce "
-    "exactly on the (doc, term) grain and the Fano evaluates as one "
+    "frequent 'en' terms: per-doc counts come from the run-end "
+    "positions of the sorted token array (doc-local, narrow — no "
+    "(doc, term) exchange), the power sums (sum c, sum c^2, df) "
+    "reduce on the term key alone, and the Fano evaluates as one "
     "float chain from integers — Fano ~1 is Poisson-like function "
     "words, Fano >> 1 is bursty content terms (Church's burstiness "
     "observation), the signal that separates topical vocabulary "
@@ -2220,12 +2222,32 @@ def text_term_burstiness_fano(
 ) -> DataFrame:
     docs_en = load(spark, sf_dir, "documents").where(F.col("lang") == "en")
     nd = docs_en.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    # Per-doc (token, c) pairs are doc-local: derive them from the
+    # run-end positions of the SORTED token array (all linear, all
+    # narrow) instead of an explode + (doc_id, token) aggregate,
+    # whose exchange moved the whole corpus token volume once before
+    # the token-key aggregate below moved the distinct pairs again.
     per_doc = (
-        docs_en.select(
-            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        docs_en.select(F.expr("sort_array(split(text, ' '))").alias("s"))
+        .select(
+            "s",
+            F.expr(
+                "filter(sequence(1, size(s)), i -> i = size(s)"
+                " OR element_at(s, i) != element_at(s, i + 1))"
+            ).alias("ends"),
         )
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ends)),"
+                    " j -> named_struct("
+                    "'token', element_at(s, element_at(ends, j)),"
+                    "'c', CAST(element_at(ends, j)"
+                    " - IF(j = 1, 0, element_at(ends, j - 1)) AS BIGINT)))"
+                )
+            ).alias("tc")
+        )
+        .select(F.col("tc.token").alias("token"), F.col("tc.c").alias("c"))
     )
     term = per_doc.groupBy("token").agg(
         F.sum("c").cast("long").alias("total_c"),

@@ -240,21 +240,26 @@ def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
-    )
-    token_val = (
-        F.length("token").cast("bigint") * 961
-        + F.ascii(F.substring("token", 1, 1)) * 31
-        + F.ascii(F.expr("substring(token, length(token), 1)"))
-    )
-    weight = ((F.col("pos") + 1) * F.lit(2654435761)) % 1000003
-    return (
-        tok.select("doc_id", (token_val * weight).alias("term"))
-        .groupBy("doc_id")
-        .agg((F.sum("term") % 1000000007).alias("fingerprint"))
-        .orderBy("doc_id")
-    )
+    # The fingerprint is doc-local, so the whole sum folds over the
+    # token array in one narrow pass (identical per-term arithmetic
+    # to the previous posexplode + groupBy form, summed in document
+    # order — integer addition is order-free). Zero shuffles instead
+    # of a docs-grain exchange, and no exploded intermediate at all.
+    fold = """
+      aggregate(
+        split(text, ' '),
+        named_struct('i', 0L, 's', 0L),
+        (a, x) -> named_struct(
+            'i', a.i + 1L,
+            's', a.s + (CAST(length(x) AS BIGINT) * 961
+                        + ascii(substring(x, 1, 1)) * 31
+                        + ascii(substring(x, length(x), 1)))
+                       * (((a.i + 1L) * 2654435761L) % 1000003)),
+        a -> a.s % 1000000007L)
+    """
+    return docs.select(
+        "doc_id", F.expr(fold).alias("fingerprint")
+    ).orderBy("doc_id")
 
 
 @register(
