@@ -322,3 +322,35 @@ def test_ordered_small_tails_have_no_range_sort(spark):
         )
         assert "Coalesce" in plan, f"{name}: ordered_small tail missing"
         assert "Sort" in plan, f"{name}: presentation sort missing"
+
+
+def test_doc_local_stats_stay_narrow(spark):
+    """SCALE.md §23: doc-local statistics must not regress to the
+    explode + re-aggregate shape. text_entropy_token (run-length fold)
+    and text_fingerprint_rolling (position-weighted fold) allow only
+    the presentation sort's exchange; the Jaccard-family size
+    denominators must come from a narrow size(array_distinct(...)),
+    i.e. no hashpartitioning(doc_id) feeding a lone count aggregate."""
+    for name in ("text_entropy_token", "text_fingerprint_rolling"):
+        plan = plan_of(spark, name)
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") <= 1, f"{name} regrew a shuffle:\n{tree}"
+        assert "Generate" not in tree, f"{name} regrew an explode:\n{tree}"
+
+
+def test_decontaminate_distinct_is_doc_local(spark):
+    """corpus_decontaminate_ngram: the per-doc shingle dedup must be
+    array_distinct before the explode (narrow), leaving only the
+    genuinely global exchanges — the (lang, gram) train-set distinct
+    and the join/aggregate keys. A (doc_id, lang, gram) distinct
+    exchange returning would re-shuffle the whole shingle volume."""
+    plan = plan_of(spark, "corpus_decontaminate_ngram")
+    assert "array_distinct" in plan, "per-doc dedup left the narrow path"
+    # No exchange may carry gram together with doc_id: the only
+    # distinct over grams must be keyed (lang, gram).
+    import re
+
+    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert not ("doc_id" in keys and "gram" in keys), (
+            f"pair-grain distinct exchange returned: {keys}"
+        )
