@@ -1352,10 +1352,12 @@ def corpus_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
         ),
     )
-    g = (
-        docs.where(F.size("toks") >= 2)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
-        .distinct()
+    # No .distinct(): explode(array_distinct(...)) already emits each
+    # (doc_id, gram) exactly once, so the global dedup was a full
+    # corpus-sized exchange that bought nothing (SCALE.md §23 class;
+    # same finding as wave E's corpus_dup_threshold_curve).
+    g = docs.where(F.size("toks") >= 2).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("gram")
     )
     first_seen = g.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     joined = g.join(first_seen, "gram")

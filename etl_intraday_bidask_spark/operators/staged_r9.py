@@ -2546,15 +2546,21 @@ def corpus_dup_threshold_curve(
     # intermediate bought nothing (round-7 review finding). The
     # oracle keeps its SELECT DISTINCT because it skips the per-list
     # dedup.
-    postings = load(spark, sf_dir, "documents").select(
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select(
         "doc_id",
         "lang",
         F.explode(F.array_distinct(F.split("text", " "))).alias(
             "token"
         ),
     )
-    sizes = postings.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("sz")
+    # |distinct tokens| is doc-local — narrow size() on the doc row
+    # (SCALE.md §23), not a re-aggregation of the exploded postings.
+    sizes = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " ")))
+        .cast("long")
+        .alias("sz"),
     )
     a = postings.select(
         F.col("doc_id").alias("da"), "lang", "token"
