@@ -13,8 +13,6 @@ nullif-guarded divisions, quantized irrationals, scale note per op.
 
 from __future__ import annotations
 
-import math
-import os
 import tempfile
 import uuid
 
