@@ -329,6 +329,48 @@ def test_changepoint_binseg_10x(spark, duck_big, big_dir):
     )
 
 
+def test_pr_auc_exact_10x(spark, duck_big, big_dir):
+    """Average precision at ~1M scored rows (round 7, ahead of the
+    wave-D activation): the cumulative window runs on the bounded
+    score GRID while per-score masses grow 10x, and the ppm-floored
+    precision terms stay inside int64 (tp_cum*1e6 ~ 1e13) — the two
+    failure modes a 100x corpus would hit first."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R8["eval_pr_auc_exact"]
+    )
+
+
+def test_ks_statistic_10x(spark, duck_big, big_dir):
+    """KS distance between the two class CDFs at 10x mass: per-score
+    class counts change (replicas stack on the same grid), so the
+    running CDFs and the argmax gap must re-derive exactly — ties on
+    the shared grid are resolved by the same integral cross-
+    multiplication on both engines."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R8["eval_ks_statistic"]
+    )
+
+
+def test_psi_score_drift_10x(spark, duck_big, big_dir):
+    """PSI between score populations at 10x: decile boundaries come
+    from a rank over the bounded grid, and both engines must land
+    every 10x-heavier score group in the same bin before the
+    log-ratio terms quantize."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R8["eval_psi_score_drift"]
+    )
+
+
+def test_lift_gain_deciles_10x(spark, duck_big, big_dir):
+    """Cumulative lift/gain deciles at 10x: the global decile
+    assignment is the tie-prone step (equal scores straddling a
+    boundary), and the replica blocks create exactly those cross-
+    partition ties."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R8["eval_lift_gain_deciles"]
+    )
+
+
 def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
     """AQE's OptimizeSkewedJoin is observable in local mode (VERDICT r6
     filed it as cluster-only): a fact with 30% of rows on ONE key,
