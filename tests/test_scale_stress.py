@@ -274,6 +274,8 @@ def test_incremental_dedup_oracle_parity_10x(spark, duck_big, big_dir):
 
 from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
+from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
 
 
 def staged_parity_10x(spark, duck_big, big_dir, spec):
@@ -368,6 +370,44 @@ def test_lift_gain_deciles_10x(spark, duck_big, big_dir):
     partition ties."""
     staged_parity_10x(
         spark, duck_big, big_dir, STAGED_R8["eval_lift_gain_deciles"]
+    )
+
+
+def test_garman_klass_vol_10x(spark, duck_big, big_dir):
+    """Garman-Klass volatility at 10x events: the per-bar OHLC terms
+    square log ranges, so 10x-denser bars move every ln2/ln-chain
+    input — the estimator must re-derive exactly on both engines."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R9["bidask_garman_klass_vol"]
+    )
+
+
+def test_kaplan_meier_10x(spark, duck_big, big_dir):
+    """Kaplan-Meier weekly survival at 10x cohorts: exercises the
+    round-7 zero-factor fix (a risk set emptied by censoring must
+    contribute a factor of exactly 1, not NULL-poison the product)
+    with 10x the at-risk mass behind every factor."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R10["events_kaplan_meier_weekly"]
+    )
+
+
+def test_rich_club_10x(spark, duck_big, big_dir):
+    """Rich-club coefficient at 10x the graph: exercises the round-7
+    denominator fix (top-degree set size derived from the data, not
+    hardcoded) — the 10x user graph changes both the club membership
+    and its size, so a stale constant cannot survive this check."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R11["graph_rich_club_topdeg"]
+    )
+
+
+def test_anchored_vwap_10x(spark, duck_big, big_dir):
+    """Anchored VWAP at 10x trades: the month-anchored cumulative
+    price*volume and volume sums grow 10x — int64 prefix-sum headroom
+    and identical anchor boundaries on both engines."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R11["bidask_anchored_vwap_monthly"]
     )
 
 
