@@ -63,6 +63,20 @@ DOC_OPS = [
     "text_chunk_overlap_stride",
     "corpus_source_quota_cap",
     "dedup_minhash_est_error",
+    # Round-7 exchange-sweep family: every op whose per-doc statistic
+    # moved from a postings re-aggregation to a narrow array form (or
+    # whose redundant distinct was deleted) fuzzes here, so the
+    # empty-text / empty-table / duplicate-token edges of the rewrite
+    # are held by executable parity, not only by review argument.
+    "dedup_near_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_containment",
+    "dedup_prefix_filter_jaccard",
+    "dedup_minhash_lsh",
+    "text_fingerprint_rolling",
+    "text_tfidf_topk",
+    "corpus_decontaminate_ngram",
+    "corpus_ngram_novelty_rate",
 ]
 
 BASE_US = 1_700_000_000_000_000  # fixed epoch anchor (µs)
