@@ -115,6 +115,28 @@ AUDITED = [
     "win_rolling_corr_24h",
     "win_pattern_vshape",
     "bidask_quote_staleness",
+    # Wave-B (registered r6) partition-sensitive reps: bounded window
+    # frames, global rank/ntile anchors, and top-k tie-breaks.
+    "win_median_sliding_hourly",
+    "orders_market_basket_lift",
+    "orders_rfm_segments",
+    "agg_histogram_equi_depth",
+    "agg_heavy_hitters_cms",
+    "win_rank_migration",
+    # Wave-C (registered r7, this round's grading window): iterative
+    # peeling, remainder/rank allocations, kNN and path top-k ties,
+    # hash-set reconciliation — the classes where partitioning could
+    # plausibly leak into results.
+    "graph_kcore_peel",
+    "sample_largest_remainder_alloc",
+    "sample_purged_time_folds",
+    "cep_top_paths",
+    "stream_topk_per_window",
+    "embed_hubness_reverse_knn",
+    "dedup_lsh_band_sweep",
+    "graph_link_prediction_jaccard",
+    "orders_seasonal_index_monthly",
+    "etl_merkle_reconcile",
 ]
 
 
