@@ -137,3 +137,51 @@ def test_twa_quote_survives_same_instant_quotes(spark, tmp_path):
     assert degenerate and degenerate[0][2] is None, (
         "zero-lifetime user must yield NULL twa"
     )
+
+
+def test_join_anti_nonvacuous(spark, tmp_path):
+    """join_anti has graded 0-rows-vs-0-rows since round 1 — every
+    fixture customer has at least one order, so the anti-join's hash
+    grade never exercised a surviving row. Drop all orders for three
+    customers and assert the full oracle parity on a NON-EMPTY result
+    (the round-6/7 non-vacuous discipline applied to the oldest
+    vacuous grade in the registry)."""
+    import os
+
+    import duckdb
+
+    from etl_intraday_bidask_spark.tables import TABLE_NAMES
+    from tests.test_parity import normalize
+
+    REG = load_all_operators()
+    variant = str(tmp_path / "antifix")
+    os.makedirs(variant)
+    con = duckdb.connect()
+    con.execute(f"""
+        COPY (
+            SELECT * FROM read_parquet('{SF_SMALL}/orders.parquet')
+            WHERE o_custkey NOT IN (7, 13, 42)
+        ) TO '{variant}/orders.parquet' (FORMAT parquet)
+    """)
+    con.close()
+    for name in TABLE_NAMES:
+        dst = os.path.join(variant, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF_SMALL, f"{name}.parquet"), dst)
+    vcon = duckdb.connect()
+    for name in TABLE_NAMES:
+        vcon.execute(
+            f"CREATE VIEW {name} AS "
+            f"SELECT * FROM read_parquet('{variant}/{name}.parquet')"
+        )
+    try:
+        spec = REG["join_anti"]
+        df = spec.spark_fn(spark, variant)
+        s_rows, s_cols = df.collect(), df.columns
+        rel = vcon.sql(spec.oracle_sql)
+        d_rows, d_cols = rel.fetchall(), list(rel.columns)
+        assert len(s_rows) == 3, f"expected 3 orderless customers, got {len(s_rows)}"
+        assert len(d_rows) == 3
+        assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols)
+    finally:
+        vcon.close()
