@@ -484,3 +484,48 @@ def test_aqe_skew_join_splits_hot_partition(spark, tmp_path):
             else:
                 spark.conf.set(k, v)
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_spill_identical_results_under_memory_pressure():
+    """Operators whose working set exceeds execution memory must spill,
+    not fail — and the spilled run must return byte-identical results.
+    tools/spill_study.py runs a high-cardinality hash aggregate and a
+    sort-merge self-join in two fresh JVMs differing ONLY in driver
+    (== local-mode executor) memory; at the tight setting both
+    workloads exceed the unified execution pool and take the external
+    (disk-spilling) paths — UnsafeExternalSorter and HashAggregate's
+    sort-based fallback — while the roomy JVM stays fully in memory.
+    The parent asserts the content fingerprints match; this test
+    additionally pins that spill actually HAPPENED at tight and did
+    NOT at roomy, so the assertion can never go vacuous by both runs
+    fitting in memory. Full-scale numbers (12M rows, 1g vs 6g) live in
+    BASELINE.md."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    env = dict(_os.environ)
+    env.update(
+        SPARK_GRAFT_SPILL_ROWS="1500000",
+        SPARK_GRAFT_SPILL_TIGHT="512m",
+        SPARK_GRAFT_SPILL_ROOMY="4g",
+    )
+    tool = _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools",
+        "spill_study.py",
+    )
+    proc = _sp.run(
+        [_sys.executable, tool],
+        capture_output=True,
+        text=True,
+        timeout=900,
+        env=env,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+    rec = _json.loads(proc.stdout.strip().splitlines()[-1])
+    assert rec["results_identical"] is True
+    for w in ("agg_highcard", "join_sortmerge"):
+        assert rec["workloads"][w]["disk_spilled_tight_mb"] > 0, (w, rec)
+        assert rec["workloads"][w]["disk_spilled_roomy_mb"] == 0, (w, rec)
