@@ -61,14 +61,20 @@ def canon(v):
     return str(v)
 
 
-def run_once(spark, fn, sf_dir: str, parts: str):
+def run_once(spark, fn, sf_dir: str, parts: str, split: str | None = None):
     spark.conf.set("spark.sql.shuffle.partitions", parts)
+    if split is not None:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split)
     rows = fn(spark, sf_dir).collect()
     return sorted(canon(tuple(r)) for r in rows)
 
 
 def main() -> None:
     include_staged = "--staged" in sys.argv
+    # --splits: additionally vary the INPUT-split layout between the two
+    # runs (maxPartitionBytes 1m vs 128m), so one pass certifies joint
+    # invariance to both physical-layout axes Spark controls.
+    splits = ("1m", "128m") if "--splits" in sys.argv else (None, None)
     sf_dir = SF_DIR
     if "--sf" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
@@ -99,8 +105,8 @@ def main() -> None:
     errored: list[str] = []
     for i, (name, spec) in enumerate(sorted(specs.items())):
         try:
-            a = run_once(spark, spec.spark_fn, sf_dir, PARTS[0])
-            b = run_once(spark, spec.spark_fn, sf_dir, PARTS[1])
+            a = run_once(spark, spec.spark_fn, sf_dir, PARTS[0], splits[0])
+            b = run_once(spark, spec.spark_fn, sf_dir, PARTS[1], splits[1])
         except Exception as exc:  # noqa: BLE001 — report, don't abort sweep
             errored.append(f"{name}: {type(exc).__name__}")
             continue
@@ -117,6 +123,7 @@ def main() -> None:
         "metric": "invariance_sweep",
         "sf_dir": sf_dir,
         "partitions_compared": list(PARTS),
+        "splits_compared": list(splits),
         "total": len(specs),
         "passed": len(specs) - len(variant) - len(errored),
         "variant": variant,
