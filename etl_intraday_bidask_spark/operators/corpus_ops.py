@@ -277,9 +277,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.alias("sa")
     sb = sz.alias("sb")
     contain = F.col("c").cast("double") / F.col("sa.n")
+    # sz is corpus-grain (one row per doc): no broadcast hint — stats
+    # auto-broadcast at fixture SF; at 100 TB the size lookup must stay
+    # a distributed equi-join on doc_id.
     return (
-        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .where((contain >= 0.95) & (F.col("sa.n") < F.col("sb.n")))
         .select(
             F.col("doc_a").alias("contained_doc"),

@@ -490,7 +490,10 @@ def text_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= 20)
     )
-    keep = dt.join(F.broadcast(df), "tok")
+    # df is vocabulary-grain (unbounded at web scale even after the
+    # c >= 20 cut): no broadcast hint — stats auto-broadcast at fixture
+    # SF, a real corpus hash-joins on the token key.
+    keep = dt.join(df, "tok")
     a = keep.alias("a")
     b = keep.alias("b")
     pairs = (

@@ -355,8 +355,10 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cands.join(est, ["doc_lo", "doc_hi"], "left")
         .join(exact, ["doc_lo", "doc_hi"])
-        .join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        # Corpus-grain sz: no broadcast hint — the size lookup must stay
+        # a distributed equi-join on doc_id at 100 TB.
+        .join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
         .select(
             F.coalesce(F.col("n_match"), F.lit(0))
             .cast("long")

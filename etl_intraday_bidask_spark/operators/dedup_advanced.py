@@ -196,9 +196,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.col("common").cast("double") / (
         F.col("sa.n") + F.col("sb.n") - F.col("common")
     )
+    # sz is corpus-grain (one row per doc): no broadcast hint — stats
+    # auto-broadcast at fixture SF; at 100 TB the exact-verify size
+    # lookup must stay a distributed equi-join on doc_id.
     return (
-        common.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        common.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= MINHASH_JACCARD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))
         .orderBy("doc_lo", "doc_hi")

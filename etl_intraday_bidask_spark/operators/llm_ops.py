@@ -184,9 +184,13 @@ def dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.alias("sa")
     sb = sz.alias("sb")
     jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    # sz is corpus-grain (one row per doc): no broadcast hint — stats
+    # auto-broadcast it at fixture SF, while at 100 TB the size lookup
+    # must stay a distributed equi-join on doc_id (a forced broadcast
+    # of a billion-doc side would OOM the driver).
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        pairs.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
@@ -283,9 +287,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.alias("sa")
     sb = sz.alias("sb")
     jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    # Corpus-grain sz: no broadcast hint (see dedup_near_jaccard).
     return (
-        pairs.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        pairs.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= NGRAM_JACCARD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
@@ -557,8 +562,11 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    # sizes is component-grain — worst case ~one component per doc, so
+    # it scales with the corpus: no broadcast hint, the label equi-join
+    # distributes (and reuses labels' hash partitioning from the agg).
     return (
-        labels.join(F.broadcast(sizes), "label")
+        labels.join(sizes, "label")
         .select(
             "doc_id", F.col("label").alias("component"), "n_members"
         )
@@ -717,9 +725,10 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sz.alias("sa")
     sb = sz.alias("sb")
     jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
+    # Corpus-grain sz: no broadcast hint (see dedup_near_jaccard).
     return (
-        inter.join(F.broadcast(sa), F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(F.broadcast(sb), F.col("doc_hi") == F.col("sb.doc_id"))
+        inter.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
         .where(jac >= JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")

@@ -2235,7 +2235,10 @@ def embed_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nrm = exp.groupBy(F.col("vec_id").alias("nv_id")).agg(
         F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nv")
     )
-    q = exp.join(F.broadcast(nrm), F.col("vec_id") == F.col("nv_id")).select(
+    # nrm is collection-grain (one row per vector): no broadcast hint —
+    # stats auto-broadcast at fixture SF; at 100 TB the normalization
+    # join must distribute on vec_id (it reuses nrm's agg partitioning).
+    q = exp.join(nrm, F.col("vec_id") == F.col("nv_id")).select(
         "vec_id",
         "label",
         F.col("i0").alias("i"),

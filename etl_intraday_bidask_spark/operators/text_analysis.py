@@ -74,7 +74,10 @@ def text_langid_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c"))
     )
     scores = (
-        tok.join(F.broadcast(freq), "token")
+        # freq is (lang × vocabulary)-grain — unbounded at web scale:
+        # no broadcast hint; the token equi-join distributes at 100 TB
+        # and stats still auto-broadcast it at fixture SF.
+        tok.join(freq, "token")
         .groupBy("doc_id", F.col("lang").alias("cand"))
         .agg(F.sum("c").alias("s"))
     )
