@@ -580,12 +580,11 @@ def parts_safety_stock_plan(
         )
         .where(F.col("n_days") >= 5)
     )
-    ranked = stats.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("sq").desc(), "l_partkey"))
-        .alias("rk"),
-    ).where(F.col("rk") <= 10)
+    # Top-10 as orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge), not a rank filter over a global window —
+    # same rows under the total-order tie-break, no single-task sort
+    # of the whole part grain at scale.
+    ranked = stats.orderBy(F.col("sq").desc(), "l_partkey").limit(10)
     var_num = F.col("n_days") * F.col("sqq") - F.col("sq") * F.col("sq")
     return ranked.select(
         "l_partkey",
@@ -1065,12 +1064,11 @@ def parts_eoq_reorder_point(
         )
         .where(F.col("n_days") >= 5)
     )
-    ranked = stats.select(
-        "*",
-        F.row_number()
-        .over(Window.orderBy(F.col("sq").desc(), "l_partkey"))
-        .alias("rk"),
-    ).where(F.col("rk") <= 10)
+    # Top-10 as orderBy+limit (TakeOrderedAndProject: per-partition
+    # heap + driver merge), not a rank filter over a global window —
+    # same rows under the total-order tie-break, no single-task sort
+    # of the whole part grain at scale.
+    ranked = stats.orderBy(F.col("sq").desc(), "l_partkey").limit(10)
     return ranked.select(
         "l_partkey",
         "n_days",

@@ -2254,19 +2254,16 @@ def text_term_burstiness_fano(
         F.sum(F.col("c") * F.col("c")).cast("long").alias("total_c2"),
         F.count(F.lit(1)).cast("long").alias("df"),
     )
-    ranked = term.crossJoin(F.broadcast(nd)).select(
-        "token",
-        "total_c",
-        "total_c2",
-        "df",
-        "n_docs",
-        F.row_number()
-        .over(Window.orderBy(F.col("total_c").desc(), "token"))
-        .alias("rk"),
+    # Top-20 tokens via orderBy+limit (distributed TakeOrdered) — no
+    # vocabulary-grain global rank window.
+    ranked = (
+        term.orderBy(F.col("total_c").desc(), "token")
+        .limit(20)
+        .crossJoin(F.broadcast(nd))
     )
     mean = F.col("total_c").cast("double") / F.col("n_docs")
     return (
-        ranked.where(F.col("rk") <= 20)
+        ranked
         .select(
             "token",
             "total_c",
@@ -2514,17 +2511,9 @@ def embed_kcenter_greedy_init(
             .alias("d2")
         )
     )
-    b1 = (
-        d0.select(
-            "vec_id",
-            "d2",
-            F.row_number()
-            .over(Window.orderBy(F.col("d2").desc(), "vec_id"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") == 1)
-        .drop("rk")
-    )
+    # argmax as orderBy+limit(1) (distributed TakeOrdered), not a
+    # rank filter over a collection-grain global window.
+    b1 = d0.orderBy(F.col("d2").desc(), "vec_id").limit(1)
     c1 = exp.join(
         F.broadcast(b1.select(F.col("vec_id").alias("bv"))),
         exp.vec_id == F.col("bv"),
@@ -2542,17 +2531,7 @@ def embed_kcenter_greedy_init(
         d1.select(F.col("vec_id").alias("v1"), F.col("d2").alias("d2b")),
         d0.vec_id == F.col("v1"),
     ).select("vec_id", F.least("d2", "d2b").cast("long").alias("d2"))
-    b2 = (
-        dmin.select(
-            "vec_id",
-            "d2",
-            F.row_number()
-            .over(Window.orderBy(F.col("d2").desc(), "vec_id"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") == 1)
-        .drop("rk")
-    )
+    b2 = dmin.orderBy(F.col("d2").desc(), "vec_id").limit(1)
     seed = spark.range(1).select(
         F.lit(0).cast("long").alias("center_rank"),
         F.lit(0).cast("long").alias("vec_id"),
@@ -2764,14 +2743,19 @@ def knn_norm_bound_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x") * F.col("x")).cast("long").alias("x2"),
         )
     )
+    # Top-10 via orderBy+limit (distributed TakeOrdered); the kth
+    # element and the argmax then come from a 10-row bounded window —
+    # no collection-grain global window. Exactly-rk==10 semantics
+    # preserved: fewer than 10 candidates still yields an empty kth.
     wd = Window.orderBy(F.col("dot").desc(), "vec_id")
+    top10 = cand.orderBy(F.col("dot").desc(), "vec_id").limit(10)
     kth = (
-        cand.select("dot", F.row_number().over(wd).alias("rk"))
+        top10.select("dot", F.row_number().over(wd).alias("rk"))
         .where(F.col("rk") == 10)
         .select(F.col("dot").alias("d10"))
     )
     top1 = (
-        cand.select("vec_id", F.row_number().over(wd).alias("rk"))
+        top10.select("vec_id", F.row_number().over(wd).alias("rk"))
         .where(F.col("rk") == 1)
         .select(F.col("vec_id").alias("top1_vec_id"))
     )
@@ -3545,24 +3529,14 @@ def eval_topk_overlap_champion(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
         )
     )
+    # Both top-100 sets via orderBy+limit (distributed TakeOrdered) —
+    # no customer-grain global rank window.
     champ = (
-        spend.select(
-            "k",
-            F.row_number()
-            .over(Window.orderBy(F.col("cents").desc(), "k"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") <= 100)
-        .select("k")
+        spend.orderBy(F.col("cents").desc(), "k").limit(100).select("k")
     )
     chall = (
-        spend.select(
-            "k",
-            F.row_number()
-            .over(Window.orderBy(F.col("n_orders").desc(), "k"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") <= 100)
+        spend.orderBy(F.col("n_orders").desc(), "k")
+        .limit(100)
         .select(F.col("k").alias("ck"))
     )
     overlap = champ.join(chall, champ.k == F.col("ck")).agg(
@@ -3911,15 +3885,10 @@ def graph_rich_club_topdeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
     )
+    # Top-20 by degree via orderBy+limit (distributed TakeOrdered) —
+    # no node-grain global rank window.
     club = (
-        deg.select(
-            "node",
-            F.row_number()
-            .over(Window.orderBy(F.col("d").desc(), "node"))
-            .alias("rk"),
-        )
-        .where(F.col("rk") <= 20)
-        .select("node")
+        deg.orderBy(F.col("d").desc(), "node").limit(20).select("node")
     )
     c1 = club.select(F.col("node").alias("cu"))
     c2 = club.select(F.col("node").alias("cv"))

@@ -629,9 +629,14 @@ def eval_pr_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(share of all positives captured so far) and lift vs the base "
     "rate — the campaign-targeting table (how deep to mail). All "
     "rates floor-bp integral divisions of exact counts; the totals "
-    "row is a 1-row broadcast. Scale: one |rows| sort-window (the "
-    "same global-rank cost as limit_global_topk) + bounded decile "
-    "aggregate.",
+    "row is a 1-row broadcast. Scale: NO fact-grain global window — "
+    "the global rank decomposes into a cumulative count over the "
+    "bounded score grid (quantized cents) plus a row_number "
+    "PARTITIONED by score (distributed), and the decile is the "
+    "SQL-standard ntile distribution applied to that rank "
+    "arithmetically. The oracle keeps the plain ntile form, so the "
+    "decomposition is hash-checked against the engine's own "
+    "window, not assumed.",
 )
 def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
@@ -645,10 +650,52 @@ def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    deciled = scored.select(
+    # rank = rows in strictly-higher score groups + rank within this
+    # score group (event_id order). The grid window input is the
+    # bounded quantized-cents domain; the within-group window hashes
+    # on s — nothing single-task at any scale.
+    grid = scored.groupBy("s").agg(F.count(F.lit(1)).alias("n_s"))
+    before = grid.select(
+        "s",
+        F.coalesce(
+            F.sum("n_s").over(
+                Window.orderBy(F.col("s").desc()).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("n_before"),
+    )
+    totals = scored.agg(F.count(F.lit(1)).alias("n_all"))
+    with_rn = (
+        scored.join(before, "s")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "y",
+            (
+                F.col("n_before")
+                + F.row_number().over(
+                    Window.partitionBy("s").orderBy("event_id")
+                )
+            ).alias("rn"),
+            "n_all",
+        )
+    )
+    # SQL-standard ntile(10) distribution: the first n_all % 10 tiles
+    # carry (n_all div 10) + 1 rows, the rest n_all div 10. Exact
+    # integral div throughout; base = 0 only when n_all < 10, where
+    # the first branch covers every row and the nullif-guarded second
+    # branch is never selected.
+    deciled = with_rn.select(
         "y",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("s").desc(), "event_id"))
+        F.expr(
+            "CASE WHEN rn <= ((n_all div 10) + 1) * (n_all % 10) "
+            "THEN (rn - 1) div ((n_all div 10) + 1) + 1 "
+            "ELSE (n_all % 10) + 1 "
+            "+ (rn - 1 - ((n_all div 10) + 1) * (n_all % 10)) "
+            "div nullif(n_all div 10, 0) END"
+        )
+        .cast("int")
         .alias("dec"),
     )
     cells = deciled.groupBy("dec").agg(
@@ -2566,9 +2613,13 @@ def eval_auc_rank_identity(
     "rho = 1 - 6*sum(d^2)/(n(n^2-1)) one float chain of exact "
     "integers, emitted unrounded — the monotone-drift test (are "
     "later trades systematically larger?) that Pearson misses when "
-    "the trend is nonlinear. Scale: two global sort-windows (the "
-    "declared cost, same class as limit_global_topk) over the "
-    "purchase subset only.",
+    "the trend is nonlinear. Scale: NO fact-grain global window — "
+    "each global rank decomposes into a cumulative count over a "
+    "bounded grid (the quantized-cents score domain for rs; the "
+    "calendar-bounded hour bucket for rt) plus a row_number "
+    "PARTITIONED by that grid cell, so both rank passes hash on "
+    "their grid key. The oracle keeps the plain global-window form, "
+    "hash-checking the decomposition against the engine's own rank.",
 )
 def eval_spearman_value_vs_time(
     spark: SparkSession, sf_dir: str
@@ -2581,10 +2632,40 @@ def eval_spearman_value_vs_time(
             scaled_long("value", 100).alias("s"),
             F.unix_micros("ts").alias("t_us"),
         )
+        .withColumn("th", F.expr("t_us div 3600000000"))
     )
-    ranked = ev.select(
-        F.row_number().over(Window.orderBy("s", "event_id")).alias("rs"),
-        F.row_number().over(Window.orderBy("t_us", "event_id")).alias("rt"),
+
+    def grid_before(key):
+        grid = ev.groupBy(key).agg(F.count(F.lit(1)).alias("n_g"))
+        return grid.select(
+            key,
+            F.coalesce(
+                F.sum("n_g").over(
+                    Window.orderBy(key).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias(f"before_{key}"),
+        )
+
+    ranked = (
+        ev.join(grid_before("s"), "s")
+        .join(grid_before("th"), "th")
+        .select(
+            (
+                F.col("before_s")
+                + F.row_number().over(
+                    Window.partitionBy("s").orderBy("event_id")
+                )
+            ).alias("rs"),
+            (
+                F.col("before_th")
+                + F.row_number().over(
+                    Window.partitionBy("th").orderBy("t_us", "event_id")
+                )
+            ).alias("rt"),
+        )
     )
     d = F.col("rs") - F.col("rt")
     agg = ranked.agg(

@@ -4054,8 +4054,13 @@ def graph_hits_hubs_authorities(
         h = hr.crossJoin(F.broadcast(hm)).select(
             "u", F.expr("raw * 1000000 div m").cast("long").alias("h")
         )
+    # Top-5 via orderBy+limit (distributed TakeOrdered), then the rank
+    # column re-derived over the 5-row result — the only global window
+    # left has a constant-bounded input.
     top_h = (
-        h.select(
+        h.orderBy(F.col("h").desc(), "u")
+        .limit(5)
+        .select(
             F.lit("hub").alias("side"),
             F.col("u").alias("node_id"),
             F.col("h").alias("score_ppm"),
@@ -4064,10 +4069,11 @@ def graph_hits_hubs_authorities(
             .cast("long")
             .alias("rk"),
         )
-        .where(F.col("rk") <= 5)
     )
     top_a = (
-        a.select(
+        a.orderBy(F.col("a").desc(), "p")
+        .limit(5)
+        .select(
             F.lit("authority").alias("side"),
             F.col("p").alias("node_id"),
             F.col("a").alias("score_ppm"),
@@ -4076,7 +4082,6 @@ def graph_hits_hubs_authorities(
             .cast("long")
             .alias("rk"),
         )
-        .where(F.col("rk") <= 5)
     )
     return top_h.unionByName(top_a).orderBy("side", "rk")
 
