@@ -502,6 +502,30 @@ def graph_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer grid BEFORE any cross-row aggregation (functions/parity.py).
 
 
+def _grid_before(df: DataFrame, key: str, descending: bool = False) -> DataFrame:
+    """Rows in strictly-earlier key groups, per group — the bounded-grid
+    half of the global-rank decomposition (SCALE.md §26):
+    rank = n_before(key) + row_number PARTITIONED by key. Returns
+    (gk_<key>, before_<key>); the caller must join NULL-SAFELY
+    (eqNullSafe) so a NULL key group keeps its rows instead of being
+    dropped by null-unsafe equality (round-7 review finding), and the
+    window's asc/desc null placement (Spark: NULLS FIRST asc, NULLS
+    LAST desc) matches the global window this replaces."""
+    order = F.col(key).desc() if descending else F.col(key)
+    grid = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_g"))
+    return grid.select(
+        F.col(key).alias(f"gk_{key}"),
+        F.coalesce(
+            F.sum("n_g").over(
+                Window.orderBy(order).rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias(f"before_{key}"),
+    )
+
+
 def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The eval_* family's canonical scored stream (see the shared-
     conventions note above): events restricted to {purchase, view},
@@ -653,27 +677,18 @@ def eval_lift_gain_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank = rows in strictly-higher score groups + rank within this
     # score group (event_id order). The grid window input is the
     # bounded quantized-cents domain; the within-group window hashes
-    # on s — nothing single-task at any scale.
-    grid = scored.groupBy("s").agg(F.count(F.lit(1)).alias("n_s"))
-    before = grid.select(
-        "s",
-        F.coalesce(
-            F.sum("n_s").over(
-                Window.orderBy(F.col("s").desc()).rowsBetween(
-                    Window.unboundedPreceding, -1
-                )
-            ),
-            F.lit(0),
-        ).alias("n_before"),
-    )
+    # on s — nothing single-task at any scale. Null-safe join so a
+    # NULL-score group (ranked NULLS LAST by the desc window, like the
+    # ntile this replaces) keeps its rows.
+    before = _grid_before(scored, "s", descending=True)
     totals = scored.agg(F.count(F.lit(1)).alias("n_all"))
     with_rn = (
-        scored.join(before, "s")
+        scored.join(before, F.col("s").eqNullSafe(F.col("gk_s")))
         .crossJoin(F.broadcast(totals))
         .select(
             "y",
             (
-                F.col("n_before")
+                F.col("before_s")
                 + F.row_number().over(
                     Window.partitionBy("s").orderBy("event_id")
                 )
@@ -2635,23 +2650,17 @@ def eval_spearman_value_vs_time(
         .withColumn("th", F.expr("t_us div 3600000000"))
     )
 
-    def grid_before(key):
-        grid = ev.groupBy(key).agg(F.count(F.lit(1)).alias("n_g"))
-        return grid.select(
-            key,
-            F.coalesce(
-                F.sum("n_g").over(
-                    Window.orderBy(key).rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias(f"before_{key}"),
-        )
-
+    # Null-safe joins: a NULL value (s) or NULL ts (th) forms its own
+    # grid group, ranked NULLS FIRST by the ascending windows exactly
+    # like the global row_numbers this replaces.
     ranked = (
-        ev.join(grid_before("s"), "s")
-        .join(grid_before("th"), "th")
+        ev.join(
+            _grid_before(ev, "s"), F.col("s").eqNullSafe(F.col("gk_s"))
+        )
+        .join(
+            _grid_before(ev, "th"),
+            F.col("th").eqNullSafe(F.col("gk_th")),
+        )
         .select(
             (
                 F.col("before_s")

@@ -77,7 +77,11 @@ def main() -> None:
     splits = ("1m", "128m") if "--splits" in sys.argv else (None, None)
     sf_dir = SF_DIR
     if "--sf" in sys.argv:
-        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+        idx = sys.argv.index("--sf")
+        if idx + 1 >= len(sys.argv):
+            sys.exit("usage: invariance_sweep.py [--staged] [--splits] "
+                     "[--sf SF_DIR]")
+        sf_dir = sys.argv[idx + 1]
 
     from etl_intraday_bidask_spark.registry import load_all_operators
     from etl_intraday_bidask_spark.session import build_spark
