@@ -170,6 +170,7 @@ STAGED_AUDITED = [
     (STAGED_R8, "eval_recall_at_k_per_user"),
     (STAGED_R8, "eval_mrr_first_purchase"),
     (STAGED_R8, "eval_lift_gain_deciles"),
+    (STAGED_R8, "eval_spearman_value_vs_time"),
     (STAGED_R8, "sample_negative_hard_mining"),
     (STAGED_R8, "feature_target_encode_loo"),
     (STAGED_R8, "sample_group_kfold"),
