@@ -290,7 +290,17 @@ def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def win_range_frame_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    r = orders.select("o_orderkey", cents.alias("price_cents"))
+    full = orders.select("o_orderkey", cents.alias("price_cents"))
+    # A NULL ordering key forms its own peer group in a RANGE frame
+    # (the window form counts each null row's frame as the null peer
+    # set); the bucket join below is null-unsafe and would silently
+    # drop those rows instead (round-7 review class — fixtures are
+    # null-free, so this is a semantics guarantee, not a fixture fix).
+    r = full.where(F.col("price_cents").isNotNull())
+    nulls = full.where(F.col("price_cents").isNull())
+    null_part = nulls.crossJoin(
+        F.broadcast(nulls.agg(F.count(F.lit(1)).alias("n_near")))
+    ).select("o_orderkey", "price_cents", "n_near")
     probe = r.withColumn(
         "cand_bucket",
         F.explode(
@@ -313,6 +323,7 @@ def win_range_frame_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "price_cents")
         .agg(F.count(F.lit(1)).alias("n_near"))
+        .unionByName(null_part)
         .orderBy("o_orderkey")
     )
 

@@ -185,3 +185,62 @@ def test_join_anti_nonvacuous(spark, tmp_path):
         assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols)
     finally:
         vcon.close()
+
+
+def test_range_frame_dist_keeps_null_key_peer_group(spark):
+    """The bucketed twin must reproduce the window form's NULL-key
+    semantics: a NULL ordering key forms its own peer group in a
+    RANGE frame (each null row's frame = the null peers), while a
+    null-unsafe bucket join silently drops those rows (round-7 review
+    class; fixtures are null-free, so this is pinned on a synthetic
+    frame). Device-level check of the same null-union construction
+    win_range_frame_dist carries."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rows = [(1, 100), (2, 500), (3, None), (4, 600), (5, None), (6, 100150)]
+    full = spark.createDataFrame(rows, "o_orderkey int, price_cents long")
+    w = Window.orderBy("price_cents").rangeBetween(-100000, Window.currentRow)
+    anchor = sorted(
+        map(
+            tuple,
+            full.select(
+                "o_orderkey", F.count(F.lit(1)).over(w).alias("n_near")
+            ).collect(),
+        )
+    )
+    r = full.where(F.col("price_cents").isNotNull())
+    nulls = full.where(F.col("price_cents").isNull())
+    null_part = nulls.crossJoin(
+        F.broadcast(nulls.agg(F.count(F.lit(1)).alias("n_near")))
+    ).select("o_orderkey", "n_near")
+    probe = r.withColumn(
+        "cand",
+        F.explode(
+            F.array(
+                F.expr("price_cents div 100000"),
+                F.expr("price_cents div 100000") - 1,
+            )
+        ),
+    )
+    build = r.select(
+        F.expr("price_cents div 100000").alias("b"),
+        F.col("price_cents").alias("bc"),
+    )
+    dist = sorted(
+        map(
+            tuple,
+            probe.join(
+                build,
+                (probe.cand == build.b)
+                & (F.col("bc") >= F.col("price_cents") - 100000)
+                & (F.col("bc") <= F.col("price_cents")),
+            )
+            .groupBy("o_orderkey")
+            .agg(F.count(F.lit(1)).alias("n_near"))
+            .unionByName(null_part)
+            .collect(),
+        )
+    )
+    assert anchor == dist, "null peer group lost by the bucketed twin"
+    assert len(dist) == 6, "null-key rows must not be dropped"
