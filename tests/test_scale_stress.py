@@ -173,7 +173,10 @@ def test_stream_sliding_append_oracle_parity_10x(spark, duck_big, big_dir):
 from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
 
 
-def staged_parity_10x(spark, duck_big, big_dir, name):
+def wave_b_parity_10x(spark, duck_big, big_dir, name):
+    # Renamed (round-7 fix): a later spec-taking staged_parity_10x for
+    # waves D-G shadowed this string-keyed wave-B form, breaking the
+    # three call sites below with 'str has no spark_fn'.
     spec = STAGED[name]
     df = spec.spark_fn(spark, big_dir)
     s_rows, s_cols = df.collect(), df.columns
@@ -194,7 +197,7 @@ def test_active_users_oracle_parity_10x(spark, duck_big, big_dir):
     the distinct (day,user) grain grows 5x and every rolling count must
     still match the range-join oracle exactly — proves the bounded
     explode is lossless, not just fast."""
-    n = staged_parity_10x(spark, duck_big, big_dir, "events_active_users_rolling")
+    n = wave_b_parity_10x(spark, duck_big, big_dir, "events_active_users_rolling")
     assert n > 0
 
 
@@ -202,7 +205,7 @@ def test_cms_heavy_hitters_oracle_parity_10x(spark, duck_big, big_dir):
     """Count-Min at 10x traffic and 5x users: heavier cells, more
     collisions — estimates and overcounts must stay hash-identical to
     DuckDB's recomputation of the same sketch."""
-    n = staged_parity_10x(spark, duck_big, big_dir, "agg_heavy_hitters_cms")
+    n = wave_b_parity_10x(spark, duck_big, big_dir, "agg_heavy_hitters_cms")
     assert n == 10
 
 
@@ -210,7 +213,7 @@ def test_transition_matrix_oracle_parity_10x(spark, duck_big, big_dir):
     """Markov transitions over 1M events with 37 µs-staggered replica
     timestamps: per-user sequences interleave replicas tightly, so any
     tie-break divergence in the lag ordering shows up as a count shift."""
-    n = staged_parity_10x(spark, duck_big, big_dir, "cep_transition_matrix")
+    n = wave_b_parity_10x(spark, duck_big, big_dir, "cep_transition_matrix")
     assert n > 0
 
 
@@ -506,9 +509,14 @@ def test_spill_identical_results_under_memory_pressure():
     import sys as _sys
 
     env = dict(_os.environ)
+    # 768m (not 512m): the tight child needs GC headroom beyond the
+    # 300 MB reserved floor — at 512m the verification re-sort pushed
+    # it into GC-overhead failure when the whole slow battery ran
+    # concurrently (round-7 flake). 2M rows keeps every workload
+    # spilling at this heap with margin on both sides.
     env.update(
-        SPARK_GRAFT_SPILL_ROWS="1500000",
-        SPARK_GRAFT_SPILL_TIGHT="512m",
+        SPARK_GRAFT_SPILL_ROWS="2000000",
+        SPARK_GRAFT_SPILL_TIGHT="768m",
         SPARK_GRAFT_SPILL_ROOMY="4g",
     )
     tool = _os.path.join(
