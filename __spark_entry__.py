@@ -282,6 +282,69 @@ _DEFER_NEW_R7 = [
 ]
 
 
+# Wave D, activated in round 8: the 50 staged_r8 operators (the
+# ML-evaluation / feature-engineering surface). All 50 are
+# never-driver-graded, so they occupy the entire round-8 50-slot
+# window. Ordering puts the two re-planned fact-grain ops first
+# (lift/gain deciles and Spearman-vs-time — both decomposed from a
+# global rank window into grid-cumulative + within-cell rank per
+# SCALE.md §26, with the plain window SQL kept as the oracle) so
+# their first driver grades double as re-plan verification; the rest
+# follow in staged insertion order.
+_DEFER_NEW_R8 = [
+    "eval_lift_gain_deciles",
+    "eval_spearman_value_vs_time",
+    "eval_auc_exact",
+    "eval_threshold_sweep",
+    "eval_calibration_bins",
+    "feature_multi_horizon",
+    "orders_little_law_identity",
+    "graph_two_hop_reach",
+    "eval_pr_auc_exact",
+    "eval_ks_statistic",
+    "eval_f1_threshold_sweep",
+    "eval_group_auc_by_dow",
+    "eval_psi_score_drift",
+    "eval_information_value_bins",
+    "eval_mcnemar_paired_rules",
+    "eval_mrr_first_purchase",
+    "eval_recall_at_k_per_user",
+    "feature_target_encode_loo",
+    "sample_group_kfold",
+    "sample_time_series_cv_expanding",
+    "eval_entity_split_leakage",
+    "feature_missingness_profile",
+    "feature_hashed_cross_bucket",
+    "churn_label_weekly",
+    "eval_auc_bootstrap_ci",
+    "eval_ndcg_at5_per_user",
+    "eval_brier_binned",
+    "eval_expected_calibration_error",
+    "eval_calibration_per_segment",
+    "feature_chi2_independence",
+    "eval_slice_balance_audit",
+    "eval_auc_rank_identity",
+    "eval_regression_metrics_exact",
+    "eval_auc_delta_champion",
+    "eval_label_flip_sensitivity",
+    "eval_ab_srm_check",
+    "embed_dim_variance_topk",
+    "embed_centroid_shift_drift",
+    "corpus_length_psi_drift",
+    "orders_forecast_pinball_loss",
+    "eval_decile_boundary_drift",
+    "feature_time_since_last_bucket",
+    "corpus_split_contamination",
+    "feature_session_position",
+    "eval_catalog_coverage_topk",
+    "eval_exposure_gini_topk",
+    "sample_negative_hard_mining",
+    "feature_pit_rfm_snapshot",
+    "feature_serving_freshness_age",
+    "feature_count_encode_type_hour",
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -371,6 +434,16 @@ def rotation_order(
             for i, n in enumerate(_DEFER_NEW_R7)
         }
     )
+    deferred.update(
+        {
+            n: len(_DEFER_NEW_R4)
+            + len(_DEFER_NEW_R5)
+            + len(_DEFER_NEW_R6)
+            + len(_DEFER_NEW_R7)
+            + i
+            for i, n in enumerate(_DEFER_NEW_R8)
+        }
+    )
     return sorted(
         keys,
         key=lambda k: (
@@ -391,7 +464,11 @@ def _ordered_registry():
     assert not missing, f"priority list names unknown operators: {missing}"
     missing_defer = [
         n
-        for n in _DEFER_NEW_R4 + _DEFER_NEW_R5 + _DEFER_NEW_R6 + _DEFER_NEW_R7
+        for n in _DEFER_NEW_R4
+        + _DEFER_NEW_R5
+        + _DEFER_NEW_R6
+        + _DEFER_NEW_R7
+        + _DEFER_NEW_R8
         if n not in registry
     ]
     assert not missing_defer, (

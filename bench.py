@@ -203,11 +203,13 @@ def main() -> None:
         "floor_sec_per_query": floor,
         "marginal_suite_wall": suite_marginal,
     }
-    if live_anchor:
-        d_suite = round(sum(live_anchor.values()), 4)
-        result["duckdb_suite_wall_live"] = d_suite
-        result["suite_wall_ratio"] = round(suite_wall / d_suite, 2)
-        result["suite_marginal_ratio"] = round(suite_marginal / d_suite, 2)
+    # Ratio key regimes (VERDICT r7 item 4): the _hist ratios come FIRST
+    # and `suite_wall_ratio` aliases the hist reading — rounds 1-6
+    # recorded hist-based ratios under that bare name, and round 7's
+    # switch to the live anchor made the recorded series jump regimes
+    # (3.08 hist vs 6.73 live for identical Spark walls). Both regimes
+    # stay as explicitly-named keys; the bare key is the cross-round
+    # continuity series.
     if hist:
         d_suite = sum(hist.values()) / 1000.0
         result["duckdb_suite_wall_hist"] = round(d_suite, 4)
@@ -215,11 +217,43 @@ def main() -> None:
         result["suite_marginal_ratio_hist"] = round(
             suite_marginal / d_suite, 2
         )
+        result["suite_wall_ratio"] = result["suite_wall_ratio_hist"]
+        result["suite_marginal_ratio"] = result["suite_marginal_ratio_hist"]
+    if live_anchor:
+        d_suite = round(sum(live_anchor.values()), 4)
+        result["duckdb_suite_wall_live"] = d_suite
+        result["suite_wall_ratio_live"] = round(suite_wall / d_suite, 2)
+        result["suite_marginal_ratio_live"] = round(
+            suite_marginal / d_suite, 2
+        )
+        result.setdefault("suite_wall_ratio", result["suite_wall_ratio_live"])
+        result.setdefault(
+            "suite_marginal_ratio", result["suite_marginal_ratio_live"]
+        )
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
-            {**result, "queries_marginal": marginal, "queries_detail": detail},
+            {
+                **result,
+                "queries_marginal": marginal,
+                "queries_detail": detail,
+                # ADVICE r7: make the anchor methodology attributable.
+                # The live DuckDB anchors are timed sequentially AFTER
+                # all Spark timed runs, in the same process, with the
+                # Spark JVM still resident — transient machine load does
+                # NOT cancel between the two phases, and resident-JVM
+                # background threads can bias the DuckDB medians. Ratio
+                # shifts between rounds should be read against this
+                # regime note before being attributed to engine changes;
+                # the _hist anchors are a fixed 2026-08-13 measurement.
+                "measurement_regime": (
+                    "spark timed first (warmed session, median of "
+                    f"{runs}), duckdb live anchors timed after, same "
+                    "process, spark JVM resident; hist anchors fixed "
+                    "2026-08-13"
+                ),
+            },
             f,
             indent=1,
         )

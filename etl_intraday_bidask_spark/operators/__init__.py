@@ -57,6 +57,16 @@ from etl_intraday_bidask_spark.operators import staged_r7  # noqa: E402
 
 activate_staged(staged_r7.STAGED_R7)
 
+# Round 8: activate wave D — the 50 staged_r8 operators (the
+# ML-evaluation and feature-engineering surface: exact ROC/PR-AUC by
+# integer rank algebra, calibration, drift, CV-fold and leakage
+# audits; parity-tested at sf0.001/0.01/0.1, fuzz-battered,
+# cross-asserted, plan-audited since round 5/6; the round-7 review's
+# null-safe grid-rank decompositions are in). SURVEY.md §2.30.
+from etl_intraday_bidask_spark.operators import staged_r8  # noqa: E402
+
+activate_staged(staged_r8.STAGED_R8)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

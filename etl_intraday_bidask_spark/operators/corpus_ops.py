@@ -254,6 +254,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |distinct tokens| is doc-local: a narrow size() on the doc row
     # replaces the postings re-aggregation — one docs-grain exchange
     # fewer and no second aggregation pass over the exploded postings.
+    # NULL-text equivalence (ADVICE r7): unlike the old explode+groupBy
+    # form, this emits a NULL-n row for a NULL-text doc (and -1 under
+    # spark.sql.legacy.sizeOfNull) — harmless HERE because sz is only
+    # consumed via inner joins from tok-derived doc_ids (a NULL-text doc
+    # never appears in tok) and the fixture is null-free, but any new
+    # consumer with outer-join or null-predicate semantics must filter
+    # text IS NOT NULL first.
     sz = docs.select(
         "doc_id",
         F.size(F.array_distinct(F.split("text", " ")))

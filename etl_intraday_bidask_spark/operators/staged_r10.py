@@ -1244,20 +1244,26 @@ def stream_incremental_batches(
     "bidask_glosten_harris_decomp",
     oracle_sql="""
         WITH signed AS (
-            SELECT ts, event_id,
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ts, event_id,
                    CAST(round(value * 100) AS BIGINT) AS p,
                    CASE WHEN CAST(round(value * 100) AS BIGINT)
                              > lag(CAST(round(value * 100) AS BIGINT))
-                               OVER (ORDER BY ts, event_id) THEN 1
+                               OVER (PARTITION BY CAST(date_trunc('day', ts)
+                                         AS DATE)
+                                     ORDER BY ts, event_id) THEN 1
                         WHEN CAST(round(value * 100) AS BIGINT)
                              < lag(CAST(round(value * 100) AS BIGINT))
-                               OVER (ORDER BY ts, event_id) THEN -1
+                               OVER (PARTITION BY CAST(date_trunc('day', ts)
+                                         AS DATE)
+                                     ORDER BY ts, event_id) THEN -1
                         ELSE 0 END AS q
             FROM events WHERE event_type = 'purchase'
         ), obs AS (
-            SELECT p - lag(p) OVER (ORDER BY ts, event_id) AS dp,
+            SELECT p - lag(p) OVER (PARTITION BY d
+                       ORDER BY ts, event_id) AS dp,
                    q,
-                   q - lag(q) OVER (ORDER BY ts, event_id) AS dq
+                   q - lag(q) OVER (PARTITION BY d
+                       ORDER BY ts, event_id) AS dq
             FROM signed
         ), m AS (
             SELECT CAST(count(*) AS BIGINT) AS n,
@@ -1306,20 +1312,28 @@ def stream_incremental_batches(
     "system in 128-bit integers and Cramer ratios as unrounded "
     "float chains — the same exact-normal-equations machinery as "
     "agg_ols_normal_equations, aimed at the microstructure "
-    "question Kyle-lambda (wave C) answers only half of. One "
-    "ordered window + reduce.",
+    "question Kyle-lambda (wave C) answers only half of. The "
+    "ordered windows (sign lag, dp/dq lags) all PARTITION BY DAY "
+    "(each session's first trade contributes no observation — the "
+    "standard intraday-regression convention, and the "
+    "bidask_volume_clock bounded-sequential-span shape, so the sort "
+    "distributes across days); the Gram reduction is global.",
 )
 def bidask_glosten_harris_decomp(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    w = Window.orderBy("ts", "event_id")
+    w = Window.partitionBy("d").orderBy("ts", "event_id")
     signed = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
         .select(
-            "ts", "event_id", scaled_long("value", 100).alias("p")
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
+            "ts",
+            "event_id",
+            scaled_long("value", 100).alias("p"),
         )
         .select(
+            "d",
             "ts",
             "event_id",
             "p",

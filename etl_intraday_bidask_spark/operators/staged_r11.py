@@ -1708,9 +1708,10 @@ def events_interval_union_coverage(
                CAST(s.n_users + CASE t.timeout_min
                     WHEN 10 THEN s.g10 WHEN 30 THEN s.g30
                     ELSE s.g60 END AS BIGINT) AS n_sessions,
-               CAST(s.n_events * 100 // (s.n_users + CASE t.timeout_min
-                    WHEN 10 THEN s.g10 WHEN 30 THEN s.g30
-                    ELSE s.g60 END) AS BIGINT)
+               CAST(s.n_events * 100
+                    // nullif(s.n_users + CASE t.timeout_min
+                          WHEN 10 THEN s.g10 WHEN 30 THEN s.g30
+                          ELSE s.g60 END, 0) AS BIGINT)
                    AS events_per_session_x100
         FROM stats s
         CROSS JOIN (VALUES (10), (30), (60)) AS t(timeout_min)
@@ -1766,9 +1767,12 @@ def sessionize_timeout_sensitivity(
         .select(
             F.col("timeout_min").cast("long").alias("timeout_min"),
             (F.col("n_users") + g).cast("long").alias("n_sessions"),
+            # ANSI armor (ADVICE r7): sessions = users + gaps is 0 only
+            # on an empty events fixture, but Spark ANSI div would ERROR
+            # there while DuckDB // yields NULL — nullif on both engines.
             F.expr(
-                "n_events * 100 div (n_users + CASE timeout_min"
-                " WHEN 10 THEN g10 WHEN 30 THEN g30 ELSE g60 END)"
+                "n_events * 100 div nullif(n_users + CASE timeout_min"
+                " WHEN 10 THEN g10 WHEN 30 THEN g30 ELSE g60 END, 0)"
             )
             .cast("long")
             .alias("events_per_session_x100"),

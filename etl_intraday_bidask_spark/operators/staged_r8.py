@@ -1,6 +1,6 @@
-"""STAGED round-8 operators (wave D seeds) — implemented and
-parity-tested, NOT registered, NOT part of the round-6 (wave B) or
-round-7 (wave C) activation windows.
+"""Wave D operators — staged through rounds 5-7, ACTIVATED in round 8
+(registered via ``registry.activate_staged`` in ``operators/__init__``
+and pinned as the round-8 grading window, SURVEY.md §2.30).
 
 Theme: the ML-evaluation and feature-engineering surface a
 training-data engine needs once models consume its output — exact

@@ -840,30 +840,34 @@ def bidask_amihud_illiquidity(
     "bidask_vpin_volume_buckets",
     oracle_sql="""
         WITH signed AS (
-            SELECT ts, event_id,
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d, ts, event_id,
                    CAST(round(value * 100) AS BIGINT) AS cents,
                    CASE WHEN CAST(round(value * 100) AS BIGINT)
                              > lag(CAST(round(value * 100) AS BIGINT))
-                               OVER (ORDER BY ts, event_id)
+                               OVER (PARTITION BY CAST(date_trunc('day', ts)
+                                         AS DATE)
+                                     ORDER BY ts, event_id)
                         THEN 1
                         WHEN CAST(round(value * 100) AS BIGINT)
                              < lag(CAST(round(value * 100) AS BIGINT))
-                               OVER (ORDER BY ts, event_id)
+                               OVER (PARTITION BY CAST(date_trunc('day', ts)
+                                         AS DATE)
+                                     ORDER BY ts, event_id)
                         THEN -1 ELSE 0 END AS sign
             FROM events WHERE event_type = 'purchase'
         ), bucketed AS (
-            SELECT sign, cents,
-                   (sum(cents) OVER (ORDER BY ts, event_id)
+            SELECT d, sign, cents,
+                   (sum(cents) OVER (PARTITION BY d ORDER BY ts, event_id)
                     - cents) // 500000 AS bucket
             FROM signed
         ), per_bucket AS (
-            SELECT bucket,
+            SELECT d, bucket,
                    CAST(sum(CASE WHEN sign = 1 THEN cents ELSE 0 END)
                         AS BIGINT) AS buy_v,
                    CAST(sum(CASE WHEN sign = -1 THEN cents ELSE 0 END)
                         AS BIGINT) AS sell_v,
                    CAST(sum(cents) AS BIGINT) AS total_v
-            FROM bucketed GROUP BY bucket
+            FROM bucketed GROUP BY d, bucket
         )
         SELECT CAST(count(*) AS BIGINT) AS n_buckets,
                CAST(sum(abs(buy_v - sell_v)) AS BIGINT)
@@ -881,25 +885,30 @@ def bidask_amihud_illiquidity(
     "volume clock, so bursty flow gets proportionally more buckets), "
     "and the flow-toxicity reading is the bucket-average |buy - "
     "sell| imbalance over volume in floor bp — the metric that "
-    "spiked before the flash crash. The prefix sum uses the "
-    "pre-row convention (sum - cents, trade assigned to the bucket "
-    "its volume STARTS in), one global ordered window over the "
-    "purchase stream (bounded; at lake scale it partitions by day "
-    "like bidask_volume_clock). All exact integers.",
+    "spiked before the flash crash. The tick-rule sign and the "
+    "volume-clock prefix sum both PARTITION BY DAY (sign resets at "
+    "the session open, buckets reset daily — the same bounded-"
+    "sequential-span compromise bidask_volume_clock implements, so "
+    "the ordered window distributes across days instead of "
+    "single-tasking the whole tape); the prefix sum uses the pre-row "
+    "convention (sum - cents, trade assigned to the bucket its "
+    "volume STARTS in). All exact integers.",
 )
 def bidask_vpin_volume_buckets(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    w = Window.orderBy("ts", "event_id")
+    w = Window.partitionBy("d").orderBy("ts", "event_id")
     signed = (
         load(spark, sf_dir, "events")
         .where(F.col("event_type") == "purchase")
         .select(
+            F.to_date(F.date_trunc("day", "ts")).alias("d"),
             "ts",
             "event_id",
             scaled_long("value", 100).alias("cents"),
         )
         .select(
+            "d",
             "ts",
             "event_id",
             "cents",
@@ -912,14 +921,15 @@ def bidask_vpin_volume_buckets(
         )
     )
     bucketed = signed.select(
+        "d",
         "sign",
         "cents",
         F.expr(
-            "(sum(cents) over (order by ts, event_id) - cents) "
-            "div 500000"
+            "(sum(cents) over (partition by d order by ts, event_id)"
+            " - cents) div 500000"
         ).alias("bucket"),
     )
-    per_bucket = bucketed.groupBy("bucket").agg(
+    per_bucket = bucketed.groupBy("d", "bucket").agg(
         F.sum(F.when(F.col("sign") == 1, F.col("cents")).otherwise(0))
         .cast("long")
         .alias("buy_v"),
@@ -3804,6 +3814,7 @@ def bidask_intraday_u_profile(
     oracle_sql="""
         WITH gaps AS (
             SELECT CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY CAST(date_trunc('day', ts) AS DATE)
                        ORDER BY ts, event_id)) AS BIGINT) AS g
             FROM events
         ), moments AS (
@@ -3829,21 +3840,27 @@ def bidask_intraday_u_profile(
                END AS burstiness_index
         FROM moments
     """,
-    description="Inter-arrival burstiness of the global event stream: "
+    description="Inter-arrival burstiness of the event stream: "
     "CV^2 of microsecond gaps from exact power sums (n*S2 - S1^2 "
     "over S1^2 — the population CV^2 written so no mean rational "
     "exists until the final float chain) and the Goh-Barabasi "
     "burstiness index (CV-1)/(CV+1) in its CV^2 form — CV^2 = 1 is "
     "Poisson, >1 bursty (humans), <1 pacemaker-regular (bots; "
     "dq_bot_regularity_detect is the per-user version of the same "
-    "physics). S2 accumulates through 128-bit (gaps reach 1e7 us; "
-    "squares overflow int64 at corpus scale). One ordered window "
-    "+ reduce.",
+    "physics). The gap window PARTITIONS BY DAY (overnight/cross-day "
+    "gaps excluded — the standard intraday-burstiness convention, "
+    "and the bidask_volume_clock bounded-sequential-span shape, so "
+    "the sort distributes across days instead of single-tasking the "
+    "tape); the power sums then reduce globally. S2 accumulates "
+    "through 128-bit (gaps reach 1e7 us; squares overflow int64 at "
+    "corpus scale).",
 )
 def events_interarrival_burstiness(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    w = Window.orderBy("ts", "event_id")
+    w = Window.partitionBy(
+        F.to_date(F.date_trunc("day", "ts"))
+    ).orderBy("ts", "event_id")
     gaps = load(spark, sf_dir, "events").select(
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias(
             "g"

@@ -324,6 +324,68 @@ def test_ordered_small_tails_have_no_range_sort(spark):
         assert "Sort" in plan, f"{name}: presentation sort missing"
 
 
+# The ordered_small call-site contract (ADVICE r7): coalesce(1) is safe
+# ONLY for results whose cardinality is bounded by schema semantics, and
+# nothing structural enforces that — so every caller is pinned here with
+# its semantic bound. A new `.transform(ordered_small, ...)` on a
+# data-scaling result will fail test_ordered_small_callers_pinned until
+# it is listed, forcing the bound argument to be made explicitly.
+ORDERED_SMALL_CALLERS = {
+    # op -> (schema-semantics bound, why)
+    "agg_pricing_summary": (8, "returnflag x linestatus domain"),
+    "agg_rollup": (64, "rollup of 5 priorities x 2 statuses + subtotals"),
+    "json_get": (8, "5 event types"),
+    "join_broadcast_dims": (25, "nations domain"),
+}
+
+
+def test_ordered_small_callers_pinned(spark):
+    """Every ordered_small call site in the package must be one of the
+    pinned bounded-output ops, and each pinned op's result must actually
+    sit under its schema-semantics bound at fixture SF — a caller on a
+    result that scales with data fails the source scan until its bound
+    is argued here."""
+    import glob
+    import os
+
+    import etl_intraday_bidask_spark as pkg_mod
+
+    pkg = os.path.dirname(os.path.abspath(pkg_mod.__file__))
+    calling_files = set()
+    for path in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        rel = os.path.relpath(path, pkg)
+        if rel == os.path.join("plans", "ordering.py"):
+            continue
+        with open(path) as f:
+            src = f.read()
+        # Count identifier uses beyond the import line — catches both
+        # direct calls and the .transform(ordered_small, ...) form.
+        import re
+
+        lines = [
+            ln
+            for ln in src.splitlines()
+            if "import" not in ln or "ordered_small" not in ln
+        ]
+        if any(re.search(r"\bordered_small\b", ln) for ln in lines):
+            calling_files.add(rel)
+    expected_files = {
+        os.path.join("operators", "aggregates.py"),
+        os.path.join("operators", "scalar_funcs.py"),
+        os.path.join("operators", "joins.py"),
+    }
+    assert calling_files == expected_files, (
+        "ordered_small call sites moved — re-argue each new caller's "
+        f"cardinality bound in ORDERED_SMALL_CALLERS: {calling_files}"
+    )
+    for name, (bound, why) in ORDERED_SMALL_CALLERS.items():
+        n = REGISTRY[name].spark_fn(spark, SF_SMALL).count()
+        assert n <= bound, (
+            f"{name}: {n} rows exceeds its ordered_small bound {bound} "
+            f"({why}) — coalesce(1) is no longer safe here"
+        )
+
+
 def test_doc_local_stats_stay_narrow(spark):
     """SCALE.md §23: doc-local statistics must not regress to the
     explode + re-aggregate shape. text_entropy_token (run-length fold)

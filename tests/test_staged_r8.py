@@ -1,6 +1,9 @@
-"""Parity tests for the STAGED round-8 wave D seeds
-(operators/staged_r8.py) — same harness as tests/test_staged_r6/7.py,
-separate dict so earlier activations can't over-register."""
+"""Parity tests for wave D (operators/staged_r8.py).
+
+Staged through rounds 5-7, ACTIVATED in round 8 — the registry-driven
+sweeps now cover these ops too; this file keeps the direct
+oracle-parity drive plus the activation guard that pins the round-8
+window composition."""
 
 from __future__ import annotations
 
@@ -29,14 +32,25 @@ def test_staged_r8_parity(spark, duck_small, name):
     )
 
 
-def test_staged_r8_not_registered():
+def test_wave_d_activated():
+    """Round 8 activated wave D: all 50 staged_r8 ops are in the global
+    registry with their exact staged specs, and the wave is exactly the
+    driver's 50-slot window (every key never-graded as of r07,
+    everything else green r1-r7)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
     from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
     from etl_intraday_bidask_spark.registry import load_all_operators
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED_R8) & set(registry))
-    assert not leaked, f"wave D leaked into the registry: {leaked}"
+    assert len(STAGED_R8) == 50
+    missing = sorted(set(STAGED_R8) - set(registry))
+    assert not missing, f"wave-D ops not activated: {missing}"
+    for name, spec in STAGED_R8.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R8) == set(STAGED_R8), (
+        "_DEFER_NEW_R8 and the staged wave diverge"
+    )
     overlap = sorted(set(STAGED_R8) & (set(STAGED) | set(STAGED_R7)))
     assert not overlap, f"wave D collides with earlier waves: {overlap}"
 
