@@ -22,7 +22,7 @@ from etl_intraday_bidask_spark.functions.parity import (
 )
 from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 
 @register(
@@ -56,26 +56,39 @@ from etl_intraday_bidask_spark.tables import load
     "All money aggregates via exact scaled-integer sums (parity policy).",
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            exact_sum("l_quantity", 100).alias("sum_qty"),
-            exact_sum("l_extendedprice", 100).alias("sum_base_price"),
-            exact_sum(disc_price, 10000).alias("sum_disc_price"),
-            exact_sum(charge, 1000000).alias("sum_charge"),
-            exact_avg("l_quantity", 100).alias("avg_qty"),
-            exact_avg("l_extendedprice", 100).alias("avg_price"),
-            exact_avg("l_discount", 100).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
-        # ≤ 12 groups (returnflag × linestatus): presentation order via
-        # ordered_small — no range-sampling job (plans/ordering.py).
-        .transform(ordered_small, "l_returnflag", "l_linestatus")
-    )
+    # SQL-text body (round-8 dispatch-floor work): the previous Column
+    # chain cost ~100 py4j round trips (~1 ms each) of pure driver-side
+    # construction per call; one spark.sql parse builds the IDENTICAL
+    # logical plan JVM-side. Expressions mirror functions/parity.py:
+    # scaled_long == FLOOR(x * s + 0.5D), exact_sum == CAST(SUM(...) AS
+    # DOUBLE)/s, exact_avg divides by COUNT(1) afterwards — textually
+    # congruent with the DuckDB oracle above.
+    li = view(spark, sf_dir, "lineitem")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(FLOOR(l_quantity * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D AS sum_qty,
+               CAST(SUM(FLOOR(l_extendedprice * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D AS sum_base_price,
+               CAST(SUM(FLOOR(l_extendedprice * (1.0D - l_discount)
+                              * 10000.0D + 0.5D)) AS DOUBLE)
+                   / 10000.0D AS sum_disc_price,
+               CAST(SUM(FLOOR(l_extendedprice * (1.0D - l_discount)
+                              * (1.0D + l_tax) * 1000000.0D + 0.5D))
+                    AS DOUBLE) / 1000000.0D AS sum_charge,
+               CAST(SUM(FLOOR(l_quantity * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D / COUNT(1) AS avg_qty,
+               CAST(SUM(FLOOR(l_extendedprice * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D / COUNT(1) AS avg_price,
+               CAST(SUM(FLOOR(l_discount * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D / COUNT(1) AS avg_disc,
+               COUNT(1) AS count_order
+        FROM {li}
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """).transform(ordered_small, "l_returnflag", "l_linestatus")
+    # ≤ 12 groups (returnflag × linestatus): presentation order via
+    # ordered_small — no range-sampling job (plans/ordering.py).
 
 
 @register(
@@ -133,23 +146,20 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="ROLLUP subtotals over priority × status.",
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    return (
-        orders.rollup("o_orderpriority", "o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            exact_sum("o_totalprice", 100).alias("sum_price"),
-        )
-        .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("pri"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            "n_orders",
-            "sum_price",
-        )
-        # ROLLUP over two bounded dims (≤ ~5×4 leaves + subtotals):
-        # ordered_small, not a range sort (plans/ordering.py).
-        .transform(ordered_small, "pri", "status")
-    )
+    # SQL-text body (round-8 dispatch-floor work, see agg_pricing_summary):
+    # one JVM-side parse replaces ~30 py4j Column round trips; the logical
+    # plan is identical. ROLLUP over two bounded dims (≤ ~5×4 leaves +
+    # subtotals): ordered_small, not a range sort (plans/ordering.py).
+    orders = view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS pri,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               COUNT(1) AS n_orders,
+               CAST(SUM(FLOOR(o_totalprice * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D AS sum_price
+        FROM {orders}
+        GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """).transform(ordered_small, "pri", "status")
 
 
 @register(

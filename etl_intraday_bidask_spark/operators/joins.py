@@ -20,7 +20,7 @@ from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum, sca
 
 from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 
 @register(
@@ -43,41 +43,40 @@ from etl_intraday_bidask_spark.tables import load
     "revenue by nation for ASIA since 1996 (TPC-H Q5 shape).",
 )
 def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer")
-    nation = load(spark, sf_dir, "nation")
-    region = load(spark, sf_dir, "region")
     # Dim-side-first shape: the ASIA filter reaches region/nation BEFORE
     # customer joins them, so the broadcast the fact table probes holds
     # only ASIA customers (~1/5 of the dim) projected to (key, n_name).
     # At 100 TB the orders side never sees a row it will discard, and the
     # one fact-side broadcast join pays a 5x smaller hash table than
     # chaining 3 broadcasts through the fact table (measured ~10% wall at
-    # sf0.1, and the win grows with the customer dim).
-    dim = (
-        customer.join(
-            F.broadcast(
-                nation.join(
-                    F.broadcast(region.where(F.col("r_name") == "ASIA")),
-                    F.col("n_regionkey") == F.col("r_regionkey"),
-                )
-            ),
-            F.col("c_nationkey") == F.col("n_nationkey"),
+    # sf0.1, and the win grows with the customer dim). SQL-text body
+    # (round-8 dispatch-floor work, see agg_pricing_summary): identical
+    # logical plan — BROADCAST hints on the same sides F.broadcast
+    # marked. ≤ 25 nation groups: ordered_small tail, no range sort.
+    orders = view(spark, sf_dir, "orders")
+    customer = view(spark, sf_dir, "customer")
+    nation = view(spark, sf_dir, "nation")
+    region = view(spark, sf_dir, "region")
+    return spark.sql(f"""
+        WITH asia AS (
+            SELECT r_regionkey FROM {region} WHERE r_name = 'ASIA'
+        ),
+        nr AS (
+            SELECT /*+ BROADCAST(asia) */ n_nationkey, n_name
+            FROM {nation} JOIN asia ON n_regionkey = r_regionkey
+        ),
+        dim AS (
+            SELECT /*+ BROADCAST(nr) */ c_custkey, n_name
+            FROM {customer} JOIN nr ON c_nationkey = n_nationkey
         )
-        .select("c_custkey", "n_name")
-    )
-    return (
-        orders.where(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            exact_sum("o_totalprice", 100).alias("revenue"),
-        )
-        # ≤ 25 nation groups: presentation order via ordered_small —
-        # no range-sampling job (plans/ordering.py).
-        .transform(ordered_small, "n_name")
-    )
+        SELECT /*+ BROADCAST(dim) */ n_name,
+               COUNT(1) AS n_orders,
+               CAST(SUM(FLOOR(o_totalprice * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D AS revenue
+        FROM {orders} JOIN dim ON o_custkey = c_custkey
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY n_name
+    """).transform(ordered_small, "n_name")
 
 
 @register(
@@ -265,39 +264,37 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     "depend on the fixture having no duplicate timestamps.",
 )
 def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("ts"),
-        F.lit(None).cast("double").alias("purchase_value"),
-        F.col("value").alias("view_value"),
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        F.col("ts"),
-        F.col("value").alias("purchase_value"),
-        F.lit(None).cast("double").alias("view_value"),
-        F.lit(1).alias("side"),
-    )
     # At equal ts the view sorts first (side 0 < 1) → inclusive "at-or-
     # before" semantics, matching DuckDB ASOF (ON p.ts >= v.ts).
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "side", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        views.unionByName(purchases)
-        .withColumn(
-            "prior_view_value", F.last("view_value", ignorenulls=True).over(w)
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): identical union + ordered-window plan, one
+    # parse round trip instead of ~60 py4j Column calls.
+    ev = view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        WITH u AS (
+            SELECT event_id, user_id, ts,
+                   CAST(NULL AS DOUBLE) AS purchase_value,
+                   value AS view_value, 0 AS side
+            FROM {ev} WHERE event_type = 'view'
+            UNION ALL
+            SELECT event_id, user_id, ts,
+                   value AS purchase_value,
+                   CAST(NULL AS DOUBLE) AS view_value, 1 AS side
+            FROM {ev} WHERE event_type = 'purchase'
+        ),
+        filled AS (
+            SELECT event_id, user_id, purchase_value, side,
+                   LAST(view_value, true) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS prior_view_value
+            FROM u
         )
-        .where(F.col("side") == 1)
-        .select("event_id", "user_id", "purchase_value", "prior_view_value")
-        .orderBy("event_id")
-    )
+        SELECT event_id, user_id, purchase_value, prior_view_value
+        FROM filled WHERE side = 1
+        ORDER BY event_id
+    """)
 
 
 @register(

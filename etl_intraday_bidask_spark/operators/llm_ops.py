@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_intraday_bidask_spark.functions.vector import as_double, cosine
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 JACCARD_THRESHOLD = 0.9  # validated on sf0.01: ≈2.5k pairs (fixtures §FIXTURES.md)
 COSINE_THRESHOLD = 0.35  # validated on sf0.01: same-label cosines top out ≈0.55
@@ -306,24 +306,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ANN variants.",
 )
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double("embedding").alias("v")
-    )
-    query = emb.where(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
-    sim = cosine(F.col("v"), F.col("qv"))
-    return (
-        emb.where(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id",
-            "label",
-            F.round(sim, 4).alias("cosine_sim"),
-            sim.alias("_raw_sim"),
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): the higher-order-function cosine is the
+    # same aggregate/zip_with fold functions/vector.py builds — one
+    # parse round trip instead of ~80 py4j Column calls; the ORDER BY
+    # ... LIMIT still compiles to TakeOrderedAndProject and the 1-row
+    # query side still broadcasts.
+    emb = view(spark, sf_dir, "embeddings")
+    return spark.sql(f"""
+        WITH e AS (
+            SELECT vec_id, label,
+                   CAST(embedding AS ARRAY<DOUBLE>) AS v
+            FROM {emb}
+        ),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        scored AS (
+            SELECT /*+ BROADCAST(q) */ vec_id, label,
+                   aggregate(zip_with(v, qv, (x, y) -> x * y), 0.0D,
+                             (acc, x) -> acc + x)
+                   / (SQRT(aggregate(v, 0.0D, (acc, x) -> acc + x * x))
+                      * SQRT(aggregate(qv, 0.0D,
+                                       (acc, x) -> acc + x * x)))
+                       AS sim
+            FROM e CROSS JOIN q
+            WHERE vec_id != 0
         )
-        .orderBy(F.col("_raw_sim").desc(), F.col("vec_id"))
-        .limit(KNN_TOP_K)
-        .drop("_raw_sim")
-    )
+        SELECT vec_id, label, ROUND(sim, 4) AS cosine_sim
+        FROM scored
+        ORDER BY sim DESC, vec_id
+        LIMIT {KNN_TOP_K}
+    """)
 
 
 @register(

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 
 @register(
@@ -133,26 +133,26 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(get_json_object), aggregated per event_type.",
 )
 def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    # Parse ONCE before the aggregate: referencing the extraction
-    # inside two agg functions evaluates the JSON path per function
-    # (no cross-aggregate subexpression elimination), doubling the
-    # parse cost that dominates this query's wall. Same parse-once
-    # lesson as the round-6 JSON crossover (BASELINE.md), applied to
-    # the graded op without changing its declared semantics.
-    parsed = ev.select(
-        "event_type",
-        F.get_json_object("props", "$.k").cast("int").alias("k"),
-    )
-    # Bounded output (5 event types): ordered_small replaces the
-    # global range sort — its boundary-sampling job + range exchange
-    # cost ~2 jobs ≈ 135 ms at sf0.1 to order a handful of rows
-    # (plans/ordering.py has the 100 TB argument).
+    # Parse ONCE before the aggregate (inner subquery): referencing the
+    # extraction inside two agg functions evaluates the JSON path per
+    # function (no cross-aggregate subexpression elimination), doubling
+    # the parse cost that dominates this query's wall (round-6 JSON
+    # crossover lesson). SQL-text body (round-8 dispatch-floor work,
+    # see agg_pricing_summary): identical logical plan, one parse
+    # round trip. Bounded output (5 event types): ordered_small
+    # replaces the global range sort (plans/ordering.py).
+    ev = view(spark, sf_dir, "events")
     return ordered_small(
-        parsed.groupBy("event_type").agg(
-            F.avg("k").alias("avg_k"),
-            F.max("k").cast("bigint").alias("max_k"),
-        ),
+        spark.sql(f"""
+            SELECT event_type, AVG(k) AS avg_k,
+                   CAST(MAX(k) AS BIGINT) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(get_json_object(props, '$.k') AS INT) AS k
+                FROM {ev}
+            )
+            GROUP BY event_type
+        """),
         "event_type",
     )
 
@@ -173,14 +173,18 @@ def json_get(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(text-analysis building block).",
 )
 def array_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
-    return (
-        docs.select("lang", F.explode(F.split("text", " ")).alias("token"))
-        .groupBy("lang", "token")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") > 5)
-        .orderBy("lang", "token")
-    )
+    # SQL-text body (round-8 dispatch-floor work, see agg_pricing_summary):
+    # identical logical plan, one parse round trip. The range sort stays —
+    # (lang, token) cardinality is data-dependent, so coalesce(1) would be
+    # dishonest at scale (the job-anatomy note in BASELINE.md).
+    docs = view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        SELECT lang, token, COUNT(1) AS n
+        FROM (SELECT lang, explode(split(text, ' ')) AS token FROM {docs})
+        GROUP BY lang, token
+        HAVING COUNT(1) > 5
+        ORDER BY lang, token
+    """)
 
 
 @register(

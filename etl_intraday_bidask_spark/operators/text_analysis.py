@@ -21,7 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 # Five of the corpus's highest-frequency tokens (FIXTURES.md vocabulary)
 # frozen as the stop-token list for quality scoring.
@@ -322,44 +322,45 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deleting the pair-grain exchange cut the sf0.1 wall ~40% and at
     # 100 TB removes the largest shuffle in the query (distinct
     # (doc, token) pairs ~= corpus token volume).
-    dtok = docs.select(
-        F.explode(
-            F.array_distinct(
-                F.filter(F.split("text", " "), lambda t: t != "")
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): identical plan — map-side array_distinct df
+    # branch, pruned+broadcast tf branch, broadcast n_docs scalar — in
+    # one parse round trip instead of ~120 py4j Column calls.
+    docs_v = view(spark, sf_dir, "documents")
+    return spark.sql(f"""
+        WITH dfreq AS (
+            SELECT token, COUNT(1) AS df
+            FROM (
+                SELECT explode(array_distinct(
+                           filter(split(text, ' '), t -> t != '')
+                       )) AS token
+                FROM {docs_v}
             )
-        ).alias("token")
-    )
-    dfreq = dtok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    tf10 = (
-        docs.where(F.col("doc_id") < 10)
-        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-        .where(F.col("token") != "")
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    scored = (
-        F.broadcast(tf10)
-        .join(dfreq, "token")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "token",
-            F.round(
-                F.col("tf")
-                * F.log(F.col("n_docs").cast("double") / F.col("df"))
-                * 10000
+            GROUP BY token
+        ),
+        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM {docs_v}),
+        tf10 AS (
+            SELECT doc_id, token, COUNT(1) AS tf
+            FROM (
+                SELECT doc_id, explode(split(text, ' ')) AS token
+                FROM {docs_v} WHERE doc_id < 10
             )
-            .cast("long")
-            .alias("s"),
+            WHERE token != ''
+            GROUP BY doc_id, token
+        ),
+        scored AS (
+            SELECT /*+ BROADCAST(tf10), BROADCAST(nd) */
+                   doc_id, token,
+                   CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df)
+                              * 10000) AS BIGINT) AS s
+            FROM tf10 JOIN dfreq USING (token) CROSS JOIN nd
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), F.col("token"))
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 5)
-        .select("doc_id", "token", (F.col("s") / 10000.0).alias("tfidf"), "rk")
-    )
+        SELECT doc_id, token, s / 10000.0D AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, token
+               ) AS rk
+        FROM scored
+    """).where(F.col("rk") <= 5)
 
 
 @register(

@@ -25,7 +25,7 @@ from etl_intraday_bidask_spark.functions.parity import (
     scaled_long,
 )
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 
 @register(
@@ -46,23 +46,26 @@ from etl_intraday_bidask_spark.tables import load
     "the intraday-bar aggregation; streaming twin uses the same window().",
 )
 def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            exact_sum("value", 100).alias("sum_value"),
-            exact_avg("value", 100).alias("avg_value"),
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): same window() tumbling aggregation, one
+    # parse round trip. The streaming twin (tests/test_streaming.py)
+    # keeps the DataFrame window() form — semantics are pinned equal.
+    ev = view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT unix_micros(w.start) AS bucket_us, event_type, n,
+               sum_value, avg_value
+        FROM (
+            SELECT window(ts, '1 hour') AS w, event_type,
+                   COUNT(1) AS n,
+                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
+                       / 100.0D AS sum_value,
+                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
+                       / 100.0D / COUNT(1) AS avg_value
+            FROM {ev}
+            GROUP BY window(ts, '1 hour'), event_type
         )
-        .select(
-            F.unix_micros("w.start").alias("bucket_us"),
-            "event_type",
-            "n",
-            "sum_value",
-            "avg_value",
-        )
-        .orderBy("bucket_us", "event_type")
-    )
+        ORDER BY bucket_us, event_type
+    """)
 
 
 @register(
@@ -138,23 +141,23 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is ≥ 30 min (Spark sessions are half-open [start, last+gap)).",
 )
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(
-            F.col("user_id"), F.session_window("ts", "30 minutes").alias("w")
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): same native session_window aggregation, one
+    # parse round trip. The streaming twin keeps the DataFrame form.
+    ev = view(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id, unix_micros(w.start) AS session_start_us,
+               n_events, sum_value
+        FROM (
+            SELECT user_id, session_window(ts, '30 minutes') AS w,
+                   COUNT(1) AS n_events,
+                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
+                       / 100.0D AS sum_value
+            FROM {ev}
+            GROUP BY user_id, session_window(ts, '30 minutes')
         )
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            exact_sum("value", 100).alias("sum_value"),
-        )
-        .select(
-            "user_id",
-            F.unix_micros("w.start").alias("session_start_us"),
-            "n_events",
-            "sum_value",
-        )
-        .orderBy("user_id", "session_start_us")
-    )
+        ORDER BY user_id, session_start_us
+    """)
 
 
 @register(

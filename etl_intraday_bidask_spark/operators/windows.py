@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, view
 
 
 @register(
@@ -41,20 +41,23 @@ from etl_intraday_bidask_spark.tables import load
     "tie-broken on o_orderkey for determinism).",
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
-        F.col("o_totalprice").desc(), F.col("o_orderkey")
-    )
-    return (
-        orders.select(
-            F.col("o_custkey").alias("c_custkey"),
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
+    # SQL-text body (round-8 dispatch-floor work, see
+    # agg_pricing_summary): identical rank-filter window plan, one
+    # parse round trip.
+    orders = view(spark, sf_dir, "orders")
+    return spark.sql(f"""
+        SELECT c_custkey, o_orderkey, o_totalprice, rn
+        FROM (
+            SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_totalprice DESC, o_orderkey
+                   ) AS rn
+            FROM {orders}
         )
-        .where(F.col("rn") <= 3)
-        .orderBy("c_custkey", "rn")
-    )
+        WHERE rn <= 3
+        ORDER BY c_custkey, rn
+    """)
 
 
 @register(

@@ -130,3 +130,37 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# Per-session memo of registered temp views over load()'s DataFrames.
+# Motive (round-8 dispatch-floor work): a query body built from ~50-150
+# pyspark.sql.functions/Column calls pays ~1 ms of py4j latency PER
+# CALL — 50-180 ms of pure driver-side construction per bench query,
+# often exceeding the execution time at sf0.1. A spark.sql() text is
+# ONE py4j round trip and parses JVM-side in a few ms, producing the
+# SAME logical plan for Catalyst. View names embed a hash of sf_dir so
+# two scale factors in one session can never alias each other's data.
+_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
+def view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Return a session temp-view name over ``load(spark, sf_dir, name)``.
+
+    Registered once per (session, sf_dir, table); the returned name is
+    deterministic (``{table}_v{md5(sf_dir)[:8]}``) and safe to splice
+    into a ``spark.sql`` text.
+    """
+    import hashlib
+
+    memo = _VIEW_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    if key in memo:
+        return memo[key]
+    vname = (
+        f"{name}_v{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    )
+    load(spark, sf_dir, name).createOrReplaceTempView(vname)
+    memo[key] = vname
+    return vname
