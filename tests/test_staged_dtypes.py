@@ -28,11 +28,13 @@ from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
 from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+from etl_intraday_bidask_spark.operators.staged_r12 import STAGED_R12
 from tests.conftest import SF_SMALL
 from tests.test_parity import _SPARK_KIND, _duck_kind
 
 ALL_STAGED = {}
-for _wave in (STAGED_R8, STAGED_R9, STAGED_R10, STAGED_R11):
+for _wave in (STAGED_R8, STAGED_R9, STAGED_R10, STAGED_R11,
+              STAGED_R12):
     ALL_STAGED.update(_wave)
 
 ORACLED = sorted(n for n, s in ALL_STAGED.items() if s.oracle_sql)

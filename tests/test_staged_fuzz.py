@@ -21,11 +21,12 @@ from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
 from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+from etl_intraday_bidask_spark.operators.staged_r12 import STAGED_R12
 
-# Merge waves C, D, E, F and G into the fuzz-drivable spec pool
-# (separate dicts by design; see staged_r7/8/9/10/11.py).
+# Merge waves C through H into the fuzz-drivable spec pool
+# (separate dicts by design; see staged_r7/8/9/10/11/12.py).
 _ALL_STAGED = {**STAGED, **STAGED_R7, **STAGED_R8, **STAGED_R9,
-               **STAGED_R10, **STAGED_R11}
+               **STAGED_R10, **STAGED_R11, **STAGED_R12}
 from tests.test_fuzz_parity import (
     _stage,
     docs_strategy,

@@ -185,6 +185,7 @@ from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
 from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
 from etl_intraday_bidask_spark.operators.staged_r10 import STAGED_R10
 from etl_intraday_bidask_spark.operators.staged_r11 import STAGED_R11
+from etl_intraday_bidask_spark.operators.staged_r12 import STAGED_R12
 
 _PY_MARKERS = (
     "BatchEvalPython",
@@ -204,9 +205,20 @@ _SKIP_PLAN = {
     "stream_incremental_batches",
     "stream_state_store_metrics",
     "sql_set_dedup_semantics",
+    # wave H: write-on-build roundtrips / streaming replays /
+    # driver-looping fixpoint — exercised by parity + direct pins
+    "source_binaryfile_manifest",
+    "sink_json_lines_partitioned",
+    "source_text_lines_census",
+    "scan_decimal_parquet_roundtrip",
+    "scan_partition_file_census",
+    "stream_chained_windows",
+    "stream_union_two_sources",
+    "graph_component_size_histogram",
 }
 
-_WAVE_DE = {**STAGED_R8, **STAGED_R9, **STAGED_R10, **STAGED_R11}
+_WAVE_DE = {**STAGED_R8, **STAGED_R9, **STAGED_R10, **STAGED_R11,
+            **STAGED_R12}
 
 
 @pytest.mark.parametrize(
