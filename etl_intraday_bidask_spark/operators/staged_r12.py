@@ -35,6 +35,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
+from etl_intraday_bidask_spark.functions.vector import (
+    int_dot,
+    int_norm2,
+    quantized,
+)
 from etl_intraday_bidask_spark.registry import QuerySpec, SparkFn
 from etl_intraday_bidask_spark.tables import load
 
@@ -1237,7 +1242,7 @@ def ts_variance_ratio_test(
                    + 0.5 * it.b
             FROM it JOIN daily d ON d.t = it.t + 1
         )
-        SELECT CAST(max(d.n) AS BIGINT) AS n_days,
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM daily) AS n_days,
                max(CASE WHEN it.t = d.n THEN it.l END) AS level,
                max(CASE WHEN it.t = d.n THEN it.b END) AS trend,
                max(CASE WHEN it.t = d.n THEN it.l + it.b END)
@@ -1276,7 +1281,7 @@ def ts_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold = F.expr(
         """
         aggregate(
-            slice(xs, 3, size(xs) - 2),
+            slice(xs, 3, greatest(size(xs) - 2, 0)),
             named_struct('l', xs[1], 'b', xs[1] - xs[0]),
             (s, x) -> named_struct(
                 'l', 0.5D * x + 0.5D * (s.l + s.b),
@@ -1285,11 +1290,18 @@ def ts_holt_linear_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
             s -> s)
         """
     )
+    # Degenerate-series guard (round-8 review): with < 2 days the
+    # init's xs[1] is an out-of-bounds ANSI error on Spark while the
+    # oracle's recursive CTE yields NULLs — gate the fold so both
+    # engines emit NULL level/trend/forecast.
+    ok = F.col("n_days") >= 2
     return series.select(
         "n_days",
-        fold.getField("l").alias("level"),
-        fold.getField("b").alias("trend"),
-        (fold.getField("l") + fold.getField("b")).alias("forecast_1"),
+        F.when(ok, fold.getField("l")).alias("level"),
+        F.when(ok, fold.getField("b")).alias("trend"),
+        F.when(
+            ok, fold.getField("l") + fold.getField("b")
+        ).alias("forecast_1"),
     )
 
 
@@ -2250,12 +2262,7 @@ def embed_pca_top2_deflation(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
-    q = emb.select(
-        F.transform(
-            "embedding",
-            lambda v: F.round(v.cast("double") * 1000.0).cast("long"),
-        ).alias("qv")
-    )
+    q = emb.select(quantized("embedding", 1000).alias("qv"))
     a = q.select("qv", F.posexplode("qv").alias("i", "qi"))
     b = a.select("i", "qi", F.posexplode("qv").alias("j", "qj"))
     g = b.groupBy(
@@ -2388,27 +2395,14 @@ def embed_pca_top2_deflation(
 )
 def knn_query_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda v: F.round(v.cast("double") * 10000.0).cast("long"),
-        ).alias("qv"),
+        "vec_id", "label", quantized("embedding", 10000).alias("qv")
     )
     queries = emb.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("q_id"), F.col("qv").alias("yv")
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("qv"), F.col("yv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    na2 = F.aggregate(
-        F.col("qv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
-    nb2 = F.aggregate(
-        F.col("yv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
+    dot = int_dot("qv", "yv")
+    na2 = int_norm2("qv")
+    nb2 = int_norm2("yv")
     scored = (
         emb.crossJoin(F.broadcast(queries))
         .where(F.col("vec_id") != F.col("q_id"))
@@ -2435,10 +2429,8 @@ def knn_query_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "label",
             F.round("sim", 4).alias("cosine_sim"),
             F.row_number().over(w).cast("long").alias("rk"),
-            F.col("sim").alias("_s"),
         )
         .where(F.col("rk") <= 3)
-        .drop("_s")
         .orderBy("q_id", "rk")
     )
 
@@ -2513,17 +2505,11 @@ def knn_query_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_quant_recall_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
+        quantized("embedding", 10000).alias("fv"),
         F.transform(
-            "embedding",
-            lambda v: F.round(v.cast("double") * 10000.0).cast("long"),
-        ).alias("fv"),
-        F.transform(
-            "embedding",
-            lambda v: F.greatest(
-                F.least(
-                    F.round(v.cast("double") * 127.0).cast("long"),
-                    F.lit(127).cast("long"),
-                ),
+            quantized("embedding", 127),
+            lambda q: F.greatest(
+                F.least(q, F.lit(127).cast("long")),
                 F.lit(-127).cast("long"),
             ),
         ).alias("iv"),
@@ -2532,24 +2518,17 @@ def embed_quant_recall_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fv").alias("yf"), F.col("iv").alias("yi")
     )
 
-    def idot(a, b):
-        return F.aggregate(
-            F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     scored = (
         emb.where(F.col("vec_id") != 0)
         .crossJoin(F.broadcast(q))
         .select(
             "vec_id",
-            idot("fv", "yf").alias("dotf"),
-            idot("fv", "fv").alias("naf"),
-            idot("yf", "yf").alias("nbf"),
-            idot("iv", "yi").alias("doti"),
-            idot("iv", "iv").alias("nai"),
-            idot("yi", "yi").alias("nbi"),
+            int_dot("fv", "yf").alias("dotf"),
+            int_norm2("fv").alias("naf"),
+            int_norm2("yf").alias("nbf"),
+            int_dot("iv", "yi").alias("doti"),
+            int_norm2("iv").alias("nai"),
+            int_norm2("yi").alias("nbi"),
         )
     )
     simf = F.col("dotf").cast("double") / (
@@ -2701,11 +2680,7 @@ def embed_hubness_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket")
     )
     qgrid = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda v: F.round(v.cast("double") * 10000.0).cast("long"),
-        ).alias("qv"),
+        "vec_id", quantized("embedding", 10000).alias("qv")
     ).join(buckets, "vec_id")
     a = qgrid.select(
         F.col("vec_id").alias("a_id"),
@@ -2717,17 +2692,9 @@ def embed_hubness_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").alias("b_bucket"),
         F.col("qv").alias("bv"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("av"), F.col("bv"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    na2 = F.aggregate(
-        F.col("av"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
-    nb2 = F.aggregate(
-        F.col("bv"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
+    dot = int_dot("av", "bv")
+    na2 = int_norm2("av")
+    nb2 = int_norm2("bv")
     pairs = a.join(
         b,
         (F.col("a_bucket") == F.col("b_bucket"))
@@ -3079,36 +3046,32 @@ def graph_scc_transition_bounded(
 @staged12(
     "dq_referential_census_all_fks",
     oracle_sql="""
+        -- count(col) forms (not sum(CASE)): count is 0 over an
+        -- empty child table where sum(CASE) is NULL — the Spark side
+        -- counts, so the oracle must too (caught by the fuzz battery
+        -- on an empty lineitem fixture).
         SELECT 'lineitem.l_orderkey->orders' AS fk,
                CAST(count(*) AS BIGINT) AS n_child_rows,
-               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 0 ELSE 1
-                    END) AS BIGINT) AS n_matched,
-               CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0
-                    END) AS BIGINT) AS n_orphans
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_matched,
+               CAST(count(*) - count(o.o_orderkey) AS BIGINT) AS n_orphans
         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
         UNION ALL
         SELECT 'lineitem.l_partkey->part',
                CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 0 ELSE 1
-                    END) AS BIGINT),
-               CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0
-                    END) AS BIGINT)
+               CAST(count(p.p_partkey) AS BIGINT),
+               CAST(count(*) - count(p.p_partkey) AS BIGINT)
         FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
         UNION ALL
         SELECT 'lineitem.l_suppkey->supplier',
                CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 0 ELSE 1
-                    END) AS BIGINT),
-               CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0
-                    END) AS BIGINT)
+               CAST(count(s.s_suppkey) AS BIGINT),
+               CAST(count(*) - count(s.s_suppkey) AS BIGINT)
         FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
         UNION ALL
         SELECT 'orders.o_custkey->customer',
                CAST(count(*) AS BIGINT),
-               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 0 ELSE 1
-                    END) AS BIGINT),
-               CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0
-                    END) AS BIGINT)
+               CAST(count(c.c_custkey) AS BIGINT),
+               CAST(count(*) - count(c.c_custkey) AS BIGINT)
         FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
         ORDER BY fk
     """,

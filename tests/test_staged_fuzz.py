@@ -133,6 +133,32 @@ EVENT_STAGED = [
     "sample_negative_hard_mining",
     "feature_multi_horizon",
     "graph_two_hop_reach",
+    # Wave H (round 8): window mechanics, exact nonparametric time
+    # series, microstructure wave 4, governance audits over events —
+    # degenerate fixtures exercise the div-by-zero armor (the n > 2
+    # Ljung-Box guard and the < 2-day Holt gate were written for
+    # exactly these inputs).
+    "win_frame_exclude_current",
+    "win_nth_from_last",
+    "win_reset_running_sum",
+    "win_mode_sliding",
+    "sql_order_by_all_nulls",
+    "set_symmetric_diff_census",
+    "agg_kendall_tau_daily",
+    "ts_ljung_box_q",
+    "ts_holt_linear_fold",
+    "ts_hurst_rs_daily",
+    "ts_subseries_median_profile",
+    "ts_variance_ratio_test",
+    "bidask_microprice_deviation",
+    "bidask_lee_ready_classify",
+    "bidask_effective_over_quoted",
+    "bidask_round_size_clustering",
+    "etl_late_data_impact",
+    "dq_monotonic_ts_audit",
+    "sample_block_bootstrap_days",
+    "graph_scc_transition_bounded",
+    "graph_triangle_participation",
     # Wave E (round 6): time-series/liquidity/attribution over events.
     "ts_stl_lite_hourly",
     "ts_changepoint_binseg",
@@ -212,6 +238,17 @@ DOC_STAGED = [
     "dedup_lsh_band_sweep",
 ]
 
+# Wave-H doc-driven additions (round 8)
+DOC_STAGED_H = [
+    "text_word_length_profile",
+    "text_token_gini_by_lang",
+    "text_rake_keyword_lite",
+    "corpus_dedup_survivorship_matrix",
+    "corpus_heaps_law_checkpoints",
+    "corpus_length_quantiles_by_source",
+    "multimodal_mime_sniff_census",
+]
+
 # Wave-G doc-driven additions (round 7)
 DOC_STAGED_G = [
     "text_hapax_legomena_ratio",
@@ -225,6 +262,13 @@ DOC_STAGED_G = [
 ]
 
 ORDER_STAGED = [
+    # Wave H (round 8)
+    "sql_distinct_on_emulation",
+    "sql_exists_flag_projection",
+    "join_tier_range_dim",
+    "dq_schema_drift_typed",
+    "etl_scd2_integrity_audit",
+    "gov_t_closeness_audit",
     "orders_growth_contribution",
     "orders_repurchase_interval",
     "orders_cohort_ltv_curve",
@@ -291,6 +335,9 @@ ORDER_STAGED = [
 # makes the OLS normal equations singular on every example — exactly the
 # det==0 guard this list exists to exercise.
 LINEITEM_STAGED = [
+    # Wave H (round 8)
+    "lineitem_charge_reconcile_ties",
+    "dq_referential_census_all_fks",
     "parts_safety_stock_plan",
     "parts_eoq_reorder_point",
     "parts_demand_intermittency",
@@ -396,7 +443,7 @@ def test_staged_doc_ops_fuzzed(spark, tmp_path_factory, rows):
     variant = _stage(
         str(tmp_path_factory.mktemp("sfuzz_doc")), "documents", tbl
     )
-    _assert_staged_parity(spark, variant, DOC_STAGED + DOC_STAGED_G)
+    _assert_staged_parity(spark, variant, DOC_STAGED + DOC_STAGED_G + DOC_STAGED_H)
 
 
 @settings(**_SETTINGS)

@@ -223,6 +223,30 @@ def test_mode_sliding_tie_break_pinned(spark):
     )
     out = frame.where(F.col("event_id") == 4).select("fr").collect()[0]
     assert out["fr"] == ["a", "a", "b", "b", "c"]
+    # Drive the REAL op's fold on this synthetic frame by swapping the
+    # events table through the load memo, and assert the 2-2 tie at
+    # event 4 resolves to the lexicographically smaller type with the
+    # tied count — the strict-> incumbent comparison under test.
+    from etl_intraday_bidask_spark import tables
+
+    df_full = df.withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit('{"k": 1}')
+    )
+    memo = tables._LOAD_MEMO.setdefault(spark, {})
+    key = ("/synthetic/mode_pin", "events")
+    memo[key] = df_full
+    try:
+        rows = {
+            r["event_id"]: r.asDict()
+            for r in STAGED_R12["win_mode_sliding"]
+            .spark_fn(spark, "/synthetic/mode_pin")
+            .collect()
+        }
+    finally:
+        del memo[key]
+    assert rows[4]["mode_type"] == "a", "tie must go to the smaller type"
+    assert rows[4]["mode_n"] == 2
+    assert rows[1]["mode_type"] == "b" and rows[1]["mode_n"] == 2
     full = (
         STAGED_R12["win_mode_sliding"].spark_fn(spark, SF_SMALL).limit(1)
     )
