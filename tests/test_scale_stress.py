@@ -537,3 +537,53 @@ def test_spill_identical_results_under_memory_pressure():
     for w in ("agg_highcard", "join_sortmerge"):
         assert rec["workloads"][w]["disk_spilled_tight_mb"] > 0, (w, rec)
         assert rec["workloads"][w]["disk_spilled_roomy_mb"] == 0, (w, rec)
+
+
+# ---- wave H stress parity at ~sf1 (round 8) -------------------------
+
+from etl_intraday_bidask_spark.operators.staged_r12 import STAGED_R12
+
+
+def test_hurst_rs_integer_headroom_10x(spark, duck_big, big_dir):
+    """The n-scaled cumulative deviations at 10x: z-magnitudes grow
+    ~100x (n and per-day counts both 10x) — int64 headroom must hold
+    and the one float division still hash-matches."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R12["ts_hurst_rs_daily"]
+    )
+
+
+def test_variance_ratio_128bit_10x(spark, duck_big, big_dir):
+    """The 128-bit difference-square accumulation at 10x volume: the
+    scaled variances pass through DECIMAL(38,0)/HUGEINT and the div-1e6
+    descaled grades stay exact."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R12["ts_variance_ratio_test"]
+    )
+
+
+def test_t_closeness_emd_10x(spark, duck_big, big_dir):
+    """Cross-multiplied cumulative EMD at 10x orders: cum*N products
+    reach ~1e12 x 1e4 bp scaling — exact-int headroom and the densified
+    seg x band grid both survive."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R12["gov_t_closeness_audit"]
+    )
+
+
+def test_mode_sliding_fold_10x(spark, duck_big, big_dir):
+    """The run-length mode fold over ~1M 5-row frames: per-row constant
+    work, and the lexicographic tie-break stays deterministic across
+    the 10x layout."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R12["win_mode_sliding"]
+    )
+
+
+def test_rake_phrase_islands_10x(spark, duck_big, big_dir):
+    """Gaps-and-islands phrase extraction over the 10x corpus: island
+    ids stay doc-local and the top-10 tie-break (count desc, phrase)
+    is total, so the ranking hash-matches."""
+    staged_parity_10x(
+        spark, duck_big, big_dir, STAGED_R12["text_rake_keyword_lite"]
+    )

@@ -4,7 +4,7 @@
 operators (rank ties, iterative fixpoints, remainder allocations) on
 every suite run. This tool is the one-off CERTIFICATION companion: it
 runs EVERY registered operator — and, with --staged, every staged
-wave-D..G operator — twice at sf0.001 under deliberately different
+wave-E..H operator — twice at sf0.001 under deliberately different
 shuffle layouts (spark.sql.shuffle.partitions 3 vs 29) and compares
 strict-canonical results. An operator whose output depends on the
 physical partitioning would pass oracle parity at one fixed config and
@@ -96,8 +96,11 @@ def main() -> None:
         from etl_intraday_bidask_spark.operators.staged_r11 import (
             STAGED_R11,
         )
+        from etl_intraday_bidask_spark.operators.staged_r12 import (
+            STAGED_R12,
+        )
 
-        for wave in (STAGED_R8, STAGED_R9, STAGED_R10, STAGED_R11):
+        for wave in (STAGED_R9, STAGED_R10, STAGED_R11, STAGED_R12):
             for name, spec in wave.items():
                 specs[f"staged:{name}"] = spec
 
