@@ -3997,15 +3997,16 @@ def sample_block_bootstrap_days(
 @staged12(
     "source_binaryfile_manifest",
     oracle_sql=None,  # file mtimes/paths are environment — rows-only.
-    description="binaryFile source manifest: a shard directory of "
-    "binary payload files (written from the synthetic media table) "
-    "read back via spark.read.format('binaryFile'), graded as the "
-    "per-extension manifest census (file count, total/min/max "
-    "lengths) a shard-inventory job produces. Rows-only by nature: "
-    "the binaryFile source surfaces modificationTime and absolute "
-    "paths, which are environment, so no cross-engine oracle can "
-    "see the same table — the CENSUS columns themselves are "
-    "deterministic and pinned by a direct test instead "
+    description="binaryFile source manifest: a lang-partitioned shard "
+    "directory (written DISTRIBUTED — repartition on the partition "
+    "column gives exactly one text shard per lang, no driver-side "
+    "collect) read back via spark.read.format('binaryFile'), graded "
+    "as the per-lang manifest census (file count, total/min/max "
+    "byte lengths) a shard-inventory job produces. Rows-only by "
+    "nature: the binaryFile source surfaces modificationTime and "
+    "absolute paths, which are environment, so no cross-engine "
+    "oracle can see the same table — the CENSUS columns themselves "
+    "are deterministic and pinned to ground truth by a direct test "
     "(tests/test_staged_r12.py). Scale: binaryFile is the standard "
     "raw-media ingestion source; the manifest never reads payload "
     "bodies past their length.",
@@ -4017,45 +4018,37 @@ def source_binaryfile_manifest(
     import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="binshard_")
-    # Write a bounded, deterministic shard set: one text file per lang
-    # (payload = concatenated sorted doc texts), named by lang.
-    shards = (
-        docs.groupBy("lang")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("doc_id", "text"))
-                    ),
-                    lambda s: s.getField("text"),
-                ),
-                "\n",
-            ).alias("body")
-        )
-        .collect()
+    out = os.path.join(tempfile.mkdtemp(prefix="binshard_"), "shards")
+    # Write a bounded, deterministic shard set DISTRIBUTED: exactly one
+    # text file per lang (repartition by the partition column puts each
+    # lang in one task, so partitionBy emits one file per lang; line
+    # order inside a shard is irrelevant to the byte census). No
+    # driver-side collect — the write IS the executor-side shard job.
+    (
+        docs.select("lang", "text")
+        .repartition(5, "lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .text(out)
     )
-    for row in shards:
-        with open(os.path.join(out, f"{row['lang']}.txt"), "w") as f:
-            f.write(row["body"])
-    back = spark.read.format("binaryFile").load(out)
+    back = spark.read.format("binaryFile").option(
+        "recursiveFileLookup", "false"
+    ).load(os.path.join(out, "lang=*"))
     return (
         back.select(
-            F.element_at(F.split(F.col("path"), "/"), -1).alias("fname"),
+            F.regexp_extract(
+                F.col("path"), r"lang=([^/]+)", 1
+            ).alias("lang"),
             F.col("length"),
         )
-        .select(
-            F.element_at(F.split("fname", "\\."), -1).alias("ext"),
-            "length",
-        )
-        .groupBy("ext")
+        .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_files"),
             F.sum("length").cast("long").alias("total_bytes"),
             F.min("length").cast("long").alias("min_bytes"),
             F.max("length").cast("long").alias("max_bytes"),
         )
-        .orderBy("ext")
+        .orderBy("lang")
     )
 
 

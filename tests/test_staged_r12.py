@@ -66,27 +66,29 @@ def test_staged_r12_not_registered():
 
 def test_binaryfile_manifest_matches_ground_truth(spark):
     """Pin the rows-only binaryFile manifest to filesystem-independent
-    ground truth (house rule: rows-only ops carry a direct pin): the
-    per-extension totals must equal what the documents table implies
-    — 5 lang shards, total bytes = sum of text lengths + newline
-    separators."""
+    ground truth (house rule: rows-only ops carry a direct pin): one
+    shard file per lang, and each lang's byte total must equal
+    sum(n_chars) + n_docs (the text writer terminates every line with
+    one newline)."""
     import pyspark.sql.functions as F
 
     from etl_intraday_bidask_spark.tables import load
 
-    out = (
-        STAGED_R12["source_binaryfile_manifest"]
+    out = {
+        r["lang"]: r.asDict()
+        for r in STAGED_R12["source_binaryfile_manifest"]
         .spark_fn(spark, SF_SMALL)
         .collect()
-    )
-    assert len(out) == 1 and out[0]["ext"] == "txt"
+    }
     docs = load(spark, SF_SMALL, "documents")
     stats = docs.groupBy("lang").agg(
         F.sum("n_chars").alias("chars"), F.count(F.lit(1)).alias("n")
     ).collect()
-    expect_total = sum(r["chars"] + r["n"] - 1 for r in stats)
-    assert out[0]["n_files"] == len(stats)
-    assert out[0]["total_bytes"] == expect_total
+    assert len(out) == len(stats)
+    for r in stats:
+        got = out[r["lang"]]
+        assert got["n_files"] == 1, f"{r['lang']}: expected one shard"
+        assert got["total_bytes"] == r["chars"] + r["n"]
 
 
 def test_kendall_tau_pair_accounting(spark):
