@@ -297,3 +297,116 @@ def test_holt_fold_matches_python_recurrence(spark):
     assert row["level"] == lvl
     assert row["trend"] == tr
     assert row["forecast_1"] == lvl + tr
+
+
+def test_microprice_dev_bounded_by_half_spread(spark):
+    """|microprice - mid| can never exceed half the quoted spread (the
+    microprice is a convex combination of lo and hi) — a bound the
+    exact integer algebra must respect on every hour."""
+    rows = (
+        STAGED_R12["bidask_microprice_deviation"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        if r["microprice_dev_cents"] is not None:
+            half = (r["hi_cents"] - r["lo_cents"]) / 2.0
+            assert abs(r["microprice_dev_cents"]) <= half + 1e-9
+
+
+def test_effective_spread_within_quoted(spark):
+    """Every trade prints inside [lo, hi], so the effective/quoted
+    ratio is bounded by 10000 bp and the doubled effective sum by
+    n * 2 * quoted."""
+    rows = (
+        STAGED_R12["bidask_effective_over_quoted"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(rows) > 0
+    for r in rows:
+        if r["eff_over_quoted_bp"] is not None:
+            assert 0 <= r["eff_over_quoted_bp"] <= 10000
+        assert r["eff_sum_x2"] <= r["n_trades"] * 2 * r["quoted_cents"]
+
+
+def test_word_length_totals_match_gini_totals(spark):
+    """Cross-op identity: the word-length profile and the token Gini
+    both reduce the same non-empty token stream, so their per-lang
+    token totals must be equal."""
+    from collections import defaultdict
+
+    prof = defaultdict(int)
+    for r in (
+        STAGED_R12["text_word_length_profile"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    ):
+        prof[r["lang"]] += r["n_tokens"]
+    gini = {
+        r["lang"]: r["n_tokens"]
+        for r in STAGED_R12["text_token_gini_by_lang"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    }
+    assert dict(prof) == gini
+
+
+def test_heaps_checkpoints_monotone_and_complete(spark):
+    """Vocabulary size is nondecreasing in the doc-count cap, and the
+    final checkpoint equals the corpus-wide distinct token count."""
+    import pyspark.sql.functions as F
+
+    from etl_intraday_bidask_spark.tables import load
+
+    rows = sorted(
+        STAGED_R12["corpus_heaps_law_checkpoints"]
+        .spark_fn(spark, SF_SMALL)
+        .collect(),
+        key=lambda r: r["n_docs_cap"],
+    )
+    sizes = [r["vocab_size"] for r in rows]
+    assert sizes == sorted(sizes)
+    docs = load(spark, SF_SMALL, "documents")
+    vocab = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .where(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert sizes[-1] == vocab
+
+
+def test_scc_ids_and_sizes_consistent(spark):
+    """SCC ids are canonical minima (id <= every member, and the id
+    node belongs to its own component) and the size column is the
+    actual member count."""
+    from collections import Counter
+
+    rows = (
+        STAGED_R12["graph_scc_transition_bounded"]
+        .spark_fn(spark, SF_SMALL)
+        .collect()
+    )
+    assert len(rows) > 0
+    by_id = Counter(r["scc_id"] for r in rows)
+    nodes = {r["node"] for r in rows}
+    for r in rows:
+        assert r["scc_id"] <= r["node"]
+        assert r["scc_id"] in nodes
+        assert r["scc_size"] == by_id[r["scc_id"]]
+
+
+def test_late_data_dropped_monotone_in_watermark(spark):
+    """A longer watermark can only drop FEWER events — the sweep's
+    operating curve must be nonincreasing."""
+    rows = sorted(
+        STAGED_R12["etl_late_data_impact"]
+        .spark_fn(spark, SF_SMALL)
+        .collect(),
+        key=lambda r: r["wm_minutes"],
+    )
+    dropped = [r["n_dropped"] for r in rows]
+    assert dropped == sorted(dropped, reverse=True)
