@@ -2390,8 +2390,13 @@ def embed_pca_top2_deflation(
     "quantized to the exact 1e4 integer grid so every dot product "
     "and norm is an exact int64 and the similarity is one identical "
     "float chain on both engines (cross-engine float-sum ordering "
-    "never arises). Scale: queries broadcast; the rank partitions "
-    "by query over candidate rows.",
+    "never arises). Scale, honestly: here the candidate set per "
+    "query is the full (fixture-scale) corpus, so the per-query "
+    "rank window sees n rows; at 100 TB the batch probes an ANN "
+    "index first (knn_lsh_bucketed / IVF cells) and this SAME "
+    "one-scan + per-query-rank shape runs over the bounded "
+    "candidate lists — the batching pattern is what this op grades, "
+    "not brute-force at scale.",
 )
 def knn_query_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings").select(
