@@ -345,6 +345,83 @@ _DEFER_NEW_R8 = [
 ]
 
 
+# Wave E, activated in round 9: the 50 staged_r9 operators (time-series
+# diagnostics, liquidity microstructure, lake governance, attribution,
+# embedding-index audits). All 50 are never-driver-graded, so they
+# occupy the entire round-9 50-slot window. Ordering puts the two
+# re-planned global-tape ops first (VPIN volume buckets and
+# interarrival burstiness — both re-planned in round 8 from a global
+# time sort to day-partitioned windows, bidask_volume_clock's shape)
+# so their first driver grades double as re-plan verification; the
+# rest follow in staged insertion order.
+_DEFER_NEW_R9 = [
+    "bidask_vpin_volume_buckets",
+    "events_interarrival_burstiness",
+    "ts_backtest_linear_origins",
+    "ts_stl_lite_hourly",
+    "ts_changepoint_binseg",
+    "ts_spectral_goertzel_daily",
+    "ts_hampel_outliers",
+    "ts_mase_seasonal_naive",
+    "ts_seasonal_strength",
+    "bidask_amihud_illiquidity",
+    "bidask_garman_klass_vol",
+    "bidask_rv_signature_plot",
+    "bidask_trade_size_profile",
+    "gov_k_anonymity_census",
+    "gov_l_diversity_audit",
+    "gov_forget_cascade_audit",
+    "gov_partition_skew_audit",
+    "attr_time_decay",
+    "attr_position_u_shaped",
+    "attr_campaign_overlap",
+    "attr_incrementality_did",
+    "attr_markov_removal_effect",
+    "embed_sign_hamming_ann",
+    "embed_matryoshka_recall",
+    "embed_int4_quant_error",
+    "corpus_tokenizer_fertility",
+    "corpus_dup_threshold_curve",
+    "win_topk_with_ties",
+    "orders_order_to_cash_cycle",
+    "bidask_corwin_schultz_spread",
+    "ts_tracking_signal",
+    "attr_linear_multitouch",
+    "corpus_langid_confusion",
+    "gov_pseudonymize_consistent",
+    "gov_pii_exposure_scan",
+    "gov_access_tiering_plan",
+    "gov_column_profile_drift",
+    "orders_calendar_heatmap",
+    "dq_error_burst_poisson",
+    "join_trigram_fuzzy_names",
+    "orders_price_elasticity_bands",
+    "bidask_intraday_u_profile",
+    "graph_bipartite_projection",
+    "graph_hits_hubs_authorities",
+    "lineitem_return_rate_monthly",
+    "text_oov_rate_split",
+    "ts_pacf_lag2_exact",
+    "scan_metadata_size_audit",
+    "multimodal_binary_dedup",
+    "sql_unpivot_multi_measure",
+]
+
+
+# Every activated wave's defer list, in activation order. rotation_order
+# flattens the concatenation to break never-graded ties (each wave's
+# additions sort after the previous wave's); _ordered_registry asserts
+# every named key exists.
+_DEFER_WAVES = [
+    _DEFER_NEW_R4,
+    _DEFER_NEW_R5,
+    _DEFER_NEW_R6,
+    _DEFER_NEW_R7,
+    _DEFER_NEW_R8,
+    _DEFER_NEW_R9,
+]
+
+
 def _grading_history() -> dict[str, list[int]]:
     """Operator -> sorted rounds in which a CORRECTNESS_r*.json graded it,
     read from the repo root (next to this file, where the driver writes)."""
@@ -418,32 +495,12 @@ def rotation_order(
     Each round the driver grades the first 50 keys, so this rotates stale
     keys into the window automatically as CORRECTNESS files accumulate."""
     prio = {n: i for i, n in enumerate(_GRADING_PRIORITY)}
-    deferred = {n: i for i, n in enumerate(_DEFER_NEW_R4)}
-    deferred.update(
-        {n: len(_DEFER_NEW_R4) + i for i, n in enumerate(_DEFER_NEW_R5)}
-    )
-    deferred.update(
-        {
-            n: len(_DEFER_NEW_R4) + len(_DEFER_NEW_R5) + i
-            for i, n in enumerate(_DEFER_NEW_R6)
-        }
-    )
-    deferred.update(
-        {
-            n: len(_DEFER_NEW_R4) + len(_DEFER_NEW_R5) + len(_DEFER_NEW_R6) + i
-            for i, n in enumerate(_DEFER_NEW_R7)
-        }
-    )
-    deferred.update(
-        {
-            n: len(_DEFER_NEW_R4)
-            + len(_DEFER_NEW_R5)
-            + len(_DEFER_NEW_R6)
-            + len(_DEFER_NEW_R7)
-            + i
-            for i, n in enumerate(_DEFER_NEW_R8)
-        }
-    )
+    deferred = {
+        n: i
+        for i, n in enumerate(
+            name for wave in _DEFER_WAVES for name in wave
+        )
+    }
     return sorted(
         keys,
         key=lambda k: (
@@ -464,11 +521,8 @@ def _ordered_registry():
     assert not missing, f"priority list names unknown operators: {missing}"
     missing_defer = [
         n
-        for n in _DEFER_NEW_R4
-        + _DEFER_NEW_R5
-        + _DEFER_NEW_R6
-        + _DEFER_NEW_R7
-        + _DEFER_NEW_R8
+        for wave in _DEFER_WAVES
+        for n in wave
         if n not in registry
     ]
     assert not missing_defer, (

@@ -67,6 +67,17 @@ from etl_intraday_bidask_spark.operators import staged_r8  # noqa: E402
 
 activate_staged(staged_r8.STAGED_R8)
 
+# Round 9: activate wave E — the 50 staged_r9 operators (time-series
+# decomposition/forecast diagnostics, liquidity microstructure, lake
+# governance, marketing attribution, embedding-index audits; built
+# round 6, parity-tested at sf0.001/0.01/0.1, fuzz-battered,
+# cross-asserted, plan-audited; the round-8 re-plan made the two tape
+# ops — VPIN and interarrival burstiness — day-partitioned, so no
+# 100 TB tape ever sorts through one task). SURVEY.md §2.31.
+from etl_intraday_bidask_spark.operators import staged_r9  # noqa: E402
+
+activate_staged(staged_r9.STAGED_R9)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

@@ -1,5 +1,9 @@
-"""Parity tests + leak guard for the STAGED round-9 wave E
-(operators/staged_r9.py) — same harness as tests/test_staged_r6/7/8."""
+"""Parity tests for wave E (operators/staged_r9.py).
+
+Staged in round 6, ACTIVATED in round 9 — the registry-driven sweeps
+now cover these ops too; this file keeps the direct oracle-parity
+drive plus the activation guard that pins the round-9 window
+composition."""
 
 from __future__ import annotations
 
@@ -34,15 +38,26 @@ def test_staged_r9_parity(spark, duck_small, name):
     )
 
 
-def test_staged_r9_not_registered():
+def test_wave_e_activated():
+    """Round 9 activated wave E: all 50 staged_r9 ops are in the global
+    registry with their exact staged specs, and the wave is exactly the
+    driver's 50-slot window (every key never-graded as of r08,
+    everything else green r1-r8)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
     from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
     from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
     from etl_intraday_bidask_spark.registry import load_all_operators
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED_R9) & set(registry))
-    assert not leaked, f"wave E leaked into the registry: {leaked}"
+    assert len(STAGED_R9) == 50
+    missing = sorted(set(STAGED_R9) - set(registry))
+    assert not missing, f"wave-E ops not activated: {missing}"
+    for name, spec in STAGED_R9.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R9) == set(STAGED_R9), (
+        "_DEFER_NEW_R9 and the staged wave diverge"
+    )
     overlap = sorted(
         set(STAGED_R9)
         & (set(STAGED) | set(STAGED_R7) | set(STAGED_R8))
