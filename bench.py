@@ -219,6 +219,7 @@ def main() -> None:
         )
         result["suite_wall_ratio"] = result["suite_wall_ratio_hist"]
         result["suite_marginal_ratio"] = result["suite_marginal_ratio_hist"]
+        result["suite_wall_ratio_basis"] = "hist"
     if live_anchor:
         d_suite = round(sum(live_anchor.values()), 4)
         result["duckdb_suite_wall_live"] = d_suite
@@ -230,6 +231,11 @@ def main() -> None:
         result.setdefault(
             "suite_marginal_ratio", result["suite_marginal_ratio_live"]
         )
+        # ADVICE r8: the bare ratio keys mean hist-anchored when hist
+        # anchors exist but silently fell back to live-anchored when
+        # they don't (non-sf0.1 runs) — mark the regime machine-readably
+        # so downstream comparisons can reject cross-regime deltas.
+        result.setdefault("suite_wall_ratio_basis", "live")
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

@@ -548,7 +548,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("label", F.col("doc_id"))
     )
-    while True:
+    # Same cap rationale as graph_component_size_histogram: plain
+    # min-neighbor propagation is O(diameter) rounds, so a chain-shaped
+    # input would spin unboundedly; 200 rounds is far past any shingle
+    # near-dup cluster's diameter, and hitting the cap means the input
+    # needs the large-star/small-star contraction, not more rounds.
+    for _ in range(200):
         nmin = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy("src")
@@ -573,6 +578,12 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "dedup_connected_components: min-label propagation did not "
+            "converge in 200 rounds (graph diameter > 200); this input "
+            "needs the large-star/small-star contraction"
+        )
     sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
     # sizes is component-grain — worst case ~one component per doc, so
     # it scales with the corpus: no broadcast hint, the label equi-join

@@ -376,7 +376,7 @@ def win_nth_from_last(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         islands AS (
-            SELECT event_id, user_id, cents, reset,
+            SELECT event_id, user_id, ts, cents, reset,
                    sum(reset) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING) AS island
@@ -385,7 +385,7 @@ def win_nth_from_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id, CAST(island AS BIGINT) AS island,
                CAST(sum(CASE WHEN reset = 0 THEN cents ELSE 0 END)
                     OVER (PARTITION BY user_id, island
-                          ORDER BY event_id
+                          ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
                    AS running_cents
         FROM islands
@@ -421,13 +421,19 @@ def win_reset_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands = marked.select(
         "event_id",
         "user_id",
+        "ts",
         "cents",
         "reset",
         F.sum("reset").over(w_island).alias("island"),
     )
+    # The within-island accumulation visits rows in the SAME (ts,
+    # event_id) order that defined the islands — with event_id alone,
+    # an event_id not aligned with ts would make the 'running' sum
+    # visit rows in a different order than the reset semantics imply
+    # (round-8 ADVICE; fixtures are aligned, so values are unchanged).
     w_run = (
         Window.partitionBy("user_id", "island")
-        .orderBy("event_id")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return islands.select(
@@ -2918,7 +2924,14 @@ def graph_component_size_histogram(
         .distinct()
         .withColumn("label", F.col("x"))
     )
-    while True:
+    # Plain min-neighbor propagation converges in O(graph diameter)
+    # rounds, NOT the log-round large-star/small-star contraction — a
+    # chain-shaped input (a fuzz fixture can produce one) would spin
+    # this loop for its full length. Cap it: 200 rounds is orders of
+    # magnitude past any fixture diameter (hourly co-purchase cliques
+    # keep it in single digits), so hitting the cap means a pathological
+    # input that needs the contraction algorithm, not more rounds.
+    for _ in range(200):
         nmin = (
             edges.join(labels, edges.dst == labels.x)
             .groupBy("src")
@@ -2943,6 +2956,12 @@ def graph_component_size_histogram(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            "graph_component_size_histogram: min-label propagation did "
+            "not converge in 200 rounds (graph diameter > 200); this "
+            "input needs the large-star/small-star contraction"
+        )
     sizes = labels.groupBy("label").agg(
         F.count(F.lit(1)).cast("long").alias("sz")
     )
@@ -3998,6 +4017,29 @@ def sample_block_bootstrap_days(
 # Sources / sinks
 # ---------------------------------------------------------------------------
 
+# One scratch directory per (op tag, sf_dir) for the process lifetime,
+# removed at interpreter exit. The five roundtrip ops below write a full
+# table copy before reading it back; a fresh mkdtemp per INVOCATION
+# accumulated unbounded temp garbage across bench/fuzz/sweep runs.
+# Re-invocations overwrite in place (the written bytes are a pure
+# function of sf_dir, so even a not-yet-collected frame from an earlier
+# invocation reads equivalent data); distinct sf_dirs never share a dir.
+_SCRATCH_DIRS: dict[tuple[str, str], str] = {}
+
+
+def _scratch_dir(tag: str, sf_dir: str) -> str:
+    key = (tag, sf_dir)
+    path = _SCRATCH_DIRS.get(key)
+    if path is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix=f"{tag}_")
+        atexit.register(shutil.rmtree, path, ignore_errors=True)
+        _SCRATCH_DIRS[key] = path
+    return path
+
 
 @staged12(
     "source_binaryfile_manifest",
@@ -4020,10 +4062,9 @@ def source_binaryfile_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="binshard_"), "shards")
+    out = os.path.join(_scratch_dir("binshard", sf_dir), "shards")
     # Write a bounded, deterministic shard set DISTRIBUTED: exactly one
     # text file per lang (repartition by the partition column puts each
     # lang in one task, so partitionBy emits one file per lang; line
@@ -4083,12 +4124,11 @@ def sink_json_lines_partitioned(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     from pyspark.sql import types as T
 
     docs = load(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="sink_json_"), "docs_json")
+    out = os.path.join(_scratch_dir("sink_json", sf_dir), "docs_json")
     docs.write.mode("overwrite").partitionBy("lang").json(out)
     schema = T.StructType(
         [
@@ -4136,10 +4176,9 @@ def source_text_lines_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     docs = load(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="source_text_"), "lines")
+    out = os.path.join(_scratch_dir("source_text", sf_dir), "lines")
     docs.select("text").write.mode("overwrite").text(out)
     back = spark.read.text(out)
     return back.agg(
@@ -4179,10 +4218,9 @@ def scan_decimal_parquet_roundtrip(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="scan_dec_"), "orders_dec")
+    out = os.path.join(_scratch_dir("scan_dec", sf_dir), "orders_dec")
     orders.select(
         "o_orderkey",
         "o_orderstatus",
@@ -4227,10 +4265,9 @@ def scan_partition_file_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     import os
-    import tempfile
 
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="scan_part_"), "by_year")
+    out = os.path.join(_scratch_dir("scan_part", sf_dir), "by_year")
     orders.select(
         "o_custkey",
         F.year("o_orderdate").cast("long").alias("order_year"),

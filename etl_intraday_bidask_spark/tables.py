@@ -148,19 +148,27 @@ _VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
 def view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """Return a session temp-view name over ``load(spark, sf_dir, name)``.
 
-    Registered once per (session, sf_dir, table); the returned name is
-    deterministic (``{table}_v{md5(sf_dir)[:8]}``) and safe to splice
-    into a ``spark.sql`` text.
+    The returned name is deterministic (``{table}_v{md5(sf_dir)[:8]}``)
+    and safe to splice into a ``spark.sql`` text. The memo is keyed on
+    the IDENTITY of load()'s DataFrame, not just (sf_dir, table): if the
+    frame behind load() changes within a session (tests inject frames
+    into ``_LOAD_MEMO``; fuzz runs re-point a directory), the view is
+    re-registered over the new frame instead of silently serving stale
+    data — and because the name is deterministic per (sf_dir, table),
+    re-registration REPLACES the old view, so a long session never
+    accumulates temp views beyond one per distinct (sf_dir, table).
     """
     import hashlib
 
     memo = _VIEW_MEMO.setdefault(spark, {})
     key = (sf_dir, name)
-    if key in memo:
-        return memo[key]
+    df = load(spark, sf_dir, name)
+    cached = memo.get(key)
+    if cached is not None and cached[1] is df:
+        return cached[0]
     vname = (
         f"{name}_v{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
     )
-    load(spark, sf_dir, name).createOrReplaceTempView(vname)
-    memo[key] = vname
+    df.createOrReplaceTempView(vname)
+    memo[key] = (vname, df)
     return vname
