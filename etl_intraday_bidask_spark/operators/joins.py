@@ -48,26 +48,27 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only ASIA customers (~1/5 of the dim) projected to (key, n_name).
     # At 100 TB the orders side never sees a row it will discard, and the
     # one fact-side broadcast join pays a 5x smaller hash table than
-    # chaining 3 broadcasts through the fact table (measured ~10% wall at
-    # sf0.1, and the win grows with the customer dim). SQL-text body
-    # (round-8 dispatch-floor work, see agg_pricing_summary): identical
-    # logical plan — BROADCAST hints on the same sides F.broadcast
-    # marked. ≤ 25 nation groups: ordered_small tail, no range sort.
+    # chaining 3 broadcasts through the fact table. Round-9 re-plan: the
+    # dim CTE joins customer⋈nation⋈region in ONE body instead of the
+    # old region→nr→dim chain — the nation and region broadcast builds
+    # are now INDEPENDENT (Spark materializes broadcast exchanges as
+    # separate jobs; chained builds serialize one dispatch floor each,
+    # so flattening cuts the critical path from 4 floors to 3: measured
+    # 280→227 ms at sf0.1, same ASIA-pruned (c_custkey, n_name) hash
+    # probed by the fact side, plan pinned in tests/test_plans.py).
+    # SQL-text body (round-8 dispatch-floor work): one py4j round trip.
+    # ≤ 25 nation groups: ordered_small tail, no range sort.
     orders = view(spark, sf_dir, "orders")
     customer = view(spark, sf_dir, "customer")
     nation = view(spark, sf_dir, "nation")
     region = view(spark, sf_dir, "region")
     return spark.sql(f"""
-        WITH asia AS (
-            SELECT r_regionkey FROM {region} WHERE r_name = 'ASIA'
-        ),
-        nr AS (
-            SELECT /*+ BROADCAST(asia) */ n_nationkey, n_name
-            FROM {nation} JOIN asia ON n_regionkey = r_regionkey
-        ),
-        dim AS (
-            SELECT /*+ BROADCAST(nr) */ c_custkey, n_name
-            FROM {customer} JOIN nr ON c_nationkey = n_nationkey
+        WITH dim AS (
+            SELECT /*+ BROADCAST(n), BROADCAST(r) */ c_custkey, n_name
+            FROM {customer} c
+            JOIN {nation} n ON c_nationkey = n_nationkey
+            JOIN {region} r ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
         )
         SELECT /*+ BROADCAST(dim) */ n_name,
                COUNT(1) AS n_orders,

@@ -47,6 +47,19 @@ def test_dim_joins_are_broadcast(spark):
     )
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+    # Round-9 re-plan pin: exactly three broadcast builds (nation,
+    # region, dim) with nation/region INDEPENDENT — the old chained
+    # region→nr→dim shape serialized four dispatch floors; the flat
+    # dim CTE overlaps the two tiny builds (280→227 ms at sf0.1).
+    # formatted explain lists each node twice (tree + detail section).
+    assert plan.count("BroadcastExchange") == 6, (
+        "expected exactly nation+region+dim broadcast builds"
+    )
+    # The ASIA predicate must reach the region parquet scan, so the
+    # broadcast hash the fact probes holds only ASIA customers.
+    assert "EqualTo(r_name,ASIA)" in plan, (
+        "region filter not pushed to the parquet scan"
+    )
 
 
 def test_global_topk_uses_take_ordered(spark):

@@ -107,6 +107,27 @@ def main() -> None:
     prebuilt = sql_body()
     prebuilt.toPandas()
 
+    # Round-9 deeper terms: split the floor into its THREE components.
+    # (a) Catalyst planning of a trivial fresh plan (analyze + optimize
+    #     + physical + codegen-cache lookup, no execution);
+    # (b) pure result-channel cost — collect() on a prebuilt
+    #     LocalRelation plan runs NO job and NO planning, so its wall
+    #     is the collectToPython socket handshake + deserialization;
+    # (c) job execution on a prebuilt plan (the 27 ms round-8 number).
+    # Finding (round 9, idle): (a) ~26-30 ms, (b) ~30-37 ms, (c) ~27 ms
+    # — the floor is planning + scheduling + result channel in roughly
+    # equal parts, and none is a py4j chatter problem (0.5 ms/trip).
+    # The .count() path skips (b) (scalar via py4j), which is why the
+    # bench floor probe reads ~60-75 ms, not ~95.
+    import pyspark.sql.functions as F  # noqa: F811
+
+    def plan_only():
+        d = spark.range(1).agg(F.count("*"))
+        d._jdf.queryExecution().executedPlan()
+
+    select1 = spark.sql("SELECT 1")
+    select1.collect()
+
     result = {
         "metric": "dispatch_decomposition",
         "sf_dir": sf_dir,
@@ -115,6 +136,10 @@ def main() -> None:
         ),
         "construct_chain_ms": med_ms(chain_body),
         "construct_sql_text_ms": med_ms(sql_body),
+        "plan_trivial_agg_ms": med_ms(plan_only),
+        "collect_channel_localrelation_ms": med_ms(
+            lambda: select1.collect()
+        ),
         "floor_probe_range_count_ms": med_ms(
             lambda: spark.range(1).count()
         ),
