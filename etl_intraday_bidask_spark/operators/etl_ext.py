@@ -13,7 +13,6 @@ IS DuckDB-expressible and therefore a stronger check than rows-only.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -21,7 +20,7 @@ from pyspark.sql import types as T
 
 from etl_intraday_bidask_spark.functions.parity import exact_sum, scaled_long
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 
 @register(
@@ -43,7 +42,7 @@ from etl_intraday_bidask_spark.tables import load
 )
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="source_orc_"), "orders_orc")
+    out = os.path.join(scratch_dir("source_orc"), "orders_orc")
     orders.write.mode("overwrite").orc(out)
     back = spark.read.orc(out)
     return (
@@ -75,7 +74,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.mkdtemp(prefix="source_json_"), "customer_json")
+    out = os.path.join(scratch_dir("source_json"), "customer_json")
     customer.write.mode("overwrite").json(out)
     schema = T.StructType(
         [

@@ -26,7 +26,6 @@ partition).
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -34,7 +33,7 @@ from pyspark.sql import types as T
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 # sf_dir -> parquet path of the staged PERMISSIVE-parsed CSV read-back
 # (see scan_csv_permissive_corrupt: staged once per process, not per call).
@@ -126,7 +125,7 @@ def xml_parse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_partition_overwrite_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select("event_type", "value")
     out = os.path.join(
-        tempfile.mkdtemp(prefix="sink_dyn_overwrite_"), "events_by_type"
+        scratch_dir("sink_dyn_overwrite"), "events_by_type"
     )
     ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
     backfill = ev.filter(
@@ -209,7 +208,7 @@ def etl_quarantine_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
     )
     classified = orders.withColumn("route", route)
-    base = tempfile.mkdtemp(prefix="quarantine_route_")
+    base = scratch_dir("quarantine_route")
     clean_dir = os.path.join(base, "clean")
     quarantine_dir = os.path.join(base, "quarantine")
     classified.filter(F.col("route") == "ok").write.mode("overwrite").parquet(
@@ -265,7 +264,7 @@ def scan_csv_permissive_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     # grading/bench invocations reuse the same tempdir instead of leaking
     # a fresh mkdtemp + a never-unpersisted cache per call.
     if sf_dir not in _CSV_PERMISSIVE_STAGE:
-        base = tempfile.mkdtemp(prefix="csv_permissive_")
+        base = scratch_dir("csv_permissive")
         out = os.path.join(base, "cust_csv")
         parsed = os.path.join(base, "parsed_parquet")
         customer = load(spark, sf_dir, "customer")

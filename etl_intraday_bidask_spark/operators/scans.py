@@ -10,7 +10,6 @@ everything is the whole game.
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -18,7 +17,7 @@ from pyspark.sql import types as T
 
 from etl_intraday_bidask_spark.functions.parity import exact_sum
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 
 @register(
@@ -61,7 +60,7 @@ def scan_parquet_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
     out = os.path.join(
-        tempfile.mkdtemp(prefix="sink_parquet_"), "orders_by_status"
+        scratch_dir("sink_parquet"), "orders_by_status"
     )
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
@@ -83,7 +82,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = load(spark, sf_dir, "nation")
-    out = os.path.join(tempfile.mkdtemp(prefix="source_csv_"), "nation_csv")
+    out = os.path.join(scratch_dir("source_csv"), "nation_csv")
     nation.write.mode("overwrite").option("header", "true").csv(out)
     schema = T.StructType(
         [
@@ -119,7 +118,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    out = os.path.join(tempfile.mkdtemp(prefix="part_lake_"), "orders_by_year")
+    out = os.path.join(scratch_dir("part_lake"), "orders_by_year")
     (
         orders.withColumn("o_year", F.year("o_orderdate"))
         .write.mode("overwrite")
@@ -153,7 +152,7 @@ def scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    out = os.path.join(tempfile.mkdtemp(prefix="dpp_lake_"), "lineitem_by_flag")
+    out = os.path.join(scratch_dir("dpp_lake"), "lineitem_by_flag")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     fact = spark.read.parquet(out)
     # The filter on the dim side is what DPP's planner heuristic keys on
@@ -363,10 +362,8 @@ def source_python_stream_datasource(spark: SparkSession, sf_dir: str) -> DataFra
     "NULL-vs-'LEGACY' coalesce is the standard back-compat projection.",
 )
 def scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
     orders = load(spark, sf_dir, "orders")
-    lake = _tf.mkdtemp(prefix="schema_evo_")
+    lake = scratch_dir("schema_evo")
     # Legacy writer: no priority column yet.
     (
         orders.where(F.col("o_orderstatus") == "O")

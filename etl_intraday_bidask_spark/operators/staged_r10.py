@@ -12,8 +12,6 @@ nullif-guarded divisions, quantized irrationals, scale note per op.
 """
 
 from __future__ import annotations
-
-import tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -21,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import QuerySpec, SparkFn
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 STAGED_R10: dict[str, QuerySpec] = {}
 
@@ -76,8 +74,8 @@ def stream_checkpoint_recovery(
         ev = load(spark, sf_dir, "events").select(
             "event_id", "ts", "event_type", "value"
         )
-        src = tempfile.mkdtemp(prefix="ckpt_src_")
-        ckpt = tempfile.mkdtemp(prefix="ckpt_state_")
+        src = scratch_dir("ckpt_src")
+        ckpt = scratch_dir("ckpt_state")
         ev.where(F.col("event_id") % 2 == 0).write.parquet(
             f"{src}/batch=0"
         )
@@ -825,7 +823,7 @@ def stream_state_store_metrics(
             .queryName(name)
             .outputMode("append")
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+                "checkpointLocation", scratch_dir("ckpt")
             )
             .trigger(availableNow=True)
             .start()
@@ -1200,7 +1198,7 @@ def stream_incremental_batches(
     if sf_dir not in _INCR_BATCH_CACHE:
         ensure_session_confs(spark)
         ev = load(spark, sf_dir, "events")
-        src = tempfile.mkdtemp(prefix="incr_src_")
+        src = scratch_dir("incr_src")
         for b in range(3):
             # coalesce(1): one part-file per third, so the mod-3
             # split IS the micro-batch sequence even when the events
@@ -1227,7 +1225,7 @@ def stream_incremental_batches(
             normalize_event_time(raw, "ts")
             .writeStream.foreachBatch(sink)
             .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_")
+                "checkpointLocation", scratch_dir("ckpt")
             )
             .trigger(availableNow=True)
             .start()

@@ -4021,9 +4021,12 @@ def sample_block_bootstrap_days(
 # removed at interpreter exit. The five roundtrip ops below write a full
 # table copy before reading it back; a fresh mkdtemp per INVOCATION
 # accumulated unbounded temp garbage across bench/fuzz/sweep runs.
-# Re-invocations overwrite in place (the written bytes are a pure
-# function of sf_dir, so even a not-yet-collected frame from an earlier
-# invocation reads equivalent data); distinct sf_dirs never share a dir.
+# Contract: a re-invocation at the SAME sf_dir overwrites in place,
+# which DELETES the uniquely-named part files an earlier invocation's
+# not-yet-collected frame pinned at plan time — so materialize each
+# returned frame before re-invoking the op at that sf_dir (the driver,
+# parity tests, and sweeps all collect immediately). Distinct sf_dirs
+# never share a dir.
 _SCRATCH_DIRS: dict[tuple[str, str], str] = {}
 
 

@@ -15,14 +15,13 @@ oracle SQL, scale notes).
 from __future__ import annotations
 
 import os
-import tempfile
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from etl_intraday_bidask_spark.functions.parity import scaled_long
 from etl_intraday_bidask_spark.registry import QuerySpec, SparkFn
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 STAGED: dict[str, QuerySpec] = {}
 
@@ -67,7 +66,7 @@ _INGEST_STAGE: dict[str, str] = {}
 def etl_json_ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _INGEST_STAGE:
         out = os.path.join(
-            tempfile.mkdtemp(prefix="json_ingest_"), "events_typed"
+            scratch_dir("json_ingest"), "events_typed"
         )
         (
             load(spark, sf_dir, "events")
@@ -568,7 +567,7 @@ def etl_incremental_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     if sf_dir not in _INCR_STAGE:
-        out = os.path.join(tempfile.mkdtemp(prefix="incr_mat_"), "state")
+        out = os.path.join(scratch_dir("incr_mat"), "state")
         ev = load(spark, sf_dir, "events")
         partials(ev.where(F.col("event_id") % 2 == 0)).write.mode(
             "overwrite"

@@ -17,7 +17,6 @@ mart — the full round trip a lake ETL performs per run.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 from dataclasses import dataclass, field
 from graphlib import TopologicalSorter
@@ -27,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_intraday_bidask_spark.functions.parity import exact_sum
 from etl_intraday_bidask_spark.registry import register
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 StageFn = Callable[[SparkSession, dict], object]
 
@@ -164,7 +163,7 @@ def build_star_pipeline(sf_dir: str, out_dir: str) -> Pipeline:
     "the reference's Airflow-job shape run as one Spark pipeline.",
 )
 def etl_star_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out_dir = tempfile.mkdtemp(prefix="star_mart_")
+    out_dir = scratch_dir("star_mart")
     pipe = build_star_pipeline(sf_dir, out_dir)
     ctx = pipe.run(spark)
     return ctx["serve"]

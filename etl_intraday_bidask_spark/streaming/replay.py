@@ -18,7 +18,6 @@ the executor state stores, bounded by the watermark.
 from __future__ import annotations
 
 import os
-import tempfile
 import uuid
 
 import pyspark.sql.functions as F
@@ -28,6 +27,7 @@ from etl_intraday_bidask_spark.functions.parity import exact_avg, exact_sum
 from etl_intraday_bidask_spark.tables import (
     ensure_session_confs,
     normalize_event_time,
+    scratch_dir,
 )
 
 
@@ -39,7 +39,7 @@ def _stage_dir(sf_dir: str) -> str:
     single files. Stage a per-sf_dir temp directory holding a symlink to
     events.parquet (testdata is read-only, so no copy into it)."""
     if sf_dir not in _STAGE_DIRS:
-        d = tempfile.mkdtemp(prefix="events_stream_")
+        d = scratch_dir("events_stream")
         os.symlink(f"{sf_dir}/events.parquet", f"{d}/events.parquet")
         _STAGE_DIRS[sf_dir] = d
     return _STAGE_DIRS[sf_dir]
@@ -65,7 +65,7 @@ def _run_to_memory(df: DataFrame, output_mode: str) -> DataFrame:
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .option("checkpointLocation", scratch_dir("ckpt"))
         .trigger(availableNow=True)
         .start()
     )

@@ -93,11 +93,12 @@ def stream_stateful_running_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
+
+    from etl_intraday_bidask_spark.tables import scratch_dir
 
     ev = _read_events_stream(spark, sf_dir)
     staging = os.path.join(
-        tempfile.mkdtemp(prefix="foreachbatch_"), "partials"
+        scratch_dir("foreachbatch"), "partials"
     )
 
     def land_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -110,7 +111,7 @@ def stream_foreachbatch_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     query = (
         ev.writeStream.foreachBatch(land_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_fb_"))
+        .option("checkpointLocation", scratch_dir("ckpt_fb"))
         .trigger(availableNow=True)
         .start()
     )

@@ -8,8 +8,6 @@ points at a partitioned S3 prefix and partition pruning applies.
 
 from __future__ import annotations
 
-import weakref
-
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -42,16 +40,35 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-# Per-session memo of loaded tables. ``spark.read.parquet`` costs a
-# driver-side file listing + footer/schema read plus several py4j round
-# trips on EVERY call — measured 80-290 ms of pure plan-construction
-# time per bench query. Fixture tables are static, and a DataFrame is an
-# immutable logical plan, so reusing one per (session, dir, table) is
-# semantics-free. Keyed weakly by session so stopped sessions (pytest
-# fixtures, the grading driver) don't pin stale plans.
-_LOAD_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+# Per-session memos of loaded tables / registered views. ``spark.read.
+# parquet`` costs a driver-side file listing + footer/schema read plus
+# several py4j round trips on EVERY call — measured 80-290 ms of pure
+# plan-construction time per bench query. Fixture tables are static,
+# and a DataFrame is an immutable logical plan, so reusing one per
+# (session, dir, table) is semantics-free.
+#
+# The memo dict lives ON the session object (round-9 review): the
+# previous module-level WeakKeyDictionary never released anything,
+# because its VALUES are DataFrames, every DataFrame strongly
+# references its session, and a weak-key entry whose value reaches the
+# key is never collected. As a session attribute, the memo (a
+# session→dict→DataFrame→session cycle) is reclaimed by the cycle
+# collector exactly when the session object dies.
+
+
+def _session_memo(spark: SparkSession, attr: str) -> dict:
+    memo = getattr(spark, attr, None)
+    if memo is None:
+        memo = {}
+        setattr(spark, attr, memo)
+    return memo
+
+
+def load_memo(spark: SparkSession) -> dict:
+    """The (sf_dir, table) -> DataFrame memo behind :func:`load`.
+    Public so tests can inject fixture frames; :func:`view` re-registers
+    its temp view whenever the injected frame's identity changes."""
+    return _session_memo(spark, "_etl_graft_load_memo")
 
 
 def normalize_event_time(df: DataFrame, col: str) -> DataFrame:
@@ -115,7 +132,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from ``{sf_dir}/{name}.parquet``."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    memo = _LOAD_MEMO.setdefault(spark, {})
+    memo = load_memo(spark)
     if (sf_dir, name) in memo:
         return memo[(sf_dir, name)]
     ensure_session_confs(spark)
@@ -132,7 +149,8 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load(spark, sf_dir, name) for name in TABLE_NAMES}
 
 
-# Per-session memo of registered temp views over load()'s DataFrames.
+# Per-session memo of registered temp views over load()'s DataFrames
+# (same session-attribute storage as load_memo — see above).
 # Motive (round-8 dispatch-floor work): a query body built from ~50-150
 # pyspark.sql.functions/Column calls pays ~1 ms of py4j latency PER
 # CALL — 50-180 ms of pure driver-side construction per bench query,
@@ -140,9 +158,10 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 # ONE py4j round trip and parses JVM-side in a few ms, producing the
 # SAME logical plan for Catalyst. View names embed a hash of sf_dir so
 # two scale factors in one session can never alias each other's data.
-_VIEW_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
-    weakref.WeakKeyDictionary()
-)
+
+
+def _view_memo(spark: SparkSession) -> dict:
+    return _session_memo(spark, "_etl_graft_view_memo")
 
 
 def view(spark: SparkSession, sf_dir: str, name: str) -> str:
@@ -160,7 +179,7 @@ def view(spark: SparkSession, sf_dir: str, name: str) -> str:
     """
     import hashlib
 
-    memo = _VIEW_MEMO.setdefault(spark, {})
+    memo = _view_memo(spark)
     key = (sf_dir, name)
     df = load(spark, sf_dir, name)
     cached = memo.get(key)
@@ -172,3 +191,23 @@ def view(spark: SparkSession, sf_dir: str, name: str) -> str:
     df.createOrReplaceTempView(vname)
     memo[key] = (vname, df)
     return vname
+
+
+def scratch_dir(tag: str) -> str:
+    """A fresh temp directory removed at interpreter exit.
+
+    For operators that write a table copy and read it back (sinks,
+    roundtrips, partitioned-lake builds): a bare ``tempfile.mkdtemp``
+    per invocation leaks directories across a long bench/fuzz/sweep
+    session (round-8 ADVICE class, SCALE.md §29). This keeps the
+    per-invocation isolation — a frame returned by an earlier
+    invocation still reads ITS OWN files, no overwrite race — and
+    bounds the garbage's lifetime to the process instead of forever.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix=f"{tag}_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    return path

@@ -234,7 +234,7 @@ def test_mode_sliding_tie_break_pinned(spark):
     df_full = df.withColumn("value", F.lit(1.0)).withColumn(
         "props", F.lit('{"k": 1}')
     )
-    memo = tables._LOAD_MEMO.setdefault(spark, {})
+    memo = tables.load_memo(spark)
     key = ("/synthetic/mode_pin", "events")
     memo[key] = df_full
     try:

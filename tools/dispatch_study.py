@@ -119,8 +119,6 @@ def main() -> None:
     # equal parts, and none is a py4j chatter problem (0.5 ms/trip).
     # The .count() path skips (b) (scalar via py4j), which is why the
     # bench floor probe reads ~60-75 ms, not ~95.
-    import pyspark.sql.functions as F  # noqa: F811
-
     def plan_only():
         d = spark.range(1).agg(F.count("*"))
         d._jdf.queryExecution().executedPlan()

@@ -88,8 +88,10 @@ def main() -> None:
 
     specs = dict(load_all_operators())
     if include_staged:
-        from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
-        from etl_intraday_bidask_spark.operators.staged_r9 import STAGED_R9
+        # ONLY the not-yet-activated waves: an activated wave's ops are
+        # already in load_all_operators(), and re-adding them as
+        # staged:<name> double-sweeps 50 ops per activated wave
+        # (round-9 review — waves D and E had accreted here).
         from etl_intraday_bidask_spark.operators.staged_r10 import (
             STAGED_R10,
         )
@@ -100,8 +102,13 @@ def main() -> None:
             STAGED_R12,
         )
 
-        for wave in (STAGED_R9, STAGED_R10, STAGED_R11, STAGED_R12):
+        for wave in (STAGED_R10, STAGED_R11, STAGED_R12):
             for name, spec in wave.items():
+                if name in specs:
+                    raise SystemExit(
+                        f"staged op {name} is already registered — "
+                        "remove its wave from the staged tuple"
+                    )
                 specs[f"staged:{name}"] = spec
 
     spark = build_spark(app_name="invariance-sweep")
