@@ -587,3 +587,40 @@ def test_rake_phrase_islands_10x(spark, duck_big, big_dir):
     staged_parity_10x(
         spark, duck_big, big_dir, STAGED_R12["text_rake_keyword_lite"]
     )
+
+
+@pytest.mark.slow
+def test_concurrent_submission_pipelines_the_dispatch_floor():
+    """The serial bench pays the full per-query dispatch floor end to
+    end; a serving/cluster deployment submits queries concurrently and
+    the floor components overlap (BASELINE round-9 study: 5.7x
+    pipelining at sf0.1, concurrent suite makespan within 2x of
+    DuckDB's). Pin the property, not the machine: concurrent makespan
+    must beat serial by >2x with identical per-query row counts.
+    Subprocess-isolated (the study mutates session confs)."""
+    import json as _json
+    import os as _os
+    import subprocess as _sp
+    import sys as _sys
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    out = _sp.run(
+        [
+            _sys.executable,
+            _os.path.join(root, "tools", "concurrency_study.py"),
+            "--sf",
+            "/root/testdata/sf0.01",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=root,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    result = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert result["rowcounts_equal"], result["mismatched"]
+    # At sf0.01 every query is floor-dominated, so pipelining is at its
+    # strongest — a factor this low would mean submission no longer
+    # overlaps at all (the regression this test exists to catch).
+    assert result["pipelining_factor"] > 2.0, result
+    assert result["concurrent_makespan_s"] < result["serial_wall_s"], result

@@ -1,0 +1,172 @@
+"""Concurrent-submission study: does the dispatch floor pipeline?
+
+The bench measures the 11 headline queries SERIALLY, so every query
+pays the full per-query floor (Catalyst planning + job scheduling +
+the collect channel — BASELINE round-9 addendum) end to end, and the
+suite wall is ~11 floors plus execution. A real cluster/serving
+deployment submits queries CONCURRENTLY: Spark's scheduler interleaves
+independent jobs, the driver plans query N+1 while query N executes,
+and the floor components overlap instead of summing.
+
+This tool submits the same 11 headline queries from a thread pool
+(python threads release the GIL during py4j/socket waits, so driver-
+side planning and JVM execution genuinely overlap) against ONE warmed
+session and reports the concurrent makespan vs the serial suite wall
+measured in the same process. The delta is the fraction of the serial
+wall that is pipelinable dispatch rather than irreducible work.
+
+Each thread materializes its own result via toPandas() — identical
+per-query work to bench.py. Results are checked for row-count equality
+against the serial run, so the speedup cannot come from dropped work.
+
+Usage:  python tools/concurrency_study.py [--threads N] [--sf SF_DIR]
+Output: one JSON line with serial_wall_s, concurrent_makespan_s,
+        pipelining_factor, and per-query row counts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = "/root/testdata/sf0.1"
+    threads = 11
+    if "--sf" in sys.argv:
+        sf_dir = sys.argv[sys.argv.index("--sf") + 1]
+    if "--threads" in sys.argv:
+        threads = int(sys.argv[sys.argv.index("--threads") + 1])
+
+    from bench import HEADLINE
+
+    from etl_intraday_bidask_spark.registry import load_all_operators
+    from etl_intraday_bidask_spark.session import build_spark
+
+    registry = load_all_operators()
+    spark = build_spark(app_name="concurrency-study", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    # Same bench-shaped session as bench.py (AQE off, 4 MB splits): the
+    # comparison must hold everything constant except submission shape.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "4194304")
+    # Scheduler stays FIFO (spark.scheduler.mode is launch-static):
+    # FIFO only prioritizes SLOT allocation — with 32 cores and
+    # single-digit-task stages every concurrent job still gets slots
+    # immediately, so the interleaving this study measures is intact;
+    # FAIR would matter on a saturated cluster.
+
+    def run_one(name: str) -> int:
+        return len(registry[name].spark_fn(spark, sf_dir).toPandas())
+
+    # Warm-up: two full passes (JIT, codegen, page cache) — bench.py's
+    # protocol.
+    for _ in range(2):
+        for name in HEADLINE:
+            run_one(name)
+
+    # Serial reference in THIS session (median of 3 suite passes).
+    serial_samples = []
+    serial_rows: dict[str, int] = {}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for name in HEADLINE:
+            serial_rows[name] = run_one(name)
+        serial_samples.append(time.perf_counter() - t0)
+    serial_wall = statistics.median(serial_samples)
+
+    # Concurrent makespan (median of 3): all 11 submitted at once.
+    conc_samples = []
+    conc_rows: dict[str, int] = {}
+    with ThreadPoolExecutor(max_workers=threads) as pool:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            futures = {n: pool.submit(run_one, n) for n in HEADLINE}
+            for n, f in futures.items():
+                conc_rows[n] = f.result()
+            conc_samples.append(time.perf_counter() - t0)
+    makespan = statistics.median(conc_samples)
+
+    mismatched = [n for n in HEADLINE if serial_rows[n] != conc_rows[n]]
+
+    # Same treatment for DuckDB (fairness: both engines measured serial
+    # AND concurrent on the same hardware). One connection per thread —
+    # a single connection serializes; DuckDB releases the GIL during
+    # execution. NOTE: DuckDB already parallelizes each query across
+    # all cores, so its concurrency gain is intra-engine queueing only.
+    import duckdb
+
+    from etl_intraday_bidask_spark.tables import TABLE_NAMES
+
+    def duck_conn():
+        con = duckdb.connect()
+        for t in TABLE_NAMES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return con
+
+    oracles = {
+        n: registry[n].oracle_sql
+        for n in HEADLINE
+        if registry[n].oracle_sql is not None
+    }
+    warm = duck_conn()
+    for sql in oracles.values():
+        warm.execute(sql).fetchall()
+    duck_serial_samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for sql in oracles.values():
+            warm.execute(sql).fetchall()
+        duck_serial_samples.append(time.perf_counter() - t0)
+    duck_serial = statistics.median(duck_serial_samples)
+    warm.close()
+
+    cons = [duck_conn() for _ in oracles]
+    items = list(oracles.values())
+    for con, sql in zip(cons, items):  # warm each connection
+        con.execute(sql).fetchall()
+    duck_conc_samples = []
+    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            futs = [
+                pool.submit(lambda c, s: c.execute(s).fetchall(), con, sql)
+                for con, sql in zip(cons, items)
+            ]
+            for f in futs:
+                f.result()
+            duck_conc_samples.append(time.perf_counter() - t0)
+    duck_conc = statistics.median(duck_conc_samples)
+    for con in cons:
+        con.close()
+
+    result = {
+        "metric": "concurrency_study",
+        "sf_dir": sf_dir,
+        "threads": threads,
+        "serial_wall_s": round(serial_wall, 4),
+        "concurrent_makespan_s": round(makespan, 4),
+        "pipelining_factor": round(serial_wall / makespan, 2),
+        "duckdb_serial_wall_s": round(duck_serial, 4),
+        "duckdb_concurrent_makespan_s": round(duck_conc, 4),
+        "duckdb_pipelining_factor": round(duck_serial / duck_conc, 2),
+        "concurrent_makespan_ratio": round(makespan / duck_conc, 2),
+        "rowcounts_equal": not mismatched,
+        "mismatched": mismatched,
+        "rows": serial_rows,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
