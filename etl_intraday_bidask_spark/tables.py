@@ -171,7 +171,7 @@ def view(spark: SparkSession, sf_dir: str, name: str) -> str:
     and safe to splice into a ``spark.sql`` text. The memo is keyed on
     the IDENTITY of load()'s DataFrame, not just (sf_dir, table): if the
     frame behind load() changes within a session (tests inject frames
-    into ``_LOAD_MEMO``; fuzz runs re-point a directory), the view is
+    via ``load_memo``; fuzz runs re-point a directory), the view is
     re-registered over the new frame instead of silently serving stale
     data — and because the name is deterministic per (sf_dir, table),
     re-registration REPLACES the old view, so a long session never

@@ -1,7 +1,7 @@
 """Pins for the table/view memo layer (etl_intraday_bidask_spark/tables.py).
 
 The view() memo is keyed on the IDENTITY of load()'s DataFrame (round-8
-ADVICE): tests and fuzz runs inject frames into _LOAD_MEMO, and a memo
+ADVICE): tests and fuzz runs inject frames via tables.load_memo, and a memo
 keyed only on (sf_dir, table) would silently keep serving the stale
 frame through the temp view.
 """
