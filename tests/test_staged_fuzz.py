@@ -542,3 +542,65 @@ def test_kcore_path_graph_counter_example(spark, tmp_path_factory):
     }
     assert got == {0: (3, 2), 1: (1, 0), 2: (0, 0)}
     _assert_staged_parity(spark, variant, ["graph_kcore_peel"])
+
+
+# Wave-E customer-table ops (round-9 coverage close: these three were
+# the only oracled wave-E ops in no fuzz battery). Edge targets: names
+# shorter than 3 chars (the sequence(1,0)-is-descending gotcha the
+# trigram op guards), unicode and duplicated names (fuzzy matches must
+# actually fire), negative balances on and off the $1000 band boundary
+# (the oracle's negative-floor-division correction), and shared
+# (nation, segment) quasi-identifier tuples (k-anonymity classes of
+# size 1 through 6+).
+CUSTOMER_STAGED = [
+    "gov_k_anonymity_census",
+    "gov_pseudonymize_consistent",
+    "join_trigram_fuzzy_names",
+]
+
+_NAMES = [
+    "Customer#One",
+    "Customer#Two",
+    "Custamer#One",  # one-typo twin: trigram-Jaccard candidate
+    "ab",            # shorter than a trigram: must yield no grams
+    "",              # empty name
+    "日本語の名前",   # multi-byte: substr is character-based on both
+    "x" * 30,        # single repeated char: one distinct trigram
+]
+
+customer_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(_NAMES),
+        st.integers(min_value=0, max_value=3),        # c_nationkey
+        st.integers(min_value=-250000, max_value=250000),  # cents
+        st.sampled_from(["SEG_A", "SEG_B"]),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=customer_strategy)
+def test_staged_customer_ops_fuzzed(spark, tmp_path_factory, rows):
+    cents = [
+        # force band-boundary hits: every 5th row lands exactly on a
+        # $1000 multiple (cents % 100000 == 0, the no-correction arm)
+        (r[2] // 100000) * 100000 if i % 5 == 0 else r[2]
+        for i, r in enumerate(rows)
+    ]
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array(range(len(rows)), pa.int64()),
+            "c_name": pa.array([r[0] for r in rows], pa.string()),
+            "c_nationkey": pa.array([r[1] for r in rows], pa.int32()),
+            "c_acctbal": pa.array(
+                [c / 100.0 for c in cents], pa.float64()
+            ),
+            "c_mktsegment": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("sfuzz_cust")), "customer", tbl
+    )
+    _assert_staged_parity(spark, variant, CUSTOMER_STAGED)
