@@ -623,4 +623,7 @@ def test_concurrent_submission_pipelines_the_dispatch_floor():
     # strongest — a factor this low would mean submission no longer
     # overlaps at all (the regression this test exists to catch).
     assert result["pipelining_factor"] > 2.0, result
-    assert result["concurrent_makespan_s"] < result["serial_wall_s"], result
+    # DuckDB's side must have run the FULL suite with sane results —
+    # an engine whose concurrent makespan beats a 32-core serial pass
+    # by 10x would mean the comparison harness broke, not the engine.
+    assert 0.2 < result["duckdb_pipelining_factor"] < 10.0, result

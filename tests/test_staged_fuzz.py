@@ -604,3 +604,45 @@ def test_staged_customer_ops_fuzzed(spark, tmp_path_factory, rows):
         str(tmp_path_factory.mktemp("sfuzz_cust")), "customer", tbl
     )
     _assert_staged_parity(spark, variant, CUSTOMER_STAGED)
+
+
+def test_trigram_fuzzy_match_fires_on_typo_twin(spark, tmp_path_factory):
+    """The hypothesis battery above cannot guarantee the fuzzy-match
+    arm executes (the typo twins must co-occur WITH equal nationkey
+    inside 3 derandomized examples), so this deterministic fixture
+    pins it: two names one substitution apart share >80% of their
+    trigrams and MUST match; the control pair must not. Both engines
+    agree (oracle driven through the same fixture)."""
+    import duckdb
+
+    # One substitution changes 3 trigrams; Jaccard = (n-3)/(n+3) > 0.8
+    # needs n > 27 distinct trigrams, so the twins are 40 chars long.
+    name_a = "Customer#AlphaBetaGammaDeltaEpsilonZeta9"
+    name_b = "Custamer#AlphaBetaGammaDeltaEpsilonZeta9"
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int64()),
+            "c_name": pa.array([name_a, name_b, "Zq"], pa.string()),
+            "c_nationkey": pa.array([7, 7, 7], pa.int32()),
+            "c_acctbal": pa.array([10.0, 20.0, 30.0], pa.float64()),
+            "c_mktsegment": pa.array(["S", "S", "S"], pa.string()),
+        }
+    )
+    variant = _stage(
+        str(tmp_path_factory.mktemp("trigram_pin")), "customer", tbl
+    )
+    spec = _ALL_STAGED["join_trigram_fuzzy_names"]
+    row = spec.spark_fn(spark, variant).collect()[0]
+    assert row["n_fuzzy_matches"] == 1, row
+    assert row["max_shared_grams"] >= 12, row
+    con = duckdb.connect()
+    try:
+        for name in ("customer",):
+            con.execute(
+                f"CREATE VIEW {name} AS SELECT * FROM "
+                f"read_parquet('{variant}/{name}.parquet')"
+            )
+        d = con.sql(spec.oracle_sql).fetchall()[0]
+        assert d[0] == 1 and d[2] == row["max_shared_grams"]
+    finally:
+        con.close()

@@ -96,16 +96,28 @@ def main() -> None:
     mismatched = [n for n in HEADLINE if serial_rows[n] != conc_rows[n]]
 
     # Same treatment for DuckDB (fairness: both engines measured serial
-    # AND concurrent on the same hardware). One connection per thread —
-    # a single connection serializes; DuckDB releases the GIL during
-    # execution. NOTE: DuckDB already parallelizes each query across
-    # all cores, so its concurrency gain is intra-engine queueing only.
+    # AND concurrent on the same hardware, driven by the SAME number of
+    # submitter threads). One connection per query — a single connection
+    # serializes; DuckDB releases the GIL during execution. Review
+    # findings (round 9) folded in: (a) each concurrent connection is
+    # capped so the TOTAL DuckDB worker-thread count stays at the
+    # machine's core count — 11 connections at the default 32 threads
+    # each oversubscribed the CPU ~11x and inflated the concurrent
+    # makespan; the serial connection keeps all cores (its best
+    # configuration); (b) the oracle set must cover the whole headline
+    # suite or the cross-engine ratio silently compares unequal
+    # workloads; (c) DuckDB row counts are captured serial AND
+    # concurrent and equality is part of the reported result.
     import duckdb
 
     from etl_intraday_bidask_spark.tables import TABLE_NAMES
 
-    def duck_conn():
+    cores = os.cpu_count() or 32
+
+    def duck_conn(n_threads: int | None = None):
         con = duckdb.connect()
+        if n_threads is not None:
+            con.execute(f"SET threads = {n_threads}")
         for t in TABLE_NAMES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM "
@@ -118,41 +130,53 @@ def main() -> None:
         for n in HEADLINE
         if registry[n].oracle_sql is not None
     }
-    warm = duck_conn()
+    assert len(oracles) == len(HEADLINE), (
+        "headline ops without oracle SQL would skew the cross-engine "
+        f"comparison: {sorted(set(HEADLINE) - set(oracles))}"
+    )
+    warm = duck_conn()  # serial: all cores, DuckDB's best shape
     for sql in oracles.values():
         warm.execute(sql).fetchall()
     duck_serial_samples = []
+    duck_serial_rows: dict[str, int] = {}
     for _ in range(3):
         t0 = time.perf_counter()
-        for sql in oracles.values():
-            warm.execute(sql).fetchall()
+        for n, sql in oracles.items():
+            duck_serial_rows[n] = len(warm.execute(sql).fetchall())
         duck_serial_samples.append(time.perf_counter() - t0)
     duck_serial = statistics.median(duck_serial_samples)
     warm.close()
 
-    cons = [duck_conn() for _ in oracles]
-    items = list(oracles.values())
-    for con, sql in zip(cons, items):  # warm each connection
-        con.execute(sql).fetchall()
+    names = list(oracles)
+    per_conn = max(1, cores // len(names))
+    cons = {n: duck_conn(per_conn) for n in names}
+    for n in names:  # warm each connection
+        cons[n].execute(oracles[n]).fetchall()
     duck_conc_samples = []
-    with ThreadPoolExecutor(max_workers=len(items)) as pool:
+    duck_conc_rows: dict[str, int] = {}
+
+    def duck_one(n: str) -> int:
+        return len(cons[n].execute(oracles[n]).fetchall())
+
+    with ThreadPoolExecutor(max_workers=threads) as pool:
         for _ in range(3):
             t0 = time.perf_counter()
-            futs = [
-                pool.submit(lambda c, s: c.execute(s).fetchall(), con, sql)
-                for con, sql in zip(cons, items)
-            ]
-            for f in futs:
-                f.result()
+            futs = {n: pool.submit(duck_one, n) for n in names}
+            for n, f in futs.items():
+                duck_conc_rows[n] = f.result()
             duck_conc_samples.append(time.perf_counter() - t0)
     duck_conc = statistics.median(duck_conc_samples)
-    for con in cons:
+    for con in cons.values():
         con.close()
 
+    duck_mismatched = [
+        n for n in names if duck_serial_rows[n] != duck_conc_rows[n]
+    ]
     result = {
         "metric": "concurrency_study",
         "sf_dir": sf_dir,
         "threads": threads,
+        "duckdb_threads_per_conn_concurrent": per_conn,
         "serial_wall_s": round(serial_wall, 4),
         "concurrent_makespan_s": round(makespan, 4),
         "pipelining_factor": round(serial_wall / makespan, 2),
@@ -160,8 +184,8 @@ def main() -> None:
         "duckdb_concurrent_makespan_s": round(duck_conc, 4),
         "duckdb_pipelining_factor": round(duck_serial / duck_conc, 2),
         "concurrent_makespan_ratio": round(makespan / duck_conc, 2),
-        "rowcounts_equal": not mismatched,
-        "mismatched": mismatched,
+        "rowcounts_equal": not mismatched and not duck_mismatched,
+        "mismatched": mismatched + duck_mismatched,
         "rows": serial_rows,
     }
     print(json.dumps(result))
