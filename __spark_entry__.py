@@ -408,6 +408,72 @@ _DEFER_NEW_R9 = [
 ]
 
 
+# Wave F, activated in round 10: the 50 staged_r10 operators
+# (operational streaming correctness, geospatial grid primitives,
+# survival/inventory/sequential-experimentation analytics, fairness
+# audits, SQL-semantics censuses). All 50 are never-driver-graded, so
+# they occupy the entire round-10 50-slot window. Ordering puts the
+# re-planned op first (bidask_glosten_harris_decomp — re-planned in
+# round 8 from a global tape sort to day-partitioned windows, and its
+# determinant kept full decimal(38,0) width per the round-7 review) and
+# the operational-recovery flagship second (stream_checkpoint_recovery
+# — exactly-once across a process restart), so their first driver
+# grades double as re-plan / semantic-review verification; the rest
+# follow in staged insertion order.
+_DEFER_NEW_R10 = [
+    "bidask_glosten_harris_decomp",
+    "stream_checkpoint_recovery",
+    "geo_haversine_nearest_hub",
+    "events_kaplan_meier_weekly",
+    "ab_sequential_bound_check",
+    "parts_safety_stock_plan",
+    "events_markov_stationary",
+    "geo_gridcell_density_pyramid",
+    "stream_state_store_metrics",
+    "geo_point_in_zone_rect",
+    "geo_bounding_box_per_nation",
+    "parts_eoq_reorder_point",
+    "orders_promo_cannibalization",
+    "stream_incremental_batches",
+    "orders_repurchase_interval",
+    "graph_degree_assortativity",
+    "eval_demographic_parity_80pct",
+    "eval_equalized_odds_gap",
+    "sessionize_dwell_profile",
+    "dq_range_contract_audit",
+    "embed_whiten_variance_audit",
+    "embed_random_projection_jl",
+    "text_compression_ratio_proxy",
+    "multimodal_fixed_chunking",
+    "ts_stl_anomaly_days",
+    "orders_basket_size_profile",
+    "orders_customer_hhi_by_nation",
+    "events_funnel_by_dow",
+    "dq_price_consistency_audit",
+    "sql_null_handling_census",
+    "sql_calendar_edge_cases",
+    "orders_cohort_ltv_curve",
+    "eval_precision_at_k_curve",
+    "eval_score_histogram_by_class",
+    "geo_distance_decay_demand",
+    "graph_edge_weight_distribution",
+    "events_activity_powerlaw_fit",
+    "corpus_quality_length_matrix",
+    "part_brand_price_dispersion",
+    "orders_growth_contribution",
+    "events_session_velocity_audit",
+    "bidask_donchian_channel_daily",
+    "parts_demand_intermittency",
+    "events_simpson_diversity",
+    "corpus_source_syndication_matrix",
+    "sql_set_dedup_semantics",
+    "orders_dow_anova_fstat",
+    "stream_watermark_delay_sweep",
+    "eval_threshold_capacity_planner",
+    "events_user_temporal_entropy",
+]
+
+
 # Every activated wave's defer list, in activation order. rotation_order
 # flattens the concatenation to break never-graded ties (each wave's
 # additions sort after the previous wave's); _ordered_registry asserts
@@ -419,6 +485,7 @@ _DEFER_WAVES = [
     _DEFER_NEW_R7,
     _DEFER_NEW_R8,
     _DEFER_NEW_R9,
+    _DEFER_NEW_R10,
 ]
 
 

@@ -78,6 +78,20 @@ from etl_intraday_bidask_spark.operators import staged_r9  # noqa: E402
 
 activate_staged(staged_r9.STAGED_R9)
 
+# Round 10: activate wave F — the 50 staged_r10 operators (operational
+# streaming correctness: checkpoint recovery, incremental batches,
+# state-store metrics, watermark-delay sweep; geospatial primitives on
+# the exact integer coordinate grid; survival/inventory/sequential-
+# experimentation analytics; fairness audits; SQL-semantics censuses.
+# Built round 6, parity-tested at sf0.001/0.01/0.1, fuzz-battered,
+# cross-asserted, plan-audited; the round-7 semantic review fixed the
+# KM zero-factor, recovery-cache, micro-batch coalesce, ANOVA HUGEINT
+# fold, and Glosten-Harris determinant-headroom findings, and the
+# round-8 re-plan made Glosten-Harris day-partitioned). SURVEY.md §2.32.
+from etl_intraday_bidask_spark.operators import staged_r10  # noqa: E402
+
+activate_staged(staged_r10.STAGED_R10)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

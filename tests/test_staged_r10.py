@@ -1,5 +1,9 @@
-"""Parity tests + leak guard for the STAGED round-10 wave F seeds
-(operators/staged_r10.py)."""
+"""Parity tests for wave F (operators/staged_r10.py).
+
+Staged in round 6, ACTIVATED in round 10 — the registry-driven sweeps
+now cover these ops too; this file keeps the direct oracle-parity
+drive plus the activation guard that pins the round-10 window
+composition."""
 
 from __future__ import annotations
 
@@ -31,7 +35,12 @@ def test_staged_r10_parity(spark, duck_small, name):
     )
 
 
-def test_staged_r10_not_registered():
+def test_wave_f_activated():
+    """Round 10 activated wave F: all 50 staged_r10 ops are in the
+    global registry with their exact staged specs, and the wave is
+    exactly the driver's 50-slot window (every key never-graded as of
+    r09, everything else green r1-r9)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
     from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
     from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
@@ -39,8 +48,14 @@ def test_staged_r10_not_registered():
     from etl_intraday_bidask_spark.registry import load_all_operators
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED_R10) & set(registry))
-    assert not leaked, f"wave F leaked into the registry: {leaked}"
+    assert len(STAGED_R10) == 50
+    missing = sorted(set(STAGED_R10) - set(registry))
+    assert not missing, f"wave-F ops not activated: {missing}"
+    for name, spec in STAGED_R10.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R10) == set(STAGED_R10), (
+        "_DEFER_NEW_R10 and the staged wave diverge"
+    )
     overlap = sorted(
         set(STAGED_R10)
         & (
