@@ -30,12 +30,12 @@ from etl_intraday_bidask_spark.tables import load
 # cached relation, and — like tables.view() — keys on the identity of
 # load()'s frame so an injected fixture refreshes the cache instead of
 # silently serving stale rows. Stored ON the session (tables.
-# _session_memo) so it dies with the session object.
-from etl_intraday_bidask_spark.tables import _session_memo  # noqa: E402
+# session_memo) so it dies with the session object.
+from etl_intraday_bidask_spark.tables import session_memo  # noqa: E402
 
 
 def _persisted_filtered_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    memo = _session_memo(spark, "_etl_graft_quality_cache_memo")
+    memo = session_memo(spark, "_etl_graft_quality_cache_memo")
     src = load(spark, sf_dir, "orders")
     cached = memo.get(sf_dir)
     if cached is not None and cached[0] is src:

@@ -4017,31 +4017,36 @@ def sample_block_bootstrap_days(
 # Sources / sinks
 # ---------------------------------------------------------------------------
 
-# One scratch directory per (op tag, sf_dir) for the process lifetime,
-# removed at interpreter exit. The five roundtrip ops below write a full
-# table copy before reading it back; a fresh mkdtemp per INVOCATION
-# accumulated unbounded temp garbage across bench/fuzz/sweep runs.
-# Contract: a re-invocation at the SAME sf_dir overwrites in place,
-# which DELETES the uniquely-named part files an earlier invocation's
-# not-yet-collected frame pinned at plan time — so materialize each
-# returned frame before re-invoking the op at that sf_dir (the driver,
-# parity tests, and sweeps all collect immediately). Distinct sf_dirs
-# never share a dir.
+# One memoized PARENT directory per (op tag, sf_dir) for the process
+# lifetime, removed at interpreter exit; every invocation writes into
+# a fresh unique subdirectory beneath it (see _scratch_dir). The five
+# roundtrip ops below write a full table copy before reading it back.
 _SCRATCH_DIRS: dict[tuple[str, str], str] = {}
 
 
 def _scratch_dir(tag: str, sf_dir: str) -> str:
+    """A fresh per-invocation scratch directory under one memoized,
+    atexit-cleaned parent per (tag, sf_dir).
+
+    Re-invocations must NOT overwrite the same path: mode("overwrite")
+    deletes the part files an earlier invocation's not-yet-collected
+    lazy frame pinned at analysis time (FileNotFound on late collect).
+    A unique subdirectory per call makes re-entry safe by construction
+    — no unenforced "callers collect immediately" contract — while the
+    single parent keeps cleanup to one atexit rmtree per (tag, sf_dir)
+    (round-10 ADVICE)."""
+    import tempfile
+
     key = (tag, sf_dir)
-    path = _SCRATCH_DIRS.get(key)
-    if path is None:
+    parent = _SCRATCH_DIRS.get(key)
+    if parent is None:
         import atexit
         import shutil
-        import tempfile
 
-        path = tempfile.mkdtemp(prefix=f"{tag}_")
-        atexit.register(shutil.rmtree, path, ignore_errors=True)
-        _SCRATCH_DIRS[key] = path
-    return path
+        parent = tempfile.mkdtemp(prefix=f"{tag}_")
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _SCRATCH_DIRS[key] = parent
+    return tempfile.mkdtemp(dir=parent)
 
 
 @staged12(

@@ -56,12 +56,21 @@ def ensure_session_confs(spark: SparkSession) -> None:
 # collector exactly when the session object dies.
 
 
-def _session_memo(spark: SparkSession, attr: str) -> dict:
+def session_memo(spark: SparkSession, attr: str) -> dict:
+    """The named per-session memo dict, created on first access.
+
+    Public: operators outside this module (e.g. quality.py's persisted-
+    relation cache) key their own session-scoped state through it
+    rather than importing a private helper (round-10 ADVICE)."""
     memo = getattr(spark, attr, None)
     if memo is None:
         memo = {}
         setattr(spark, attr, memo)
     return memo
+
+
+# Backwards-compat private alias (pre-round-10 name).
+_session_memo = session_memo
 
 
 def load_memo(spark: SparkSession) -> dict:
@@ -203,6 +212,14 @@ def scratch_dir(tag: str) -> str:
     per-invocation isolation — a frame returned by an earlier
     invocation still reads ITS OWN files, no overwrite race — and
     bounds the garbage's lifetime to the process instead of forever.
+
+    Deliberate tradeoff: within ONE long process, disk grows by one
+    small (test-SF-sized) directory per invocation. Reclaiming earlier
+    dirs mid-process is unsafe by construction — Spark pins concrete
+    part-file names into any not-yet-collected frame at analysis time,
+    so an eager rmtree (or a reused per-(tag, pid) dir overwritten in
+    place) turns a live lazy frame into FileNotFound. Process-lifetime
+    cleanup is the only interleaving-safe point.
     """
     import atexit
     import shutil

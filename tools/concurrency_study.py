@@ -82,18 +82,21 @@ def main() -> None:
     serial_wall = statistics.median(serial_samples)
 
     # Concurrent makespan (median of 3): all 11 submitted at once.
+    # Row counts are checked EVERY round (a transient mismatch in an
+    # early round must not be masked by a clean final round).
     conc_samples = []
-    conc_rows: dict[str, int] = {}
+    conc_mismatch: set[str] = set()
     with ThreadPoolExecutor(max_workers=threads) as pool:
         for _ in range(3):
             t0 = time.perf_counter()
             futures = {n: pool.submit(run_one, n) for n in HEADLINE}
             for n, f in futures.items():
-                conc_rows[n] = f.result()
+                if f.result() != serial_rows[n]:
+                    conc_mismatch.add(n)
             conc_samples.append(time.perf_counter() - t0)
     makespan = statistics.median(conc_samples)
 
-    mismatched = [n for n in HEADLINE if serial_rows[n] != conc_rows[n]]
+    mismatched = sorted(conc_mismatch)
 
     # Same treatment for DuckDB (fairness: both engines measured serial
     # AND concurrent on the same hardware, driven by the SAME number of
@@ -148,12 +151,21 @@ def main() -> None:
     warm.close()
 
     names = list(oracles)
-    per_conn = max(1, cores // len(names))
-    cons = {n: duck_conn(per_conn) for n in names}
+    # Distribute ALL cores across the concurrent connections: the first
+    # (cores % n) connections take the remainder thread each, so the
+    # concurrent phase fields exactly `cores` worker threads in total
+    # (a flat cores // n starved ~10 of 32 threads and understated
+    # duck_conc — round-10 ADVICE).
+    base, extra = divmod(cores, len(names))
+    conn_threads = {
+        n: max(1, base + (1 if i < extra else 0))
+        for i, n in enumerate(names)
+    }
+    cons = {n: duck_conn(conn_threads[n]) for n in names}
     for n in names:  # warm each connection
         cons[n].execute(oracles[n]).fetchall()
     duck_conc_samples = []
-    duck_conc_rows: dict[str, int] = {}
+    duck_mismatch: set[str] = set()
 
     def duck_one(n: str) -> int:
         return len(cons[n].execute(oracles[n]).fetchall())
@@ -163,20 +175,22 @@ def main() -> None:
             t0 = time.perf_counter()
             futs = {n: pool.submit(duck_one, n) for n in names}
             for n, f in futs.items():
-                duck_conc_rows[n] = f.result()
+                if f.result() != duck_serial_rows[n]:
+                    duck_mismatch.add(n)
             duck_conc_samples.append(time.perf_counter() - t0)
     duck_conc = statistics.median(duck_conc_samples)
     for con in cons.values():
         con.close()
 
-    duck_mismatched = [
-        n for n in names if duck_serial_rows[n] != duck_conc_rows[n]
-    ]
+    duck_mismatched = sorted(duck_mismatch)
     result = {
         "metric": "concurrency_study",
         "sf_dir": sf_dir,
         "threads": threads,
-        "duckdb_threads_per_conn_concurrent": per_conn,
+        "duckdb_threads_per_conn_concurrent": sorted(
+            set(conn_threads.values())
+        ),
+        "duckdb_threads_total_concurrent": sum(conn_threads.values()),
         "serial_wall_s": round(serial_wall, 4),
         "concurrent_makespan_s": round(makespan, 4),
         "pipelining_factor": round(serial_wall / makespan, 2),
