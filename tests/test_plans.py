@@ -137,6 +137,20 @@ def test_tfidf_broadcasts_corpus_scalar(spark):
     assert any("LessThan(doc_id,10)" in s for s in tf_scans), (
         "tf must be computed on the doc_id<10 pruned scan"
     )
+    # Round-10 dispatch-composition pin: only the corpus-scaling
+    # branches may shuffle — dfreq's token-key aggregate (1 exchange)
+    # and the n_docs COUNT(DISTINCT) scalar (2: hash-distinct +
+    # single-partition count). The bounded branches — the 10-doc tf
+    # aggregate and the final top-5 window — run exchange-free on one
+    # partition, so a shuffle Exchange count above 3 means a bounded
+    # branch regressed into paying an AQE materialization job again.
+    import re
+
+    shuffle_ids = set(re.findall(r"\((\d+)\) Exchange\b", plan))
+    assert len(shuffle_ids) == 3, (
+        "expected exactly 3 shuffle exchanges (dfreq agg + the two "
+        f"n_docs distinct-count legs), got node ids {sorted(shuffle_ids)}"
+    )
 
 
 def test_fuzzy_levenshtein_blocks_on_lang(spark):
