@@ -41,7 +41,7 @@ from etl_intraday_bidask_spark.functions.vector import (
     quantized,
 )
 from etl_intraday_bidask_spark.registry import QuerySpec, SparkFn
-from etl_intraday_bidask_spark.tables import load
+from etl_intraday_bidask_spark.tables import load, scratch_dir
 
 STAGED_R12: dict[str, QuerySpec] = {}
 
@@ -4017,36 +4017,16 @@ def sample_block_bootstrap_days(
 # Sources / sinks
 # ---------------------------------------------------------------------------
 
-# One memoized PARENT directory per (op tag, sf_dir) for the process
-# lifetime, removed at interpreter exit; every invocation writes into
-# a fresh unique subdirectory beneath it (see _scratch_dir). The five
-# roundtrip ops below write a full table copy before reading it back.
-_SCRATCH_DIRS: dict[tuple[str, str], str] = {}
-
-
+# The five roundtrip ops below write a full table copy before reading
+# it back. Scratch allocation is centralized in tables.scratch_dir
+# (round-10 review): one memoized, atexit-cleaned parent per tag, a
+# fresh unique subdirectory per invocation — re-entry can never delete
+# part files a not-yet-collected lazy frame pinned at analysis time.
 def _scratch_dir(tag: str, sf_dir: str) -> str:
-    """A fresh per-invocation scratch directory under one memoized,
-    atexit-cleaned parent per (tag, sf_dir).
-
-    Re-invocations must NOT overwrite the same path: mode("overwrite")
-    deletes the part files an earlier invocation's not-yet-collected
-    lazy frame pinned at analysis time (FileNotFound on late collect).
-    A unique subdirectory per call makes re-entry safe by construction
-    — no unenforced "callers collect immediately" contract — while the
-    single parent keeps cleanup to one atexit rmtree per (tag, sf_dir)
-    (round-10 ADVICE)."""
-    import tempfile
-
-    key = (tag, sf_dir)
-    parent = _SCRATCH_DIRS.get(key)
-    if parent is None:
-        import atexit
-        import shutil
-
-        parent = tempfile.mkdtemp(prefix=f"{tag}_")
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        _SCRATCH_DIRS[key] = parent
-    return tempfile.mkdtemp(dir=parent)
+    """Per-invocation scratch via :func:`tables.scratch_dir`; the
+    ``sf_dir`` argument is kept for call-site stability (uniqueness per
+    invocation makes per-sf keying unnecessary)."""
+    return scratch_dir(tag)
 
 
 @staged12(

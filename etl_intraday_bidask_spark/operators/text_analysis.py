@@ -306,12 +306,7 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct-token set is built map-side (array_distinct, narrow) so "
     "the query's only big exchange is the token-key df aggregate; tf "
     "runs on the pruned ranked-doc scan and broadcasts, and the "
-    "corpus-size scalar broadcasts. The two bounded-by-construction "
-    "stages — the 10-doc tf aggregate and the final top-5 window over "
-    "the scored rows (<= ranked docs x their vocab) — run exchange-free "
-    "on a single partition (the bounded-output coalesce(1) argument of "
-    "plans/ordering.py applied to intermediate grains), dropping two "
-    "AQE materialization jobs.",
+    "corpus-size scalar broadcasts.",
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
@@ -327,26 +322,12 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deleting the pair-grain exchange cut the sf0.1 wall ~40% and at
     # 100 TB removes the largest shuffle in the query (distinct
     # (doc, token) pairs ~= corpus token volume).
-    # Round-10 dispatch-composition pass: the tf branch's input is
-    # pruned to the 10 ranked docs (bounded by the op's contract, not
-    # by data volume), so its aggregate runs on ONE partition
-    # (COALESCE(1) hint on the exploded subquery → SinglePartition
-    # satisfies the agg's clustering requirement → no exchange, no AQE
-    # materialization job); the same argument bounds the scored rows
-    # (ranked docs × their vocabulary), so the top-5 window coalesces
-    # to one partition instead of paying a hash exchange + its job.
-    # Under AQE each removed exchange removes a serialized ~25-40 ms
-    # replan/dispatch round: 8 jobs → 6, −22% wall at sf0.1 with an
-    # identical result. The corpus-scaling branches keep their
-    # exchanges: dfreq's token-key aggregate and the n_docs global
-    # scalar stay parallel at any scale.
     # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): map-side array_distinct df branch,
-    # pruned+broadcast tf branch, broadcast n_docs scalar — in one
-    # parse round trip; the window runs DataFrame-side so coalesce(1)
-    # sits between scored and the window function.
+    # agg_pricing_summary): identical plan — map-side array_distinct df
+    # branch, pruned+broadcast tf branch, broadcast n_docs scalar — in
+    # one parse round trip instead of ~120 py4j Column calls.
     docs_v = view(spark, sf_dir, "documents")
-    scored = spark.sql(f"""
+    return spark.sql(f"""
         WITH dfreq AS (
             SELECT token, COUNT(1) AS df
             FROM (
@@ -361,31 +342,25 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf10 AS (
             SELECT doc_id, token, COUNT(1) AS tf
             FROM (
-                SELECT /*+ COALESCE(1) */
-                       doc_id, explode(split(text, ' ')) AS token
+                SELECT doc_id, explode(split(text, ' ')) AS token
                 FROM {docs_v} WHERE doc_id < 10
             )
             WHERE token != ''
             GROUP BY doc_id, token
+        ),
+        scored AS (
+            SELECT /*+ BROADCAST(tf10), BROADCAST(nd) */
+                   doc_id, token,
+                   CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df)
+                              * 10000) AS BIGINT) AS s
+            FROM tf10 JOIN dfreq USING (token) CROSS JOIN nd
         )
-        SELECT /*+ BROADCAST(tf10), BROADCAST(nd) */
-               doc_id, token,
-               CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df)
-                          * 10000) AS BIGINT) AS s
-        FROM tf10 JOIN dfreq USING (token) CROSS JOIN nd
-    """)
-    w = Window.partitionBy("doc_id").orderBy(F.col("s").desc(), "token")
-    return (
-        scored.coalesce(1)
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 5)
-        .select(
-            "doc_id",
-            "token",
-            (F.col("s") / 10000.0).alias("tfidf"),
-            "rk",
-        )
-    )
+        SELECT doc_id, token, s / 10000.0D AS tfidf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY s DESC, token
+               ) AS rk
+        FROM scored
+    """).where(F.col("rk") <= 5)
 
 
 @register(

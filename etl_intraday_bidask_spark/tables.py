@@ -202,8 +202,12 @@ def view(spark: SparkSession, sf_dir: str, name: str) -> str:
     return vname
 
 
+_SCRATCH_PARENTS: dict[str, str] = {}
+
+
 def scratch_dir(tag: str) -> str:
-    """A fresh temp directory removed at interpreter exit.
+    """A fresh per-invocation temp directory, removed at interpreter
+    exit — one memoized parent per tag, a unique subdirectory per call.
 
     For operators that write a table copy and read it back (sinks,
     roundtrips, partitioned-lake builds): a bare ``tempfile.mkdtemp``
@@ -211,20 +215,26 @@ def scratch_dir(tag: str) -> str:
     session (round-8 ADVICE class, SCALE.md §29). This keeps the
     per-invocation isolation — a frame returned by an earlier
     invocation still reads ITS OWN files, no overwrite race — and
-    bounds the garbage's lifetime to the process instead of forever.
+    bounds the garbage's lifetime to the process instead of forever,
+    with ONE atexit handler per tag (not per invocation, which grew
+    the atexit list unboundedly — round-10 review).
 
     Deliberate tradeoff: within ONE long process, disk grows by one
-    small (test-SF-sized) directory per invocation. Reclaiming earlier
-    dirs mid-process is unsafe by construction — Spark pins concrete
-    part-file names into any not-yet-collected frame at analysis time,
-    so an eager rmtree (or a reused per-(tag, pid) dir overwritten in
+    small (test-SF-sized) subdirectory per invocation. Reclaiming
+    earlier dirs mid-process is unsafe by construction — Spark pins
+    concrete part-file names into any not-yet-collected frame at
+    analysis time, so an eager rmtree (or a reused dir overwritten in
     place) turns a live lazy frame into FileNotFound. Process-lifetime
     cleanup is the only interleaving-safe point.
     """
-    import atexit
-    import shutil
     import tempfile
 
-    path = tempfile.mkdtemp(prefix=f"{tag}_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    return path
+    parent = _SCRATCH_PARENTS.get(tag)
+    if parent is None:
+        import atexit
+        import shutil
+
+        parent = tempfile.mkdtemp(prefix=f"{tag}_")
+        atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        _SCRATCH_PARENTS[tag] = parent
+    return tempfile.mkdtemp(dir=parent)

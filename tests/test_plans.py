@@ -137,19 +137,19 @@ def test_tfidf_broadcasts_corpus_scalar(spark):
     assert any("LessThan(doc_id,10)" in s for s in tf_scans), (
         "tf must be computed on the doc_id<10 pruned scan"
     )
-    # Round-10 dispatch-composition pin: only the corpus-scaling
-    # branches may shuffle — dfreq's token-key aggregate (1 exchange)
-    # and the n_docs COUNT(DISTINCT) scalar (2: hash-distinct +
-    # single-partition count). The bounded branches — the 10-doc tf
-    # aggregate and the final top-5 window — run exchange-free on one
-    # partition, so a shuffle Exchange count above 3 means a bounded
-    # branch regressed into paying an AQE materialization job again.
-    import re
-
-    shuffle_ids = set(re.findall(r"\((\d+)\) Exchange\b", plan))
-    assert len(shuffle_ids) == 3, (
-        "expected exactly 3 shuffle exchanges (dfreq agg + the two "
-        f"n_docs distinct-count legs), got node ids {sorted(shuffle_ids)}"
+    # Round-10 NOTE (kept as a tombstone): a dispatch-composition
+    # re-plan coalesced the 10-doc tf aggregate and the final top-5
+    # window to one partition to delete their AQE materialization jobs
+    # (8 -> 6 jobs, -22% at sf0.1). The round-10 diff review REFUTED
+    # it: coalesce(1) is narrow, so it collapsed the WHOLE post-shuffle
+    # stage — including dfreq's vocabulary-sized final aggregate — to
+    # one task, and the COALESCE(1) hint serialized the documents scan
+    # (input is data-volume-bound even though the agg output is
+    # contract-bounded). Reverted; SCALE.md §31 records the corrected
+    # rule. No exchange-count pin here: the 5 shuffles (dfreq, 2x
+    # n_docs distinct legs, tf10, window) are each the honest plan.
+    assert "WindowGroupLimit" in plan, (
+        "the rk <= 5 filter should push a group-limit below the window"
     )
 
 

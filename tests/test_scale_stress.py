@@ -603,12 +603,6 @@ def test_concurrent_submission_pipelines_the_dispatch_floor():
     import subprocess as _sp
     import sys as _sys
 
-    # The factor assertions measure machine behavior, not code: on a
-    # loaded or low-core host the overlap can legitimately shrink.
-    # Row-count equality below stays the hard correctness check at any
-    # core count (round-10 ADVICE).
-    if (_os.cpu_count() or 0) < 8:
-        pytest.skip("pipelining factors need >= 8 cores to be meaningful")
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     out = _sp.run(
@@ -625,7 +619,14 @@ def test_concurrent_submission_pipelines_the_dispatch_floor():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     result = _json.loads(out.stdout.strip().splitlines()[-1])
+    # Row-count equality is the hard CORRECTNESS check and runs at any
+    # core count — only the timing-factor assertions below are gated,
+    # because they measure machine behavior (round-10 ADVICE + review).
     assert result["rowcounts_equal"], result["mismatched"]
+    if (_os.cpu_count() or 0) < 8:
+        pytest.skip(
+            "row counts verified; pipelining factors need >= 8 cores"
+        )
     # At sf0.01 every query is floor-dominated, so pipelining is at its
     # strongest — a factor this low would mean submission no longer
     # overlaps at all (the regression this test exists to catch).
