@@ -150,14 +150,22 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one JVM-side parse replaces ~30 py4j Column round trips; the logical
     # plan is identical. ROLLUP over two bounded dims (≤ ~5×4 leaves +
     # subtotals): ordered_small, not a range sort (plans/ordering.py).
+    # The cents chain is projected BELOW the rollup (round-10 anatomy):
+    # Expand triples every input row before the partial aggregate, and
+    # an aggregate-input expression is evaluated once per EXPANDED row
+    # — pre-projecting FLOOR(price*100+0.5) evaluates it once per SCAN
+    # row instead of three times, identical values at every scale.
     orders = view(spark, sf_dir, "orders")
     return spark.sql(f"""
         SELECT coalesce(o_orderpriority, 'ALL') AS pri,
                coalesce(o_orderstatus, 'ALL') AS status,
                COUNT(1) AS n_orders,
-               CAST(SUM(FLOOR(o_totalprice * 100.0D + 0.5D)) AS DOUBLE)
-                   / 100.0D AS sum_price
-        FROM {orders}
+               CAST(SUM(cents) AS DOUBLE) / 100.0D AS sum_price
+        FROM (
+            SELECT o_orderpriority, o_orderstatus,
+                   FLOOR(o_totalprice * 100.0D + 0.5D) AS cents
+            FROM {orders}
+        )
         GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
     """).transform(ordered_small, "pri", "status")
 
