@@ -234,7 +234,15 @@ def scratch_dir(tag: str) -> str:
         import atexit
         import shutil
 
-        parent = tempfile.mkdtemp(prefix=f"{tag}_")
-        atexit.register(shutil.rmtree, parent, ignore_errors=True)
-        _SCRATCH_PARENTS[tag] = parent
+        # setdefault makes the memoization race-free (round-10 ADVICE:
+        # the concurrency study submits ops from a thread pool, so two
+        # first calls for one tag can both reach this branch). Exactly
+        # one created parent wins and registers its atexit; the loser's
+        # directory is empty by construction and removed immediately.
+        created = tempfile.mkdtemp(prefix=f"{tag}_")
+        parent = _SCRATCH_PARENTS.setdefault(tag, created)
+        if parent is created:
+            atexit.register(shutil.rmtree, parent, ignore_errors=True)
+        else:
+            shutil.rmtree(created, ignore_errors=True)
     return tempfile.mkdtemp(dir=parent)

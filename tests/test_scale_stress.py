@@ -631,7 +631,20 @@ def test_concurrent_submission_pipelines_the_dispatch_floor():
     # strongest — a factor this low would mean submission no longer
     # overlaps at all (the regression this test exists to catch).
     # 1.2x (not the typical ~4-5x) so a busy CI host cannot flake the
-    # suite; a true overlap regression reads ~1.0x.
+    # suite; a true overlap regression reads ~1.0x. The measured factor
+    # is emitted as a warning (round-10 ADVICE: the loose CI floor must
+    # not silently hide a PARTIAL regression, e.g. 4x -> 1.5x), so the
+    # pytest warning summary carries the number every run; the bench
+    # artifact record lives in BASELINE.md's concurrency-study JSON.
+    import warnings as _warnings
+
+    _warnings.warn(
+        "concurrency pipelining_factor="
+        f"{result['pipelining_factor']} (duckdb "
+        f"{result['duckdb_pipelining_factor']}); typical ~4-5x, CI "
+        "floor 1.2x",
+        stacklevel=1,
+    )
     assert result["pipelining_factor"] > 1.2, result
     # DuckDB's side must have run the FULL suite with sane results —
     # an engine whose concurrent makespan beats a 32-core serial pass

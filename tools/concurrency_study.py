@@ -187,7 +187,11 @@ def main() -> None:
         "metric": "concurrency_study",
         "sf_dir": sf_dir,
         "threads": threads,
-        "duckdb_threads_per_conn_concurrent": sorted(
+        # Renamed from duckdb_threads_per_conn_concurrent (round-10
+        # ADVICE): that key was an int in older BASELINE.md JSON lines;
+        # the distinct-values list gets its own name so the schema
+        # change is explicit rather than a silent type change.
+        "duckdb_threads_per_conn_values": sorted(
             set(conn_threads.values())
         ),
         "duckdb_threads_total_concurrent": sum(conn_threads.values()),

@@ -11,7 +11,16 @@ fresh job-submission round (the dispatch study's probe-job bracket:
 does NOT remove.
 
 For every headline query this prints:
-  - jobs:          AQE jobs executed (status-tracker job-group count)
+  - jobs:          AQE jobs executed, counted as the global job-ID
+                   delta between two sentinel jobs bracketing the
+                   probe run (round-10 ADVICE: job-GROUP attribution
+                   is unreliable — AQE broadcast-exchange jobs are
+                   submitted from cached driver thread pools that can
+                   retain whichever job group first created them, so
+                   a group count can leak across queries; Spark job
+                   IDs are one global monotone counter, so the
+                   sentinel delta is exact regardless of submitting
+                   thread)
   - wall/marginal: bench.py's protocol (toPandas materialization,
                    median of N, same spark.range(1).count() floor)
   - adj_lo/adj_hi: marginal minus (jobs - 1) x the probe-job bracket
@@ -44,6 +53,32 @@ sys.path.insert(
 # (round 9, BASELINE.md addendum): a trivial 2-stage job costs 27-42 ms
 # end to end once planning and the collect socket are excluded.
 JOB_MS_LO, JOB_MS_HI = 27.0, 42.0
+
+
+def count_jobs(spark, st, thunk) -> int:
+    """Scheduler jobs submitted by ``thunk``, by sentinel job-ID delta.
+
+    Two `spark.range(1).count()` sentinels bracket the probe; each runs
+    under its own fresh job group set from THIS thread (main-thread
+    setJobGroup attribution is reliable — the round-10 ADVICE hazard is
+    only the cached AQE broadcast thread pools, whose jobs still land
+    between the sentinels in the global ID sequence no matter which
+    group they carry). jobs = min(after-sentinel IDs) − max(before-
+    sentinel IDs) − 1. Requires no concurrent foreign job submission —
+    true for this single-threaded tool by construction.
+    """
+    sc = spark.sparkContext
+    tok = count_jobs._seq = getattr(count_jobs, "_seq", 0) + 1
+    g_before, g_after = f"anatomy_sent_{tok}a", f"anatomy_sent_{tok}b"
+    sc.setJobGroup(g_before, "sentinel-before")
+    spark.range(1).count()
+    before = max(st.getJobIdsForGroup(g_before))
+    sc.setJobGroup(f"anatomy_probe_{tok}", "probe")
+    thunk()
+    sc.setJobGroup(g_after, "sentinel-after")
+    spark.range(1).count()
+    after = min(st.getJobIdsForGroup(g_after))
+    return after - before - 1
 
 
 def main() -> None:
@@ -79,11 +114,9 @@ def main() -> None:
     out = {}
     for name in HEADLINE:
         fn = registry[name].spark_fn
-        group = f"anatomy_{name}"
-        sc.setJobGroup(group, name)
-        fn(spark, sf_dir).toPandas()
-        sc.setJobGroup("idle", "idle")
-        jobs = len(st.getJobIdsForGroup(group) or [])
+        jobs = count_jobs(
+            spark, st, lambda: fn(spark, sf_dir).toPandas()
+        )
         walls = []
         for _ in range(runs):
             t0 = time.perf_counter()
