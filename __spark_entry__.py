@@ -474,6 +474,74 @@ _DEFER_NEW_R10 = [
 ]
 
 
+# Wave G, activated in round 11: the 50 staged_r11 operators (exact
+# rank/robust statistics, retail/orders analytics panels,
+# corpus/embedding audits, tape analytics, graph topology metrics,
+# SQL-semantics traps). All 50 are never-driver-graded, so they occupy
+# the entire round-11 50-slot window, and every one carries a DuckDB
+# oracle — a full hash-match window by construction. Ordering puts the
+# two review-hardened ops first so their first driver grades double as
+# review verification: graph_rich_club_topdeg (round-7 review derived
+# the C(club,2) denominator from the data instead of a constant — a
+# stale hardcode cannot survive its grade) and
+# bidask_anchored_vwap_monthly (month-anchored cumulative price*volume
+# in exact cents with int64 prefix-sum headroom and a full
+# (ts, event_id) DESC close-of-day tie-break); the rest follow in
+# staged insertion order.
+_DEFER_NEW_R11 = [
+    "graph_rich_club_topdeg",
+    "bidask_anchored_vwap_monthly",
+    "orders_rfm_migration_matrix",
+    "text_bigram_xent_split",
+    "ts_changepoint_two_level",
+    "sql_values_inline_table",
+    "join_full_outer_reconcile",
+    "subquery_not_in_null_trap",
+    "agg_trimmed_mean_exact",
+    "agg_geometric_mean_ln",
+    "agg_mann_whitney_u_exact",
+    "agg_mutual_information_priority_status",
+    "dq_functional_dependency_audit",
+    "orders_backlog_timeseries",
+    "orders_new_vs_repeat_monthly",
+    "orders_fiscal_445_calendar",
+    "orders_net_revenue_retention",
+    "orders_quarter_end_concentration",
+    "orders_price_index_laspeyres",
+    "parts_supplier_concentration",
+    "events_stickiness_dau_wau",
+    "events_session_bounce_rate",
+    "events_interval_union_coverage",
+    "sessionize_timeout_sensitivity",
+    "graph_reciprocity_directed",
+    "dq_error_rate_wilson_bound",
+    "text_hapax_legomena_ratio",
+    "corpus_js_divergence_sources",
+    "text_vocab_coverage_topk",
+    "text_term_burstiness_fano",
+    "text_cdc_chunk_boundaries",
+    "text_token_length_histogram",
+    "embed_kcenter_greedy_init",
+    "embed_simhash_bit_balance",
+    "knn_norm_bound_prune",
+    "multimodal_aspect_bucket_stats",
+    "multimodal_byte_entropy",
+    "ts_peak_prominence_daily",
+    "ts_runs_test_exact",
+    "ts_theil_sen_slope_daily",
+    "ts_median3_smoother",
+    "bidask_impact_decay_profile",
+    "eval_cohens_kappa_rules",
+    "eval_topk_overlap_champion",
+    "etl_partition_backfill_plan",
+    "etl_surrogate_key_stable",
+    "scan_selectivity_census",
+    "win_rolling_percentile_rank",
+    "parts_substitute_pairs",
+    "lineitem_tax_discount_matrix",
+]
+
+
 # Every activated wave's defer list, in activation order. rotation_order
 # flattens the concatenation to break never-graded ties (each wave's
 # additions sort after the previous wave's); _ordered_registry asserts
@@ -486,6 +554,7 @@ _DEFER_WAVES = [
     _DEFER_NEW_R8,
     _DEFER_NEW_R9,
     _DEFER_NEW_R10,
+    _DEFER_NEW_R11,
 ]
 
 

@@ -92,6 +92,25 @@ from etl_intraday_bidask_spark.operators import staged_r10  # noqa: E402
 
 activate_staged(staged_r10.STAGED_R10)
 
+# Round 11: activate wave G — the 50 staged_r11 operators (exact
+# rank/robust statistics: trimmed mean, Mann-Whitney U, Theil-Sen
+# slope, runs test, Wilson bounds, Cohen's kappa; retail/orders panels:
+# RFM migration, NRR, Laspeyres price index, fiscal 4-4-5 calendar,
+# backlog reconstruction; corpus/embedding audits: JS divergence,
+# hapax ratio, CDC chunking, k-center greedy seeding, SimHash bit
+# balance, Cauchy-Schwarz norm-bound pruning; tape analytics: anchored
+# VWAP, impact decay, two-level changepoint; graph rich-club and
+# reciprocity; SQL-semantics traps: NOT IN null, VALUES inline, full
+# outer reconcile). Built round 7, parity-tested at sf0.001/0.01/0.1,
+# fuzz-battered, cross-asserted, plan-audited; the round-7 review
+# fixed the rich-club denominator (derived from data, not hardcoded)
+# and the anchored-VWAP int64 prefix-sum headroom; re-certified 50/50
+# on driver-shaped vanilla sessions at the round-9 AND round-10 final
+# trees. SURVEY.md §2.33.
+from etl_intraday_bidask_spark.operators import staged_r11  # noqa: E402
+
+activate_staged(staged_r11.STAGED_R11)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

@@ -341,7 +341,7 @@ def test_next_window_matches_pending_wave():
     registry = load_all_operators()
     history = entry._grading_history()
     never = {k for k in registry if k not in history}
-    wave = set(entry._DEFER_NEW_R10)
+    wave = set(entry._DEFER_NEW_R11)
     if not never & wave:
         pytest.skip("latest wave already driver-graded")
     assert never == wave, (

@@ -1,4 +1,9 @@
-"""Parity tests + leak guard for the STAGED round-11 wave G seeds."""
+"""Parity tests for wave G (operators/staged_r11.py).
+
+Staged in round 7, ACTIVATED in round 11 — the registry-driven sweeps
+now cover these ops too; this file keeps the direct oracle-parity
+drive plus the activation guard that pins the round-11 window
+composition."""
 
 from __future__ import annotations
 
@@ -24,7 +29,13 @@ def test_staged_r11_parity(spark, duck_small, name):
     assert normalize(s_rows, s_cols) == normalize(d_rows, d_cols)
 
 
-def test_staged_r11_not_registered():
+def test_wave_g_activated():
+    """Round 11 activated wave G: all 50 staged_r11 ops are in the
+    global registry with their exact staged specs, and the wave is
+    exactly the driver's 50-slot window (every key never-graded as of
+    r10, everything else green r1-r10). Every wave-G op carries an
+    oracle, so the window is full-hash-match by construction."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
     from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
     from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
@@ -35,8 +46,15 @@ def test_staged_r11_not_registered():
     from etl_intraday_bidask_spark.registry import load_all_operators
 
     registry = load_all_operators()
-    leaked = sorted(set(STAGED_R11) & set(registry))
-    assert not leaked, f"wave G leaked into the registry: {leaked}"
+    assert len(STAGED_R11) == 50
+    missing = sorted(set(STAGED_R11) - set(registry))
+    assert not missing, f"wave-G ops not activated: {missing}"
+    for name, spec in STAGED_R11.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+        assert spec.oracle_sql is not None, f"{name}: oracle missing"
+    assert set(entry._DEFER_NEW_R11) == set(STAGED_R11), (
+        "_DEFER_NEW_R11 and the staged wave diverge"
+    )
     overlap = sorted(
         set(STAGED_R11)
         & (

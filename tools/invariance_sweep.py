@@ -92,14 +92,11 @@ def main() -> None:
         # already in load_all_operators(), and re-adding them as
         # staged:<name> double-sweeps 50 ops per activated wave
         # (round-9 review — waves D and E had accreted here).
-        from etl_intraday_bidask_spark.operators.staged_r11 import (
-            STAGED_R11,
-        )
         from etl_intraday_bidask_spark.operators.staged_r12 import (
             STAGED_R12,
         )
 
-        for wave in (STAGED_R11, STAGED_R12):
+        for wave in (STAGED_R12,):
             for name, spec in wave.items():
                 if name in specs:
                     raise SystemExit(
