@@ -17,7 +17,6 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_intraday_bidask_spark.functions.parity import (
     exact_avg,
-    exact_sum,
     scaled_long,
 )
 from etl_intraday_bidask_spark.plans.ordering import ordered_small
@@ -186,12 +185,24 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="CUBE over returnflag × linestatus (all grouping combos).",
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # Cents projected BELOW Expand (round-11, the agg_rollup class from
+    # round 10): CUBE over two dims expands every scan row into 4
+    # grouping-set copies before the partial aggregate, and an
+    # aggregate-input expression is evaluated once per EXPANDED row —
+    # pre-projecting floor(qty*100+0.5) evaluates it once per SCAN row
+    # instead of four times, identical values at every scale.
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        scaled_long("l_quantity", 100).alias("qty_cents"),
+    )
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            exact_sum("l_quantity", 100).alias("sum_qty"),
+            (F.sum("qty_cents").cast("double") / F.lit(100.0)).alias(
+                "sum_qty"
+            ),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
@@ -221,16 +232,24 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load(spark, sf_dir, "customer")
     cust.createOrReplaceTempView("customer_gs")
-    # SQL form — Spark's GROUPING SETS surface is SQL-first.
+    # SQL form — Spark's GROUPING SETS surface is SQL-first. The cents
+    # chain is projected BELOW the Expand in a subquery (round-11, the
+    # agg_rollup class from round 10): three grouping sets triple every
+    # scan row before the partial aggregate, and an aggregate-input
+    # expression is evaluated once per EXPANDED row — the subquery
+    # evaluates it once per SCAN row, identical values at every scale.
     return spark.sql(
         """
         SELECT
             coalesce(c_mktsegment, 'ALL') AS segment,
             coalesce(CAST(c_nationkey AS BIGINT), -1L) AS nationkey,
             count(*) AS n_cust,
-            CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE) / 100.0
-                AS sum_bal
-        FROM customer_gs
+            CAST(sum(bal_cents) AS DOUBLE) / 100.0 AS sum_bal
+        FROM (
+            SELECT c_mktsegment, c_nationkey,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+            FROM customer_gs
+        )
         GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
         ORDER BY segment, nationkey
         """

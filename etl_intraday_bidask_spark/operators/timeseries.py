@@ -879,15 +879,23 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     day = F.date_trunc("day", F.col("ts"))
     hour = F.date_trunc("hour", F.col("ts"))
+    # The truncations were already pre-projected; round-11 moves the
+    # cents chain below the Expand too (the agg_rollup class from round
+    # 10): ROLLUP triples every scan row before the partial aggregate
+    # and evaluates aggregate-input arithmetic per EXPANDED row —
+    # pre-projecting floor(value*100+0.5) evaluates it once per scan
+    # row, identical values at every scale.
     return (
         ev.select(
             F.unix_micros(day).alias("d_us"), F.unix_micros(hour).alias("h_us"),
-            "value",
+            scaled_long("value", 100).alias("v_cents"),
         )
         .rollup("d_us", "h_us")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            exact_sum("value", 100).alias("sum_value"),
+            (F.sum("v_cents").cast("double") / F.lit(100.0)).alias(
+                "sum_value"
+            ),
         )
         .select(
             F.coalesce("d_us", F.lit(-1)).alias("day_us"),

@@ -451,3 +451,53 @@ def test_decontaminate_distinct_is_doc_local(spark):
         assert not ("doc_id" in keys and "gram" in keys), (
             f"pair-grain distinct exchange returned: {keys}"
         )
+
+
+def test_grouping_set_arithmetic_below_expand(spark):
+    """Round-11 (the agg_rollup class from round 10, VERDICT r10 item
+    3): GROUP BY ROLLUP/CUBE/GROUPING SETS expands every scan row into
+    one copy per grouping set BEFORE the partial aggregate, and an
+    aggregate-input expression is evaluated once per EXPANDED row — so
+    the exact-cents chain must be projected in a subquery BELOW the
+    Expand (evaluated once per scan row), not inside the aggregate
+    call (2-4x the map-side arithmetic, growing with grouping-set
+    count at every scale). Pin: each op's Expand node lists the
+    pre-projected cents column among its INPUTS, and no floor()
+    arithmetic appears in the Expand's own argument list."""
+    import re
+
+    for name, cents_col in (
+        ("agg_rollup", "cents"),
+        ("agg_cube", "qty_cents"),
+        ("agg_grouping_sets", "bal_cents"),
+        ("rollup_time_hierarchy", "v_cents"),
+    ):
+        plan = plan_of(spark, name)
+        m = re.search(
+            r"\(\d+\) Expand\s*\nInput \[\d+\]: \[([^\]]*)\]", plan
+        )
+        assert m, f"{name}: no Expand node in plan"
+        assert cents_col in m.group(1), (
+            f"{name}: {cents_col} not an Expand input — the cents "
+            f"chain is above Expand again: {m.group(1)}"
+        )
+        assert "floor(" not in m.group(1).lower(), (
+            f"{name}: arithmetic leaked into Expand input: {m.group(1)}"
+        )
+
+
+def test_grouping_id_expand_has_no_arithmetic(spark):
+    """agg_rollup_grouping_id and agg_bitmap_rollup_multigrain were
+    named in the same VERDICT r10 class but carry NO aggregate-input
+    arithmetic: the former aggregates only count(1) + grouping markers
+    (its Expand sits directly on the pruned scan), the latter is
+    Generate-based with the per-row bit arithmetic below its FIRST
+    aggregate and the fanout over bounded mask rows. Pin that so the
+    class cannot silently reappear."""
+    plan = plan_of(spark, "agg_rollup_grouping_id")
+    assert "Expand" in plan
+    assert "floor(" not in plan.lower()
+
+    plan = plan_of(spark, "agg_bitmap_rollup_multigrain")
+    assert "Expand" not in plan, "multigrain rollup should be Generate-based"
+    assert "Generate" in plan
