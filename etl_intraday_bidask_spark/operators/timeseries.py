@@ -43,27 +43,38 @@ from etl_intraday_bidask_spark.tables import load, view
         ORDER BY 1, 2
     """,
     description="1-hour tumbling bars per event_type (counts + sums) — "
-    "the intraday-bar aggregation; streaming twin uses the same window().",
+    "the intraday-bar aggregation; the streaming twin uses window() "
+    "(the watermark-aware construct), the batch form groups on "
+    "date_trunc('hour') — identical bucket starts for tumbling "
+    "windows, pinned value-equal by tests/test_streaming.py.",
 )
 def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): same window() tumbling aggregation, one
-    # parse round trip. The streaming twin (tests/test_streaming.py)
-    # keeps the DataFrame window() form — semantics are pinned equal.
+    # agg_pricing_summary): one parse round trip. Round-11 re-plan
+    # (VERDICT r10 item 4): the batch form groups on
+    # date_trunc('HOUR', ts) instead of window(ts, '1 hour') — for
+    # TUMBLING windows the bucket start IS the truncation, so the
+    # struct construction, per-row window_start/end arithmetic, and
+    # post-aggregate field extraction all disappear from the hot path,
+    # and the group key is a flat timestamp instead of a struct.
+    # Measured (interleaved medians, bench-shaped session): sf0.1
+    # 317/219 ms -> 213/188 ms; 10x events 591/477 -> 456/419 ms;
+    # results bit-identical at both scales (3,600 bars). The STREAMING
+    # twin (streaming/replay.py, tests/test_streaming.py) keeps
+    # window() — watermark eviction needs the window struct — and the
+    # twin test pins the two forms value-equal, so the streaming
+    # semantics stay the contract.
     ev = view(spark, sf_dir, "events")
     return spark.sql(f"""
-        SELECT unix_micros(w.start) AS bucket_us, event_type, n,
-               sum_value, avg_value
-        FROM (
-            SELECT window(ts, '1 hour') AS w, event_type,
-                   COUNT(1) AS n,
-                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
-                       / 100.0D AS sum_value,
-                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
-                       / 100.0D / COUNT(1) AS avg_value
-            FROM {ev}
-            GROUP BY window(ts, '1 hour'), event_type
-        )
+        SELECT unix_micros(date_trunc('HOUR', ts)) AS bucket_us,
+               event_type,
+               COUNT(1) AS n,
+               CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D AS sum_value,
+               CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
+                   / 100.0D / COUNT(1) AS avg_value
+        FROM {ev}
+        GROUP BY date_trunc('HOUR', ts), event_type
         ORDER BY bucket_us, event_type
     """)
 
