@@ -256,9 +256,11 @@ def join_theta_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="As-of join — for each purchase, the latest view at-or-"
     "before it for the same user (quote-matching primitive of intraday "
-    "bid/ask analytics). Implemented as union + ordered window: one "
-    "shuffle partitioned by user, linear per-user scan — no range-join "
-    "blowup at scale. The (ts, side, event_id) window order already "
+    "bid/ask analytics). Implemented as ONE conditional-projection scan "
+    "+ ordered window: a single pass over events (event_type IN filter "
+    "pushed to Parquet), one shuffle partitioned by user, linear "
+    "per-user scan — no range-join blowup and no second scan of the "
+    "fact table at any scale. The (ts, side, event_id) window order "
     "makes the Spark side max-event_id-deterministic under duplicate "
     "(user_id, ts) views; the oracle's arg_max pre-dedup pins the SAME "
     "choice (DuckDB ASOF has no defined tie-break), so parity does not "
@@ -268,20 +270,24 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
     # At equal ts the view sorts first (side 0 < 1) → inclusive "at-or-
     # before" semantics, matching DuckDB ASOF (ON p.ts >= v.ts).
     # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): identical union + ordered-window plan, one
-    # parse round trip instead of ~60 py4j Column calls.
+    # agg_pricing_summary). Round-11 re-plan: the former UNION ALL of
+    # two filtered scans is now ONE scan with conditional projection —
+    # event_type IN ('view','purchase') pushes to Parquet and the
+    # side/value columns come from CASE, so the fact table is read once
+    # instead of twice (row set identical; at lake scale this halves
+    # the scan I/O of the dominant input).
     ev = view(spark, sf_dir, "events")
     return spark.sql(f"""
         WITH u AS (
             SELECT event_id, user_id, ts,
-                   CAST(NULL AS DOUBLE) AS purchase_value,
-                   value AS view_value, 0 AS side
-            FROM {ev} WHERE event_type = 'view'
-            UNION ALL
-            SELECT event_id, user_id, ts,
-                   value AS purchase_value,
-                   CAST(NULL AS DOUBLE) AS view_value, 1 AS side
-            FROM {ev} WHERE event_type = 'purchase'
+                   CASE WHEN event_type = 'purchase' THEN value END
+                       AS purchase_value,
+                   CASE WHEN event_type = 'view' THEN value END
+                       AS view_value,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS side
+            FROM {ev}
+            WHERE event_type IN ('view', 'purchase')
         ),
         filled AS (
             SELECT event_id, user_id, purchase_value, side,

@@ -208,28 +208,35 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     description="Forward as-of join: for each view, the value of the "
     "next purchase at-or-after it by the same user — the mirror of "
-    "join_asof_bidask's backward match. Union + ordered window with a "
-    "forward unbounded frame and first(ignorenulls): one shuffle on "
-    "user_id, linear per-user scan, no range-join blowup. Ties on ts "
-    "break on event_id, matching the oracle's ORDER BY ts, event_id.",
+    "join_asof_bidask's backward match. ONE conditional-projection scan "
+    "(event_type IN filter pushed to Parquet, the join_asof_nearest "
+    "pattern) + ordered window with a forward unbounded frame and "
+    "first(ignorenulls): one shuffle on user_id, linear per-user scan, "
+    "no range-join blowup and no second scan of the fact table. Ties "
+    "on ts break on event_id, matching the oracle's ORDER BY ts, "
+    "event_id.",
 )
 def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("value").alias("view_value"),
-        F.lit(None).cast("double").alias("purchase_value"),
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(None).cast("double").alias("view_value"),
-        F.col("value").alias("purchase_value"),
-        F.lit(1).alias("side"),
+    # Round-11 re-plan (the join_asof_bidask class): the former
+    # UNION ALL of two filtered scans read events twice; the
+    # conditional projection reads it once — identical row set.
+    merged = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("event_type") == "view", F.col("value")).alias(
+                "view_value"
+            ),
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).alias("purchase_value"),
+            F.when(F.col("event_type") == "view", 0)
+            .otherwise(1)
+            .alias("side"),
+        )
     )
     # At equal ts the view (side 0) sorts before the purchase (side 1),
     # so the purchase falls inside the view's forward frame → inclusive
@@ -240,7 +247,7 @@ def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     return (
-        views.unionByName(purchases)
+        merged
         .withColumn(
             "next_purchase_value",
             F.first("purchase_value", ignorenulls=True).over(w),

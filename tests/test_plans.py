@@ -98,6 +98,26 @@ def test_asof_join_is_single_user_partitioned_window(spark):
     assert "SortMergeJoin" not in plan, (
         "as-of must not degenerate into a range join"
     )
+    # Round-11 re-plan: ONE conditional-projection scan, not a UNION
+    # ALL of two filtered scans — the fact table is read once, with
+    # the event_type IN filter pushed to Parquet. One "Location:"
+    # detail line per scan node (formatted explain repeats node NAMES
+    # in the tree + details, so counting names would double).
+    assert plan.count("Location:") == 1, (
+        "as-of must read events once (conditional projection), "
+        "not once per side"
+    )
+
+
+def test_asof_forward_is_single_scan_window(spark):
+    plan = plan_of(spark, "join_asof_forward")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Location:") == 1, (
+        "forward as-of must read events once (conditional "
+        "projection), not once per side"
+    )
 
 
 def test_range_interval_join_keeps_equi_key(spark):
