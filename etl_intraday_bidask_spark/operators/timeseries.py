@@ -576,29 +576,35 @@ def bidask_twa_quote(spark: SparkSession, sf_dir: str) -> DataFrame:
     "intraday bid/ask pipeline: each purchase (taker side) matched to "
     "the latest at-or-before view (quote side) per user via the as-of "
     "window formulation, spread = purchase - matched view, aggregated "
-    "per user with exact scaled-integer sums. One shuffle on user_id "
-    "serves both the as-of window and the final aggregate. The "
+    "per user with exact scaled-integer sums. ONE conditional-"
+    "projection scan of events (no per-side re-scan); one shuffle on "
+    "user_id serves both the as-of window and the final aggregate. The "
     "(ts, side, event_id) window order makes the Spark side "
     "max-event_id-deterministic under duplicate (user_id, ts) views; "
     "the oracle's arg_max pre-dedup pins the same choice.",
 )
 def bidask_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    views = ev.where(F.col("event_type") == "view").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.lit(None).cast("double").alias("purchase_value"),
-        F.col("value").alias("view_value"),
-        F.lit(0).alias("side"),
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "event_id",
-        "user_id",
-        "ts",
-        F.col("value").alias("purchase_value"),
-        F.lit(None).cast("double").alias("view_value"),
-        F.lit(1).alias("side"),
+    # Round-11 re-plan (the join_asof_bidask class): the former
+    # UNION ALL of two filtered scans read events twice; ONE scan with
+    # event_type IN pushed to Parquet and CASE side columns produces
+    # the identical row set reading the fact table once.
+    merged = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(
+                F.col("event_type") == "purchase", F.col("value")
+            ).alias("purchase_value"),
+            F.when(F.col("event_type") == "view", F.col("value")).alias(
+                "view_value"
+            ),
+            F.when(F.col("event_type") == "view", 0)
+            .otherwise(1)
+            .alias("side"),
+        )
     )
     # View sorts before purchase at equal ts (side 0 < 1): inclusive
     # at-or-before semantics, same as the ASOF oracle (p.ts >= v.ts).
@@ -608,7 +614,7 @@ def bidask_effective_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (
-        views.unionByName(purchases)
+        merged
         .withColumn(
             "prior_view_value", F.last("view_value", ignorenulls=True).over(w)
         )

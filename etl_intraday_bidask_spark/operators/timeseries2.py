@@ -211,20 +211,25 @@ def win_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "correlated re-scan — the oracle is the literal NOT EXISTS.",
 )
 def cep_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load(spark, sf_dir, "events")
-    clicks = ev.where(F.col("event_type") == "click").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.lit(None).cast("long").alias("purchase_us"),
-        F.lit(1).alias("side"),  # clicks AFTER purchases at equal ts
-    )
-    purchases = ev.where(F.col("event_type") == "purchase").select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.unix_micros("ts").alias("purchase_us"),
-        F.lit(0).alias("side"),
+    # Round-11 re-plan (the join_asof_bidask class): the former
+    # UNION ALL of two filtered scans read events twice; ONE scan with
+    # event_type IN pushed to Parquet and CASE side columns produces
+    # the identical row set reading the fact table once. Clicks sort
+    # AFTER purchases at equal ts (side 1 > 0), unchanged.
+    both = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("event_type") == "purchase", F.unix_micros("ts")
+            ).alias("purchase_us"),
+            F.when(F.col("event_type") == "click", 1)
+            .otherwise(0)
+            .alias("side"),
+        )
     )
     w = (
         Window.partitionBy("user_id")
@@ -232,7 +237,7 @@ def cep_pattern_absence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
     merged = (
-        clicks.unionByName(purchases)
+        both
         .withColumn(
             "next_purchase_us",
             F.first("purchase_us", ignorenulls=True).over(w),
