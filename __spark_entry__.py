@@ -542,6 +542,73 @@ _DEFER_NEW_R11 = [
 ]
 
 
+# Wave H, activated in round 12: the 50 staged_r12 operators — the
+# FINAL staged wave (the backlog is empty; no wave I). All 50 are
+# never-driver-graded, so they occupy the entire round-12 50-slot
+# window; 49 carry DuckDB oracles, 1 is rows-only by declared design
+# (source_binaryfile_manifest — binaryFile surfaces host mtimes/paths,
+# pinned instead by a ground-truth test). Ordering puts the
+# judge-requested op first so its first driver grade doubles as
+# request verification (embed_hubness_bucketed — the round-7 verdict's
+# scale-honest hubness twin over the LSH candidate graph) and the
+# rounding-boundary reconciliation second (lineitem_charge_reconcile_ties
+# — one-shot vs staged quantization genuinely diverging at half
+# boundaries, the most hash-sensitive op of the wave); the rest follow
+# in staged insertion order.
+_DEFER_NEW_R12 = [
+    "embed_hubness_bucketed",
+    "lineitem_charge_reconcile_ties",
+    "sql_distinct_on_emulation",
+    "sql_order_by_all_nulls",
+    "sql_exists_flag_projection",
+    "sql_listagg_distinct_sorted",
+    "win_frame_exclude_current",
+    "win_nth_from_last",
+    "win_reset_running_sum",
+    "win_mode_sliding",
+    "join_tier_range_dim",
+    "join_neighbors_below_above",
+    "set_symmetric_diff_census",
+    "agg_kendall_tau_daily",
+    "ts_ljung_box_q",
+    "ts_hurst_rs_daily",
+    "ts_variance_ratio_test",
+    "ts_holt_linear_fold",
+    "ts_subseries_median_profile",
+    "bidask_microprice_deviation",
+    "bidask_lee_ready_classify",
+    "bidask_effective_over_quoted",
+    "bidask_round_size_clustering",
+    "text_word_length_profile",
+    "text_token_gini_by_lang",
+    "text_rake_keyword_lite",
+    "corpus_dedup_survivorship_matrix",
+    "corpus_heaps_law_checkpoints",
+    "corpus_length_quantiles_by_source",
+    "embed_pca_top2_deflation",
+    "knn_query_batch_topk",
+    "embed_quant_recall_ab",
+    "graph_triangle_participation",
+    "graph_component_size_histogram",
+    "graph_scc_transition_bounded",
+    "dq_referential_census_all_fks",
+    "dq_schema_drift_typed",
+    "gov_t_closeness_audit",
+    "etl_scd2_integrity_audit",
+    "etl_late_data_impact",
+    "dq_monotonic_ts_audit",
+    "stream_chained_windows",
+    "stream_union_two_sources",
+    "multimodal_mime_sniff_census",
+    "sample_block_bootstrap_days",
+    "source_binaryfile_manifest",
+    "sink_json_lines_partitioned",
+    "source_text_lines_census",
+    "scan_decimal_parquet_roundtrip",
+    "scan_partition_file_census",
+]
+
+
 # Every activated wave's defer list, in activation order. rotation_order
 # flattens the concatenation to break never-graded ties (each wave's
 # additions sort after the previous wave's); _ordered_registry asserts
@@ -555,6 +622,7 @@ _DEFER_WAVES = [
     _DEFER_NEW_R9,
     _DEFER_NEW_R10,
     _DEFER_NEW_R11,
+    _DEFER_NEW_R12,
 ]
 
 

@@ -111,6 +111,33 @@ from etl_intraday_bidask_spark.operators import staged_r11  # noqa: E402
 
 activate_staged(staged_r11.STAGED_R11)
 
+# Round 12: activate wave H — the 50 staged_r12 operators, the FINAL
+# staged wave (the backlog is now empty by round-11 brief item 8; no
+# wave I exists). Themes: SQL-surface semantics (DISTINCT ON, NULLS
+# FIRST/LAST census, projected EXISTS, DISTINCT listagg), window
+# mechanics (frame-exclude-current, k-from-end, data-driven reset
+# islands, sliding mode), nearest-key and range-dim joins, exact
+# nonparametric time series (Ljung-Box, Hurst R/S, variance ratio,
+# Holt linear dyadic fold, weekday medians), microstructure wave 4
+# (microprice, Lee-Ready, effective-over-quoted, round-size
+# clustering), corpus observability (word-length profile, token Gini,
+# RAKE-lite, survivorship matrix, Heaps checkpoints, per-source
+# quantiles), embeddings/ANN wave 4 (deflated PCA top-2, batched
+# queries, int8 recall A/B, bucketed hubness — the round-7
+# judge-requested scale-honest twin), bounded-graph SCC / CC histogram
+# / triangle participation, governance (t-closeness EMD, SCD2
+# integrity, late-data impact, monotonic-ts, all-FK census, typed
+# schema drift), chained/union streaming twins, MIME sniffing,
+# day-block bootstrap, and source/sink surfaces (binaryFile manifest,
+# NDJSON partitioned sink, text-lines roundtrip, decimal parquet
+# roundtrip, _metadata partition census). Built round 8, parity-green
+# at sf0.001/0.01/0.1 at stage time, re-certified on driver-shaped
+# vanilla sessions at later trees (SCALE.md §28 discipline).
+# SURVEY.md §2.34.
+from etl_intraday_bidask_spark.operators import staged_r12  # noqa: E402
+
+activate_staged(staged_r12.STAGED_R12)
+
 # NOTE: a transformWithStateInPandas operator (the Spark 4 successor to
 # applyInPandasWithState) was attempted and reverted: its driver-side
 # state server requires google.protobuf, which is not functional in this

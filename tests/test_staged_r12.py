@@ -32,7 +32,14 @@ def test_staged_r12_parity(spark, duck_small, name):
     )
 
 
-def test_staged_r12_not_registered():
+def test_wave_h_activated():
+    """Round 12 activated wave H (the FINAL staged wave): all 50
+    staged_r12 ops are in the global registry with their exact staged
+    specs, and the wave is exactly the driver's 50-slot window (every
+    key never-graded as of r11, everything else green r1-r11). 49 carry
+    oracles; source_binaryfile_manifest is rows-only by declared design
+    (pinned by test_binaryfile_manifest_matches_ground_truth below)."""
+    import __spark_entry__ as entry
     from etl_intraday_bidask_spark.operators.staged_r6 import STAGED
     from etl_intraday_bidask_spark.operators.staged_r7 import STAGED_R7
     from etl_intraday_bidask_spark.operators.staged_r8 import STAGED_R8
@@ -43,8 +50,13 @@ def test_staged_r12_not_registered():
 
     registry = load_all_operators()
     assert len(STAGED_R12) == 50
-    leaked = sorted(set(STAGED_R12) & set(registry))
-    assert not leaked, f"wave H leaked into the registry: {leaked}"
+    missing = sorted(set(STAGED_R12) - set(registry))
+    assert not missing, f"wave-H ops not activated: {missing}"
+    for name, spec in STAGED_R12.items():
+        assert registry[name] is spec, f"{name}: registry spec diverged"
+    assert set(entry._DEFER_NEW_R12) == set(STAGED_R12), (
+        "_DEFER_NEW_R12 and the staged wave diverge"
+    )
     overlap = sorted(
         set(STAGED_R12)
         & (
