@@ -88,9 +88,58 @@ def count_jobs(spark, thunk) -> int:
     return after - before - 1
 
 
+def run_host_probe(sf_dir: str) -> dict:
+    """Pre-flight host-health probe (round-11 finding, round-12 bar
+    gate): the microVM host degrades for long stretches with zero local
+    load, moving Spark AND DuckDB walls together — absolute numbers from
+    a degraded window measure the machine, not the tree. Reuses
+    tools/host_probe.py's python-loop and DuckDB-scan probes (the
+    Spark-floor leg is covered by this bench's own warmed floor, checked
+    against the warmed band after measurement — building a second JVM
+    here would double the bench's startup cost). The combined verdict is
+    finalized in main() once the warmed floor exists."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from tools import host_probe as hp
+
+    probe: dict = {"py_loop_ms": round(hp.py_loop_ms(), 1)}
+    try:
+        old = hp.SF_DIR
+        hp.SF_DIR = sf_dir
+        probe["duck_scan_ms"] = round(hp.duck_scan_ms(), 1)
+        hp.SF_DIR = old
+    except Exception as ex:
+        probe["duck_scan_ms"] = None
+        probe["duck_error"] = type(ex).__name__
+    probe["healthy_bands"] = {
+        "py_loop_ms": hp.HEALTHY["py_loop_ms"],
+        "duck_scan_ms": hp.HEALTHY["duck_scan_ms"],
+        "warmed_floor_ms": WARMED_FLOOR_HEALTHY_MS,
+    }
+    return probe
+
+
+# Warmed-session dispatch-floor healthy band: rounds 9-10 measured
+# 64-75 ms on healthy windows; round 11's degraded host-days read
+# 99-154 ms (BASELINE.md round-11 addendum, sixteen-run study).
+WARMED_FLOOR_HEALTHY_MS = 80.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    host_probe = run_host_probe(sf_dir)
+    pre_bad = [
+        k
+        for k in ("py_loop_ms", "duck_scan_ms")
+        if isinstance(host_probe.get(k), (int, float))
+        and host_probe[k] > host_probe["healthy_bands"][k]
+    ]
+    if pre_bad and os.environ.get("SPARK_GRAFT_REQUIRE_HEALTHY") == "1":
+        # Builder fast-path: the window is already provably bad before
+        # any JVM is built — don't spend 60s warming one.
+        host_probe["verdict"] = "degraded:" + ",".join(pre_bad)
+        print(json.dumps({"metric": "host_probe_refused", **host_probe}))
+        sys.exit(3)
     # Infer sf from the directory name (e.g. ".../sf0.1" -> 0.1).
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -148,6 +197,28 @@ def main() -> None:
         spark.range(1).count()
         floor_samples.append(time.perf_counter() - t0)
     floor = round(statistics.median(floor_samples), 4)
+
+    # Finalize the combined host-health verdict: pre-flight python/DuckDB
+    # probes plus this session's warmed floor (the round-11 study showed
+    # windows where ONLY the JVM dispatch path is slow while the python
+    # and DuckDB probes read healthy — trust the combination). The bench
+    # never refuses to run (the grading driver needs its JSON line
+    # regardless), it LABELS: a degraded verdict means the absolute
+    # numbers measure the machine-day and the round-12 bar below is
+    # recorded as not-evaluable. SPARK_GRAFT_REQUIRE_HEALTHY=1 (builder
+    # use) aborts instead, printing the probe as the one JSON line.
+    host_probe["warmed_floor_ms"] = round(floor * 1000, 1)
+    bad = [
+        k
+        for k, lim in host_probe["healthy_bands"].items()
+        if isinstance(host_probe.get(k), (int, float)) and host_probe[k] > lim
+    ]
+    host_probe["verdict"] = "degraded:" + ",".join(bad) if bad else "ok"
+    print(f"# host_probe: {json.dumps(host_probe)}", file=sys.stderr)
+    if bad and os.environ.get("SPARK_GRAFT_REQUIRE_HEALTHY") == "1":
+        print(json.dumps({"metric": "host_probe_refused", **host_probe}))
+        spark.stop()
+        sys.exit(3)
 
     timings: dict[str, float] = {}
     jobs: dict[str, int] = {}
@@ -307,11 +378,44 @@ def main() -> None:
         # so downstream comparisons can reject cross-regime deltas.
         result.setdefault("suite_wall_ratio_basis", "live")
 
+    # Round-12 bar (VERDICT r11 item 2): evaluated on LIVE same-process
+    # DuckDB anchors, gated by the host probe. Round 11 proved the fixed
+    # 2026-08-13 hist anchors measure machine-days, not the engine (hist
+    # wall 2.36x -> 2.73x while the same-run live ratio IMPROVED 5.59x ->
+    # 4.58x); the live anchors share the window's degradation with Spark,
+    # so their ratio is the machine-invariant reading. Bar: on a
+    # probe-healthy window, suite live MARGINAL ratio <= 2.8 AND >= 6 of
+    # the 11 headliners <= 2.0x live marginal. On a degraded window the
+    # bar is recorded as not-evaluable rather than failed — an absolute
+    # number from a bad machine-day grades the host.
+    bar: dict = {
+        "basis": "live_same_process_anchors",
+        "probe_verdict": host_probe["verdict"],
+    }
+    if live_anchor:
+        n_le2 = sum(
+            1
+            for name, d in live_anchor.items()
+            if marginal[name] / d <= 2.0
+        )
+        bar["suite_marginal_ratio_live"] = result["suite_marginal_ratio_live"]
+        bar["suite_ok"] = result["suite_marginal_ratio_live"] <= 2.8
+        bar["queries_le_2x_live_marginal"] = n_le2
+        bar["queries_ok"] = n_le2 >= 6
+        if host_probe["verdict"] == "ok":
+            bar["pass"] = bool(bar["suite_ok"] and bar["queries_ok"])
+        else:
+            bar["pass"] = None
+            bar["note"] = "host probe degraded: bar not evaluable this window"
+    result["host_probe_verdict"] = host_probe["verdict"]
+    result["bar_r12"] = bar
+
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
         json.dump(
             {
                 **result,
+                "host_probe": host_probe,
                 "queries_marginal": marginal,
                 "probe_job_bracket_ms": [JOB_MS_LO, JOB_MS_HI],
                 "queries_detail": detail,
