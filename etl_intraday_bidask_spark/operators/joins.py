@@ -6,9 +6,13 @@ Strategy notes for the 100 TB design point:
   skew-split enabled in the session defaults;
 - the non-equi band join broadcasts the tiny band table → BNLJ where the
   streamed side never shuffles;
-- the as-of join is expressed as union + ordered window (one shuffle,
-  partitioned by user) instead of a range join — shuffle-friendly and
-  linear in events per user, which is how it survives a 100 TB replay.
+- the as-of join is expressed as a SINGLE conditional-projection scan
+  (event_type IN-filter pushed to Parquet, CASE side columns) feeding
+  one ordered window partitioned by user — one fact read and one
+  shuffle instead of a range join, linear in events per user, which is
+  how it survives a 100 TB replay (round-11 re-plan; the tolerance
+  variant keeps a two-branch union because its view side pre-dedups
+  with arg_max before the merge).
 """
 
 from __future__ import annotations
@@ -324,9 +328,11 @@ def join_asof_bidask(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="As-of join with a staleness tolerance: the latest view "
     "at-or-before each purchase, but only if it is at most 5 minutes "
     "old — the quote-matching rule real tick pipelines use (a quote "
-    "from hours ago must not price a trade). Same union + ordered-"
-    "window shape as join_asof_bidask (one user_id shuffle, linear "
-    "per-user scan, no range-join blowup); the tolerance is a null-out "
+    "from hours ago must not price a trade). Union + ordered-window "
+    "shape (one user_id shuffle, linear per-user scan, no range-join "
+    "blowup) — kept two-branch, unlike join_asof_bidask's round-11 "
+    "single-scan re-plan, because the view side pre-dedups with an "
+    "arg_max aggregate before the merge; the tolerance is a null-out "
     "mask on the carried view timestamp, not a second join. Views are "
     "pre-deduped to the max-event_id row per (user_id, ts) on BOTH "
     "sides — DuckDB's ASOF has no defined tie-break for duplicate "
