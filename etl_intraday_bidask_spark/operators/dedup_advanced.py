@@ -126,10 +126,24 @@ def _tid_col(token_col: str = "token"):
     "vocab join).",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Round-12 re-plan (SCALE.md §34, the pair-grain multiplication
+    # class, found via dedup_minhash_est_error's 1g-heap OOM): this
+    # corpus's band signatures collide heavily (6.16M candidate pairs
+    # from 5000 docs at sf0.1, max bucket 2510), and the old
+    # exact-verify joined cands back to token postings per TOKEN
+    # (pair x ~23 rows ~ 145M intermediates). Re-planned to score at
+    # PAIR grain: minhash once into a doc-grain signature array
+    # (localCheckpoint — the materialized sketch), derive band
+    # signatures by explode+slice of that array, and verify candidates
+    # with array_intersect against doc-grain token arrays joined
+    # shuffle-hash (build side docs-grain, the 6.2M-row pair stream
+    # never sorts). Candidate-pair cardinality passes through the plan
+    # exactly once.
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok_arr")
     )
+    tok = toks.select("doc_id", F.explode("tok_arr").alias("token"))
     params = spark.createDataFrame(MINHASH_PARAMS, "i int, a long, b long")
     mh = (
         tok.withColumn("tid", _tid_col())
@@ -141,20 +155,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    bands = (
-        mh.withColumn("band", (F.col("i") / ROWS_PER_BAND).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("i", "mhv"))
-                    ),
-                    lambda s: s.getField("mhv").cast("string"),
+    sig = mh.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "mhv"))),
+            lambda s: s.getField("mhv"),
+        ).alias("sig_arr")
+    )
+    sig = sig.localCheckpoint(eager=False)
+    n_bands = N_HASHES // ROWS_PER_BAND
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(b) for b in range(n_bands)])).alias("band"),
+        "sig_arr",
+    ).select(
+        "doc_id",
+        "band",
+        F.array_join(
+            F.transform(
+                F.slice(
+                    "sig_arr", F.col("band") * ROWS_PER_BAND + 1, ROWS_PER_BAND
                 ),
-                "-",
-            ).alias("sig")
-        )
+                lambda v: v.cast("string"),
+            ),
+            "-",
+        ).alias("sig"),
     )
     x = bands.alias("x")
     y = bands.alias("y")
@@ -170,39 +194,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # |distinct tokens| is doc-local — narrow size() on the doc row:
-    # one docs-grain exchange fewer and no second aggregation pass
-    # over the exploded postings.
-    sz = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split("text", " ")))
-        .cast("long")
-        .alias("n"),
-    )
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
-    common = (
-        cands.join(ta, F.col("doc_lo") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_hi") == F.col("tb.doc_id"))
-            & (F.col("ta.token") == F.col("tb.token")),
+    pair = (
+        cands.join(
+            toks.select(
+                F.col("doc_id").alias("doc_lo"),
+                F.col("tok_arr").alias("tok_lo"),
+            ).hint("shuffle_hash"),
+            "doc_lo",
         )
-        .groupBy("doc_lo", "doc_hi")
-        .agg(F.count(F.lit(1)).alias("common"))
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_hi"),
+                F.col("tok_arr").alias("tok_hi"),
+            ).hint("shuffle_hash"),
+            "doc_hi",
+        )
     )
-    sa = sz.alias("sa")
-    sb = sz.alias("sb")
-    jac = F.col("common").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("common")
+    common = F.size(F.array_intersect("tok_lo", "tok_hi"))
+    jac = common.cast("double") / (
+        F.size("tok_lo") + F.size("tok_hi") - common
     )
-    # sz is corpus-grain (one row per doc): no broadcast hint — stats
-    # auto-broadcast at fixture SF; at 100 TB the exact-verify size
-    # lookup must stay a distributed equi-join on doc_id.
     return (
-        common.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
-        .where(jac >= MINHASH_JACCARD)
+        pair.where(jac >= MINHASH_JACCARD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))
         .orderBy("doc_lo", "doc_hi")
     )

@@ -723,36 +723,38 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    ta = tok.alias("ta")
-    tb = tok.alias("tb")
-    inter = (
-        cand.join(ta, F.col("doc_lo") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("doc_hi") == F.col("tb.doc_id"))
-            & (F.col("ta.token") == F.col("tb.token"))
-            & (F.col("ta.lang") == F.col("tb.lang")),
+    # Round-12 re-plan (SCALE.md §34, the pair-grain multiplication
+    # class): 2.86M candidate pairs survive the prefix filter at sf0.1,
+    # and the old exact-verify re-expanded them to (pair x ~23 token)
+    # grain (~66M intermediate rows). Verification now scores at PAIR
+    # grain: candidates join doc-grain token ARRAYS (shuffle-hash —
+    # build side docs-grain, the pair stream never sorts) and the
+    # intersection is a JVM array op. Candidates already require equal
+    # lang, so full-array intersect equals the old per-(token, lang)
+    # match count.
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("tok_arr")
+    )
+    pair = (
+        cand.join(
+            toks.select(
+                F.col("doc_id").alias("doc_lo"),
+                F.col("tok_arr").alias("tok_lo"),
+            ).hint("shuffle_hash"),
+            "doc_lo",
         )
-        .groupBy("doc_lo", "doc_hi")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .join(
+            toks.select(
+                F.col("doc_id").alias("doc_hi"),
+                F.col("tok_arr").alias("tok_hi"),
+            ).hint("shuffle_hash"),
+            "doc_hi",
+        )
     )
-    # |distinct tokens| is doc-local — narrow size() on the doc row:
-    # one docs-grain exchange fewer and no second aggregation pass
-    # over the exploded postings.
-    sz = docs.select(
-        "doc_id",
-        F.size(F.array_distinct(F.split("text", " ")))
-        .cast("long")
-        .alias("n"),
-    )
-    sa = sz.alias("sa")
-    sb = sz.alias("sb")
-    jac = F.col("c") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("c"))
-    # Corpus-grain sz: no broadcast hint (see dedup_near_jaccard).
+    c = F.size(F.array_intersect("tok_lo", "tok_hi"))
+    jac = c * 1.0 / (F.size("tok_lo") + F.size("tok_hi") - c)
     return (
-        inter.join(sa, F.col("doc_lo") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_hi") == F.col("sb.doc_id"))
-        .where(jac >= JACCARD_THRESHOLD)
+        pair.where(jac >= JACCARD_THRESHOLD)
         .select("doc_lo", "doc_hi", jac.alias("jaccard"))  # unrounded rational: half-boundary trap
         .orderBy("doc_lo", "doc_hi")
     )
