@@ -521,3 +521,32 @@ def test_grouping_id_expand_has_no_arithmetic(spark):
     plan = plan_of(spark, "agg_bitmap_rollup_multigrain")
     assert "Expand" not in plan, "multigrain rollup should be Generate-based"
     assert "Generate" in plan
+
+
+def test_lsh_verify_scores_at_pair_grain(spark):
+    """Round-12 (SCALE.md §34, the pair-grain multiplication class):
+    LSH candidate counts are quadratic in bucket size (6.16M pairs from
+    5000 docs at sf0.1), so the exact-verify must score candidates at
+    PAIR grain — doc-grain token/signature ARRAYS joined shuffle-hash,
+    array_intersect / zip_with per pair — never by re-expanding the
+    pair table to (pair x token) or (pair x coordinate) grain through a
+    postings join (the round-11 1g-heap OOM). Pin: each re-planned op's
+    physical plan carries the array scoring and a ShuffledHashJoin, and
+    no exchange repartitions on a (pair-key, token) combination."""
+    import re
+
+    for name, needles in (
+        ("dedup_minhash_est_error", ("array_intersect", "zip_with")),
+        ("dedup_minhash_lsh", ("array_intersect",)),
+        ("dedup_prefix_filter_jaccard", ("array_intersect",)),
+    ):
+        plan = plan_of(spark, name)
+        for needle in needles:
+            assert needle in plan, f"{name}: {needle} scoring missing"
+        assert "ShuffledHashJoin" in plan, (
+            f"{name}: pair-verify join is not shuffle-hash"
+        )
+        for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+            assert not (
+                ("doc_lo" in keys or "doc_hi" in keys) and "token" in keys
+            ), f"{name}: pair x token exchange returned: {keys}"
