@@ -91,12 +91,10 @@ def main() -> None:
         # ONLY the not-yet-activated waves: an activated wave's ops are
         # already in load_all_operators(), and re-adding them as
         # staged:<name> double-sweeps 50 ops per activated wave
-        # (round-9 review — waves D and E had accreted here).
-        from etl_intraday_bidask_spark.operators.staged_r12 import (
-            STAGED_R12,
-        )
-
-        for wave in (STAGED_R12,):
+        # (round-9 review — waves D and E had accreted here). Round 12
+        # activated wave H, the FINAL wave — the backlog is empty, so
+        # --staged currently adds nothing.
+        for wave in ():
             for name, spec in wave.items():
                 if name in specs:
                     raise SystemExit(
