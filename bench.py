@@ -102,26 +102,50 @@ def run_host_probe(sf_dir: str) -> dict:
     from tools import host_probe as hp
 
     probe: dict = {"py_loop_ms": round(hp.py_loop_ms(), 1)}
+    old = hp.SF_DIR
     try:
-        old = hp.SF_DIR
         hp.SF_DIR = sf_dir
         probe["duck_scan_ms"] = round(hp.duck_scan_ms(), 1)
-        hp.SF_DIR = old
     except Exception as ex:
         probe["duck_scan_ms"] = None
         probe["duck_error"] = type(ex).__name__
+    finally:
+        # ADVICE r12: restore unconditionally — a raising duck_scan_ms
+        # must not leave the module-level SF_DIR pointed at the bench dir
+        # for the rest of the process.
+        hp.SF_DIR = old
     probe["healthy_bands"] = {
         "py_loop_ms": hp.HEALTHY["py_loop_ms"],
         "duck_scan_ms": hp.HEALTHY["duck_scan_ms"],
         "warmed_floor_ms": WARMED_FLOOR_HEALTHY_MS,
     }
+    probe["workable_bands"] = {
+        "warmed_floor_ms": WARMED_FLOOR_WORKABLE_MS,
+    }
     return probe
 
 
-# Warmed-session dispatch-floor healthy band: rounds 9-10 measured
-# 64-75 ms on healthy windows; round 11's degraded host-days read
-# 99-154 ms (BASELINE.md round-11 addendum, sixteen-run study).
-WARMED_FLOOR_HEALTHY_MS = 80.0
+# Warmed-session dispatch-floor bands, recalibrated round 13 (VERDICT
+# r12 item 1 — the round-9/10 band of 80 ms was missed by 1.5 ms on the
+# best round-12 machine-day, so the probe-gated bar recorded pass: null
+# for an entire session and could not drive work).
+#
+# HEALTHY <= 95 ms: rounds 9-10 measured 64-75 ms; round-12 run7
+# (floor 92.5 ms) produced the best hist-marginal reading of rounds
+# 9-12 (1.37x) with a live marginal (2.95x) consistent with round-11's
+# healthy-window 2.91x — evidence that <=95 ms windows read the engine,
+# not the machine-day.
+#
+# WORKABLE <= 160 ms: a JVM-dispatch-degraded-but-workable window.
+# JVM-path degradation inflates ONLY Spark's side of the live ratio
+# (the in-process DuckDB anchors don't run on the JVM), so a bar PASS
+# on such a window is conservative-valid and is recorded as pass: true;
+# a FAIL is indistinguishable from the window and stays pass: null.
+# Floors past 160 ms (round-12's deepest window read 173 ms and suite
+# 6.41 s) grade the host — bar not evaluable. Recalibration provenance:
+# BASELINE.md round-13 addendum.
+WARMED_FLOOR_HEALTHY_MS = 95.0
+WARMED_FLOOR_WORKABLE_MS = 160.0
 
 
 def main() -> None:
@@ -213,9 +237,23 @@ def main() -> None:
         for k, lim in host_probe["healthy_bands"].items()
         if isinstance(host_probe.get(k), (int, float)) and host_probe[k] > lim
     ]
-    host_probe["verdict"] = "degraded:" + ",".join(bad) if bad else "ok"
+    # Three-way verdict (round-13 recalibration): a window whose ONLY
+    # excursion is a warmed floor in (HEALTHY, WORKABLE] is
+    # "jvm_degraded" — JVM-dispatch-path-only degradation, which
+    # penalizes Spark's side of the live ratio exclusively, so the bar
+    # below stays one-sidedly evaluable on it. Anything worse (python or
+    # DuckDB probe over band, or floor past WORKABLE) is hard-degraded.
+    floor_ms = host_probe["warmed_floor_ms"]
+    if bad == ["warmed_floor_ms"] and floor_ms <= WARMED_FLOOR_WORKABLE_MS:
+        host_probe["verdict"] = "jvm_degraded:warmed_floor_ms"
+    elif bad:
+        host_probe["verdict"] = "degraded:" + ",".join(bad)
+    else:
+        host_probe["verdict"] = "ok"
     print(f"# host_probe: {json.dumps(host_probe)}", file=sys.stderr)
-    if bad and os.environ.get("SPARK_GRAFT_REQUIRE_HEALTHY") == "1":
+    if host_probe["verdict"].startswith("degraded") and os.environ.get(
+        "SPARK_GRAFT_REQUIRE_HEALTHY"
+    ) == "1":
         print(json.dumps({"metric": "host_probe_refused", **host_probe}))
         spark.stop()
         sys.exit(3)
@@ -378,16 +416,20 @@ def main() -> None:
         # so downstream comparisons can reject cross-regime deltas.
         result.setdefault("suite_wall_ratio_basis", "live")
 
-    # Round-12 bar (VERDICT r11 item 2): evaluated on LIVE same-process
-    # DuckDB anchors, gated by the host probe. Round 11 proved the fixed
-    # 2026-08-13 hist anchors measure machine-days, not the engine (hist
-    # wall 2.36x -> 2.73x while the same-run live ratio IMPROVED 5.59x ->
-    # 4.58x); the live anchors share the window's degradation with Spark,
-    # so their ratio is the machine-invariant reading. Bar: on a
-    # probe-healthy window, suite live MARGINAL ratio <= 2.8 AND >= 6 of
-    # the 11 headliners <= 2.0x live marginal. On a degraded window the
-    # bar is recorded as not-evaluable rather than failed — an absolute
-    # number from a bad machine-day grades the host.
+    # Round-13 bar (VERDICT r12 item 1): evaluated on LIVE same-process
+    # DuckDB anchors, gated by the recalibrated host probe. Round 11
+    # proved the fixed 2026-08-13 hist anchors measure machine-days, not
+    # the engine; the live anchors share the window's degradation with
+    # Spark, so their ratio is the machine-invariant reading. Thresholds
+    # unchanged from bar_r12: suite live MARGINAL ratio <= 2.8 AND >= 6
+    # of the 11 headliners <= 2.0x live marginal. Evaluability is the
+    # recalibrated three-way rule:
+    #   ok           -> pass in {true, false}
+    #   jvm_degraded -> the window inflates ONLY Spark's side of the
+    #                   live ratio, so a PASS is conservative-valid and
+    #                   recorded true; a FAIL is indistinguishable from
+    #                   the window and recorded null
+    #   degraded     -> pass: null (absolute numbers grade the host)
     bar: dict = {
         "basis": "live_same_process_anchors",
         "probe_verdict": host_probe["verdict"],
@@ -402,13 +444,31 @@ def main() -> None:
         bar["suite_ok"] = result["suite_marginal_ratio_live"] <= 2.8
         bar["queries_le_2x_live_marginal"] = n_le2
         bar["queries_ok"] = n_le2 >= 6
+        met = bool(bar["suite_ok"] and bar["queries_ok"])
         if host_probe["verdict"] == "ok":
-            bar["pass"] = bool(bar["suite_ok"] and bar["queries_ok"])
+            bar["pass"] = met
+        elif host_probe["verdict"].startswith("jvm_degraded") and met:
+            bar["pass"] = True
+            bar["note"] = (
+                "passed despite a JVM-dispatch-degraded window (which "
+                "inflates only Spark's side of the live ratio) — "
+                "conservative-valid"
+            )
         else:
             bar["pass"] = None
-            bar["note"] = "host probe degraded: bar not evaluable this window"
+            bar["note"] = (
+                "host probe degraded: bar not evaluable this window"
+                if host_probe["verdict"].startswith("degraded")
+                else "jvm-degraded window and bar not met: fail is "
+                "indistinguishable from the window"
+            )
+    else:
+        # ADVICE r12: the no-live-anchor case must still carry an
+        # explicit not-evaluable marker, not a missing key.
+        bar["pass"] = None
+        bar["note"] = "live anchors unavailable: bar not evaluable"
     result["host_probe_verdict"] = host_probe["verdict"]
-    result["bar_r12"] = bar
+    result["bar_r13"] = bar
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:

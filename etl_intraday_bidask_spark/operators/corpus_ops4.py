@@ -377,7 +377,12 @@ def dedup_minhash_est_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_j = common.cast("double") / (
         F.size("tok_lo") + F.size("tok_hi") - common
     )
-    scored = pair.select(
+    # ADVICE r12: the oracle's scored CTE INNER-joins the exact-Jaccard
+    # side, which drops any candidate pair with zero common tokens — a
+    # pair only LSH tid (md5-prefix) collisions could produce. Mirror
+    # that inner-join semantics exactly rather than relying on the
+    # fixture never containing such a collision.
+    scored = pair.where(common >= 1).select(
         n_match.cast("long").alias("n_match"),
         F.floor(F.abs(est_j - exact_j) * 1000000 + 0.5)
         .cast("long")

@@ -546,7 +546,86 @@ def test_lsh_verify_scores_at_pair_grain(spark):
         assert "ShuffledHashJoin" in plan, (
             f"{name}: pair-verify join is not shuffle-hash"
         )
-        for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        # ADVICE r12: capture to the END of the line, not the first ')',
+        # so a nested function call inside the partitioning expression
+        # (e.g. knownfloatingpointnormalized(...)) can't hide a trailing
+        # token column from the guard.
+        parts = re.findall(r"hashpartitioning\((.*)\)", plan)
+        for keys in parts:
             assert not (
                 ("doc_lo" in keys or "doc_hi" in keys) and "token" in keys
             ), f"{name}: pair x token exchange returned: {keys}"
+        # Positive pin: the pair-verify exchanges on the doc keys alone
+        # must exist — if the regex ever goes blind, this fails loudly
+        # instead of silently passing.
+        assert any(
+            ("doc_lo" in keys or "doc_hi" in keys) for keys in parts
+        ), f"{name}: no doc-key hashpartitioning found ({len(parts)} exchanges)"
+
+
+def test_copurchase_pair_family_bounded(spark):
+    """Round-13 (SCALE.md §35): the hourly co-purchase pair family is
+    bucket-quadratic BY DECLARED SEMANTICS (the edge list is the
+    operator's subject), so the scale guard is (a) plan shape — the
+    pair self-join must stay equi-keyed on the hour bucket, never
+    degrade to a cartesian/nested-loop whose cost would be corpus-
+    quadratic instead of bucket-quadratic — and (b) the fixture
+    envelope the family's measured cost class depends on: per-hour
+    max bucket 3 users / 34 total pairs at sf0.001 (round-13 audit),
+    pinned at 5x so a regenerated fixture that moves the family's
+    cost class fails loudly instead of silently."""
+    import pyspark.sql.functions as F
+
+    from etl_intraday_bidask_spark.tables import load
+
+    for name in (
+        "graph_triangle_count",
+        "graph_clustering_coefficient",
+        "graph_triangle_participation",
+    ):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, f"{name}: cartesian pairs"
+        # 1-row scalar basis builds legitimately appear as
+        # BroadcastNestedLoopJoin Cross BuildRight; any OTHER nested-loop
+        # join means a data-grain join lost its equi key.
+        for line in plan.splitlines():
+            # Tree-section lines only ("... BroadcastNestedLoopJoin Cross
+            # BuildRight (91)"); the detail section repeats the bare node
+            # name as "(91) BroadcastNestedLoopJoin" without the build
+            # qualifier.
+            if (
+                "BroadcastNestedLoopJoin" in line
+                and not line.strip().startswith("(")
+            ):
+                assert "Cross Build" in line, (
+                    f"{name}: non-scalar nested-loop join: {line.strip()}"
+                )
+        # The pair self-join must keep the hour equi key, with the
+        # user_id ordering as a RESIDUAL condition on a hash join — if
+        # the h key were ever lost, the u<v condition alone cannot make
+        # a hash join and this line disappears.
+        assert any(
+            "Join condition:" in line and "user_id" in line and "<" in line
+            for line in plan.splitlines()
+        ), f"{name}: keyed pair join with u<v residual not found"
+
+    buckets = (
+        load(spark, SF_SMALL, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .groupBy("h")
+        .count()
+    )
+    row = buckets.agg(
+        F.max("count").alias("max_bucket"),
+        F.sum(F.expr("count * (count - 1) / 2")).alias("pairs"),
+    ).collect()[0]
+    assert row["max_bucket"] <= 15, (
+        f"sf0.001 max hourly co-purchase bucket {row['max_bucket']} "
+        "outside the SCALE §35 envelope (measured 3, pinned 5x)"
+    )
+    assert row["pairs"] <= 170, (
+        f"sf0.001 co-purchase pair count {row['pairs']} outside the "
+        "SCALE §35 envelope (measured 34, pinned 5x)"
+    )
