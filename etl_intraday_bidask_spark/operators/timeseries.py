@@ -64,8 +64,22 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window() — watermark eviction needs the window struct — and the
     # twin test pins the two forms value-equal, so the streaming
     # semantics stay the contract.
+    # Round-13 (floor decomposition, VERDICT r12 item 2): the global
+    # ORDER BY was a range sort whose bounds-sampling JOB re-executes
+    # the whole scan+aggregate subtree (jobs 2 -> 1 without it). The
+    # bar output is CALENDAR-BOUNDED — hours x event_types (3,600 rows
+    # at every sf; the row count does not grow with data volume) — so a
+    # single-partition final sort is the scale-correct physical plan,
+    # not a fixture-scale trick: repartition(1) is a wide exchange of a
+    # bounded aggregate (it does NOT collapse the upstream stage the
+    # way §31's coalesce(1) did), and sortWithinPartitions on one
+    # partition is a total order. Measured at sf0.1 (interleaved
+    # medians): 208 -> 165 ms / 227 -> 161 ms on two windows. The
+    # data-dependent-output ops (session, asof, topk) keep their range
+    # sorts — bounded output is the admission test.
     ev = view(spark, sf_dir, "events")
-    return spark.sql(f"""
+    return (
+        spark.sql(f"""
         SELECT unix_micros(date_trunc('HOUR', ts)) AS bucket_us,
                event_type,
                COUNT(1) AS n,
@@ -75,8 +89,10 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / 100.0D / COUNT(1) AS avg_value
         FROM {ev}
         GROUP BY date_trunc('HOUR', ts), event_type
-        ORDER BY bucket_us, event_type
     """)
+        .repartition(1)
+        .sortWithinPartitions("bucket_us", "event_type")
+    )
 
 
 @register(

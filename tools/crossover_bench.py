@@ -94,6 +94,17 @@ def main() -> None:
     from etl_intraday_bidask_spark.registry import load_all_operators
     from etl_intraday_bidask_spark.session import build_spark
     from etl_intraday_bidask_spark.tables import TABLE_NAMES
+    from tools import host_probe as hp
+
+    # Round-13 (VERDICT r12 item 5): embed the pre-flight host probe in
+    # the artifact so every crossover reading self-labels its window the
+    # way bench.py runs do.
+    probe = {"py_loop_ms": round(hp.py_loop_ms(), 1)}
+    try:
+        probe["duck_scan_ms"] = round(hp.duck_scan_ms(), 1)
+    except Exception as ex:
+        probe["duck_scan_ms"] = None
+        probe["duck_error"] = type(ex).__name__
 
     big = tempfile.mkdtemp(prefix="sf1_crossover_")
     generate(big)
@@ -117,6 +128,32 @@ def main() -> None:
             reg[n].spark_fn(spark, big).toPandas()
             con.sql(reg[n].oracle_sql).fetchall()
 
+    # Warmed dispatch floor for the probe (same leg as bench.py).
+    floor_samples = []
+    for _ in range(15):
+        t0 = time.perf_counter()
+        spark.range(1).count()
+        floor_samples.append(time.perf_counter() - t0)
+    probe["warmed_floor_ms"] = round(
+        statistics.median(floor_samples) * 1000, 1
+    )
+    bad = [
+        k
+        for k, lim in (
+            ("py_loop_ms", hp.HEALTHY["py_loop_ms"]),
+            ("duck_scan_ms", hp.HEALTHY["duck_scan_ms"]),
+            ("warmed_floor_ms", 95.0),
+        )
+        if isinstance(probe.get(k), (int, float)) and probe[k] > lim
+    ]
+    if bad == ["warmed_floor_ms"] and probe["warmed_floor_ms"] <= 160.0:
+        probe["verdict"] = "jvm_degraded:warmed_floor_ms"
+    elif bad:
+        probe["verdict"] = "degraded:" + ",".join(bad)
+    else:
+        probe["verdict"] = "ok"
+    print(f"# host_probe: {json.dumps(probe)}", file=sys.stderr, flush=True)
+
     out = {}
     for n in HEADLINE:
         st, dt = [], []
@@ -139,9 +176,11 @@ def main() -> None:
         json.dumps(
             {
                 "metric": "crossover_10x",
+                "n_rep": N_REP,
                 "suite_spark_ms": round(sw, 1),
                 "suite_duckdb_ms": round(dw, 1),
                 "ratio": round(sw / dw, 2),
+                "host_probe": probe,
                 "queries": out,
             }
         )
