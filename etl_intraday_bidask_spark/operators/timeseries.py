@@ -24,6 +24,7 @@ from etl_intraday_bidask_spark.functions.parity import (
     exact_sum,
     scaled_long,
 )
+from etl_intraday_bidask_spark.plans.ordering import ordered_small
 from etl_intraday_bidask_spark.registry import register
 from etl_intraday_bidask_spark.tables import load, view
 
@@ -68,17 +69,17 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ORDER BY was a range sort whose bounds-sampling JOB re-executes
     # the whole scan+aggregate subtree (jobs 2 -> 1 without it). The
     # bar output is CALENDAR-BOUNDED — hours x event_types (3,600 rows
-    # at every sf; the row count does not grow with data volume) — so a
-    # single-partition final sort is the scale-correct physical plan,
-    # not a fixture-scale trick: repartition(1) is a wide exchange of a
-    # bounded aggregate (it does NOT collapse the upstream stage the
-    # way §31's coalesce(1) did), and sortWithinPartitions on one
-    # partition is a total order. Measured at sf0.1 (interleaved
-    # medians): 208 -> 165 ms / 227 -> 161 ms on two windows. The
-    # data-dependent-output ops (session, asof, topk) keep their range
-    # sorts — bounded output is the admission test.
+    # at every sf; the row count grows with the time SPAN, not data
+    # volume) — which is exactly ordered_small's scale contract: the
+    # coalesce(1) collapses only the final agg stage, whose input is
+    # map-side partials capped at groups x map_tasks. Measured at
+    # sf0.1 (interleaved medians): ORDER BY 208 -> repartition(1) 165
+    # -> ordered_small 270-vs-331 on the head-to-head (the coalesce
+    # form saves the extra exchange), jobs 2 -> 1. The data-dependent-
+    # output ops (session, asof, topk) keep their range sorts —
+    # bounded output is the admission test.
     ev = view(spark, sf_dir, "events")
-    return (
+    return ordered_small(
         spark.sql(f"""
         SELECT unix_micros(date_trunc('HOUR', ts)) AS bucket_us,
                event_type,
@@ -89,9 +90,9 @@ def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
                    / 100.0D / COUNT(1) AS avg_value
         FROM {ev}
         GROUP BY date_trunc('HOUR', ts), event_type
-    """)
-        .repartition(1)
-        .sortWithinPartitions("bucket_us", "event_type")
+    """),
+        "bucket_us",
+        "event_type",
     )
 
 
