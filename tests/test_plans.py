@@ -391,6 +391,14 @@ ORDERED_SMALL_CALLERS = {
     "agg_rollup": (64, "rollup of 5 priorities x 2 statuses + subtotals"),
     "json_get": (8, "5 event types"),
     "join_broadcast_dims": (25, "nations domain"),
+    # r13 commit 2c4e555 made stream_tumbling_1h an ordered_small
+    # caller (final sort over hourly tumbling buckets). Bound argued
+    # here per the pin's contract: the fixture events table spans 30
+    # days => 720 hourly buckets x 5 event types = 3,600 rows, and the
+    # output is CALENDAR-capped, not data-scaling — 100x more events in
+    # the same 30-day window still yields <= 3,600 groups; a longer
+    # calendar grows it linearly in wall-clock time, not in data volume.
+    "stream_tumbling_1h": (3720, "720 fixture hours x 5 event types, calendar-capped"),
 }
 
 
@@ -428,6 +436,9 @@ def test_ordered_small_callers_pinned(spark):
         os.path.join("operators", "aggregates.py"),
         os.path.join("operators", "scalar_funcs.py"),
         os.path.join("operators", "joins.py"),
+        # r13: stream_tumbling_1h's calendar-capped final sort
+        # (bound argued in ORDERED_SMALL_CALLERS above).
+        os.path.join("operators", "timeseries.py"),
     }
     assert calling_files == expected_files, (
         "ordered_small call sites moved — re-argue each new caller's "
@@ -467,7 +478,22 @@ def test_decontaminate_distinct_is_doc_local(spark):
     # distinct over grams must be keyed (lang, gram).
     import re
 
-    for keys in re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+    # ADVICE r12 / VERDICT r13 item 2: capture to line end (same fix as
+    # test_lsh_verify_scores_at_pair_grain) — the old [^)]* capture
+    # stopped at the first ')' so a nested function call BEFORE the gram
+    # column (e.g. knownfloatingpointnormalized(doc_id)) would truncate
+    # the keys and blind the guard.
+    pair_grain = re.compile(r"hashpartitioning\((.*)\)")
+
+    # Synthetic guard: a nested-call partitioning expression must not
+    # hide a trailing gram column from the capture.
+    synthetic = "hashpartitioning(somefn(doc_id#1), gram#2, 32)"
+    assert any(
+        "doc_id" in k and "gram" in k
+        for k in pair_grain.findall(synthetic)
+    ), "pair-grain capture regex went blind on nested calls"
+
+    for keys in pair_grain.findall(plan):
         assert not ("doc_id" in keys and "gram" in keys), (
             f"pair-grain distinct exchange returned: {keys}"
         )
