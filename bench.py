@@ -18,6 +18,10 @@ import statistics
 import sys
 import time
 
+# Repo root on sys.path regardless of how we're invoked (script, -m,
+# or imported from tools/*): the floor bands import from tools.host_probe.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 HEADLINE = [
     "agg_pricing_summary",
     "join_broadcast_dims",
@@ -143,9 +147,14 @@ def run_host_probe(sf_dir: str) -> dict:
 # a FAIL is indistinguishable from the window and stays pass: null.
 # Floors past 160 ms (round-12's deepest window read 173 ms and suite
 # 6.41 s) grade the host — bar not evaluable. Recalibration provenance:
-# BASELINE.md round-13 addendum.
-WARMED_FLOOR_HEALTHY_MS = 95.0
-WARMED_FLOOR_WORKABLE_MS = 160.0
+# BASELINE.md round-13 addendum. The values live in tools/host_probe.py
+# next to HEALTHY (ADVICE r13: crossover_bench.py shares them; literals
+# in two files could desynchronize the probes' verdicts on the next
+# recalibration).
+from tools.host_probe import (  # noqa: E402
+    WARMED_FLOOR_HEALTHY_MS,
+    WARMED_FLOOR_WORKABLE_MS,
+)
 
 
 def main() -> None:
@@ -244,7 +253,12 @@ def main() -> None:
     # below stays one-sidedly evaluable on it. Anything worse (python or
     # DuckDB probe over band, or floor past WORKABLE) is hard-degraded.
     floor_ms = host_probe["warmed_floor_ms"]
-    if bad == ["warmed_floor_ms"] and floor_ms <= WARMED_FLOOR_WORKABLE_MS:
+    # ADVICE r13: a raised-and-swallowed duck_scan_ms leaves None, which
+    # the over-band check skips — without this branch the verdict could
+    # read "ok"/"jvm_degraded" on a window with no DuckDB evidence.
+    if host_probe.get("duck_scan_ms") is None:
+        host_probe["verdict"] = "degraded:duck_error"
+    elif bad == ["warmed_floor_ms"] and floor_ms <= WARMED_FLOOR_WORKABLE_MS:
         host_probe["verdict"] = "jvm_degraded:warmed_floor_ms"
     elif bad:
         host_probe["verdict"] = "degraded:" + ",".join(bad)

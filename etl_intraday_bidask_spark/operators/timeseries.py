@@ -172,7 +172,22 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-text body (round-8 dispatch-floor work, see
     # agg_pricing_summary): same native session_window aggregation, one
     # parse round trip. The streaming twin keeps the DataFrame form.
+    # Body shared with tools/session_tuning.py via session_30m_unsorted
+    # (ADVICE r13: the barrier A/B previously restated this SQL by hand
+    # and could silently drift from the op it claims to tune).
+    return session_30m_unsorted(spark, sf_dir, ordered=True)
+
+
+def session_30m_unsorted(
+    spark: SparkSession, sf_dir: str, *, ordered: bool = False
+) -> DataFrame:
+    """The stream_session_30m aggregation, optionally without its final
+    presentation ORDER BY — the single source of the session SQL, so
+    tuning harnesses that need the sort-free body (to A/B
+    checkpoint-then-sort against the duplicate-execution range sort)
+    measure exactly the registered operator's plan."""
     ev = view(spark, sf_dir, "events")
+    tail = "ORDER BY user_id, session_start_us" if ordered else ""
     return spark.sql(f"""
         SELECT user_id, unix_micros(w.start) AS session_start_us,
                n_events, sum_value
@@ -184,7 +199,7 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {ev}
             GROUP BY user_id, session_window(ts, '30 minutes')
         )
-        ORDER BY user_id, session_start_us
+        {tail}
     """)
 
 

@@ -142,11 +142,21 @@ def main() -> None:
         for k, lim in (
             ("py_loop_ms", hp.HEALTHY["py_loop_ms"]),
             ("duck_scan_ms", hp.HEALTHY["duck_scan_ms"]),
-            ("warmed_floor_ms", 95.0),
+            # Shared with bench.py via host_probe (ADVICE r13): a
+            # recalibration lands in ONE place for both probes.
+            ("warmed_floor_ms", hp.WARMED_FLOOR_HEALTHY_MS),
         )
         if isinstance(probe.get(k), (int, float)) and probe[k] > lim
     ]
-    if bad == ["warmed_floor_ms"] and probe["warmed_floor_ms"] <= 160.0:
+    # ADVICE r13: a failed DuckDB probe leg must degrade the verdict —
+    # excluding the None from the over-band check alone would let the
+    # verdict read "ok" with no DuckDB evidence for the window.
+    if probe.get("duck_scan_ms") is None:
+        probe["verdict"] = "degraded:duck_error"
+    elif (
+        bad == ["warmed_floor_ms"]
+        and probe["warmed_floor_ms"] <= hp.WARMED_FLOOR_WORKABLE_MS
+    ):
         probe["verdict"] = "jvm_degraded:warmed_floor_ms"
     elif bad:
         probe["verdict"] = "degraded:" + ",".join(bad)

@@ -42,6 +42,15 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 HEALTHY = {"py_loop_ms": 1500.0, "duck_scan_ms": 250.0, "spark_floor_ms": 120.0}
 
+# Warmed-session dispatch-floor bands (single source of truth — ADVICE
+# r13: bench.py and tools/crossover_bench.py previously each carried
+# these as literals, so a recalibration could silently desynchronize
+# the two probes' verdicts). Recalibration provenance: BASELINE.md
+# round-13 addendum (healthy <=95 from rounds 9-12 receipts; workable
+# <=160 = the JVM-dispatch-degraded-but-one-sidedly-evaluable tier).
+WARMED_FLOOR_HEALTHY_MS = 95.0
+WARMED_FLOOR_WORKABLE_MS = 160.0
+
 
 def py_loop_ms() -> float:
     t0 = time.perf_counter()

@@ -36,9 +36,11 @@ unchanged since the last sweep tree is not stale no matter how old its
 driver grade is); per-key entries credit individual builder re-drives.
 
 Usage:  python tools/regrade_audit.py
-Output: one JSON line {checked, stale:[{key,...}], covered_by_regrade,
-        covered_by_sweep (count), errors, head}. Exit 1 if any key is
-        stale.
+Output: one JSON line {checked, stale:[{key,...}], uncovered_new,
+        covered_by_regrade, covered_by_sweep (count), errors, head}.
+        Exit 1 if any key is stale OR is a never-driver-graded key with
+        no sweep/REGRADES coverage of its HEAD source (uncovered_new —
+        ADVICE r13: new operators get no free pass).
 """
 
 from __future__ import annotations
@@ -150,6 +152,7 @@ def main() -> None:
     ]
 
     stale, covered, errors, never_graded = [], [], [], []
+    uncovered_new: list[dict] = []
     covered_by_sweep = 0
     for key, spec in sorted(registry.items()):
         fn = spec.spark_fn
@@ -157,7 +160,40 @@ def main() -> None:
         func_name = fn.__name__
         n = latest.get(key)
         if n is None:
-            never_graded.append(key)
+            # ADVICE r13: a never-graded key must NOT pass the audit
+            # silently — it still needs sweep or REGRADES coverage of
+            # its CURRENT source, else it lands in uncovered_new and the
+            # exit code goes nonzero (the mechanical rule has no
+            # new-operator loophole).
+            try:
+                with open(os.path.join(REPO, relpath)) as f:
+                    head_src = f.read()
+            except OSError:
+                head_src = None
+            h_now = func_hash(head_src, func_name) if head_src else None
+            entry = {"key": key, "file": relpath, "func": func_name}
+            if h_now is None:
+                errors.append(
+                    {"key": key, "err": f"cannot hash {func_name} at HEAD"}
+                )
+                continue
+            swept = any(
+                (sw := file_at(c, relpath)) and func_hash(sw, func_name) == h_now
+                for c in sweeps
+            )
+            rg = regrades.get(key)
+            rg_ok = False
+            if rg and rg.get("commit"):
+                rg_src = file_at(rg["commit"], relpath)
+                rg_ok = bool(rg_src) and func_hash(rg_src, func_name) == h_now
+            if swept:
+                covered_by_sweep += 1
+                never_graded.append(key)
+            elif rg_ok:
+                covered.append({**entry, "regrade": rg, "never_graded": True})
+                never_graded.append(key)
+            else:
+                uncovered_new.append(entry)
             continue
         if n not in bounds:
             errors.append({"key": key, "err": f"no boundary commit for r{n}"})
@@ -218,6 +254,7 @@ def main() -> None:
     out = {
         "checked": len(registry),
         "never_graded": never_graded,
+        "uncovered_new": uncovered_new,
         "stale": stale,
         "covered_by_regrade": covered,
         "covered_by_sweep": covered_by_sweep,
@@ -225,7 +262,7 @@ def main() -> None:
         "head": head,
     }
     print(json.dumps(out))
-    sys.exit(1 if stale else 0)
+    sys.exit(1 if (stale or uncovered_new) else 0)
 
 
 if __name__ == "__main__":

@@ -76,25 +76,17 @@ def main() -> None:
         return time.perf_counter() - t0
 
     def body(sf_dir: str):
-        # The op's session aggregation WITHOUT its final ORDER BY (same
-        # SQL as timeseries.py stream_session_30m, sort applied by the
-        # variant) — so the barrier variant measures checkpoint-then-
-        # sort INSTEAD of the duplicate-execution sort, not on top of it.
-        from etl_intraday_bidask_spark.tables import view
+        # The op's session aggregation WITHOUT its final ORDER BY (sort
+        # applied by the variant) — so the barrier variant measures
+        # checkpoint-then-sort INSTEAD of the duplicate-execution sort,
+        # not on top of it. ADVICE r13: sourced from the operator module
+        # itself (shared body), not a hand-restated copy that could
+        # silently A/B a different plan than the op it claims to tune.
+        from etl_intraday_bidask_spark.operators.timeseries import (
+            session_30m_unsorted,
+        )
 
-        ev = view(spark, sf_dir, "events")
-        return spark.sql(f"""
-            SELECT user_id, unix_micros(w.start) AS session_start_us,
-                   n_events, sum_value
-            FROM (
-                SELECT user_id, session_window(ts, '30 minutes') AS w,
-                       COUNT(1) AS n_events,
-                       CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
-                           / 100.0D AS sum_value
-                FROM {ev}
-                GROUP BY user_id, session_window(ts, '30 minutes')
-            )
-        """)
+        return session_30m_unsorted(spark, sf_dir)
 
     def run_barrier(conf: dict) -> float:
         for k, v in conf.items():
