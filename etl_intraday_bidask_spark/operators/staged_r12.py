@@ -2848,6 +2848,36 @@ def graph_triangle_participation(
     )
 
 
+def copurchase_star_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional star-contracted edge list of the hourly co-purchase
+    graph (SCALE.md §35 path 1): per hour bucket, member -> bucket-min
+    user instead of the C(n,2) clique — O(n) edges per bucket, same
+    connected components. Module-level so tests/test_plans.py can pin
+    the construction's physical shape without restating it."""
+    buckets = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+    )
+    # One hub row per hour: bounded by the CALENDAR (720 at any fixture
+    # sf; ~87k for a decade of hours), never by data volume —
+    # broadcastable at every scale, so the star build re-reads the
+    # bucket table with a broadcast probe, no second wide exchange.
+    hubs = buckets.groupBy("h").agg(F.min("user_id").alias("hub"))
+    star = (
+        buckets.join(F.broadcast(hubs), "h")
+        .where(F.col("user_id") != F.col("hub"))
+        .select(F.col("hub").alias("u"), F.col("user_id").alias("v"))
+        .distinct()
+    )
+    return star.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionByName(
+        star.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
 @staged12(
     "graph_component_size_histogram",
     oracle_sql="""
@@ -2880,45 +2910,26 @@ def graph_triangle_participation(
         ORDER BY component_size
     """,
     description="Connected-component SIZE HISTOGRAM of the hourly "
-    "co-purchase graph: min-label propagation to an exact fixpoint "
-    "(the dedup_connected_components loop — one equi-join + groupBy "
-    "per round, localCheckpoint lineage truncation, convergence "
-    "checked by a changed-label count; large-star/small-star at "
-    "100 TB), then components reduce to their sizes and sizes to "
-    "the histogram — the fragmentation fingerprint (one giant "
-    "component vs many islands) that a dedup or community pipeline "
-    "reads before trusting cluster-level statistics. Oracle: the "
-    "same fixpoint via a recursive transitive-closure CTE — two "
-    "formulations, one hash.",
+    "co-purchase graph: STAR CONTRACTION at the source (SCALE.md §35 "
+    "escalation path 1, implemented round 14) — connectivity does not "
+    "need the clique, so each hour bucket contributes one star "
+    "(member -> bucket-min user) instead of C(n,2) pairs: O(n) edges "
+    "per bucket instead of O(n²) with provably identical components "
+    "(every member reaches every other through the hub; the union "
+    "over hours generates the same co-bucket closure). Edge volume "
+    "drops from the family's sf² law to sf. Then min-label "
+    "propagation to an exact fixpoint (the dedup_connected_components "
+    "loop — one equi-join + groupBy per round, localCheckpoint "
+    "lineage truncation, convergence checked by a changed-label "
+    "count; large-star/small-star at 100 TB), components reduce to "
+    "sizes and sizes to the histogram. Oracle: UNCHANGED — the naive "
+    "pair-clique transitive-closure CTE — so the hash match "
+    "machine-proves the contraction lossless.",
 )
 def graph_component_size_histogram(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    buckets = (
-        load(spark, sf_dir, "events")
-        .where(F.col("event_type") == "purchase")
-        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
-        .distinct()
-    )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.h") == F.col("b.h"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .select(
-            F.col("a.user_id").alias("u"), F.col("b.user_id").alias("v")
-        )
-        .distinct()
-    )
-    edges = (
-        pairs.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-        .localCheckpoint()
-    )
+    edges = copurchase_star_edges(spark, sf_dir).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("x"))
         .distinct()

@@ -655,3 +655,59 @@ def test_copurchase_pair_family_bounded(spark):
         f"sf0.001 co-purchase pair count {row['pairs']} outside the "
         "SCALE §35 envelope (measured 34, pinned 5x)"
     )
+
+
+def test_component_histogram_edges_star_contracted(spark):
+    """Round-14 (SCALE.md §35 escalation path 1, implemented): the
+    connectivity consumer's edge list must stay STAR-CONTRACTED —
+    per-hour member->hub edges (sf-linear), never the C(n,2) pair
+    clique (sf-quadratic). Pins: (a) the hub join is a broadcast hash
+    join (hubs are calendar-bounded), (b) no u<v pair-join residual
+    anywhere in the plan — the clique construction's signature — and
+    (c) the edge COUNT obeys the star law 2*sum(n-1) over buckets of
+    size >= 2, not the clique law 2*sum(C(n,2))."""
+    import io
+    import contextlib
+
+    import pyspark.sql.functions as F
+
+    from etl_intraday_bidask_spark.operators.staged_r12 import (
+        copurchase_star_edges,
+    )
+    from etl_intraday_bidask_spark.tables import load
+
+    edges = copurchase_star_edges(spark, SF_SMALL)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        edges.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan, "hub join lost its broadcast"
+    assert not any(
+        "Join condition:" in line and "user_id" in line and "<" in line
+        for line in plan.splitlines()
+    ), "pair-clique self-join (u<v residual) returned to the plan"
+
+    # Independent driver-side oracle over the tiny sf0.001 bucket table
+    # (a few hundred rows): per hour, hub = min member; distinct
+    # (hub, member) pairs across hours (the construction dedups the
+    # same star edge recurring in multiple hours), bidirectional.
+    rows = (
+        load(spark, SF_SMALL, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(F.date_trunc("hour", "ts").alias("h"), "user_id")
+        .distinct()
+        .collect()
+    )
+    by_hour: dict = {}
+    for r in rows:
+        by_hour.setdefault(r["h"], set()).add(r["user_id"])
+    star_pairs = set()
+    for members in by_hour.values():
+        if len(members) >= 2:
+            hub = min(members)
+            star_pairs.update((hub, u) for u in members if u != hub)
+    assert edges.count() == 2 * len(star_pairs), (
+        "edge volume off the star law 2*|distinct hub-member pairs| — "
+        "the construction is enumerating something other than one "
+        "star per bucket"
+    )
