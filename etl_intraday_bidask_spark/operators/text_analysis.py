@@ -265,6 +265,32 @@ def text_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _corpus_doc_count(spark: SparkSession, sf_dir: str) -> int:
+    """Corpus document count, folded driver-side.
+
+    doc_id is the documents table's key by data model (every dedup/
+    survivorship operator in the engine treats it as document
+    identity), so COUNT(DISTINCT doc_id) == the table's row count —
+    which parquet footers carry as METADATA. The fast path reads
+    num_rows from the footer (zero data scanned, zero Spark jobs); at
+    100 TB this replaces a full doc_id-column scan + distinct exchange
+    whose only output is one scalar. Non-local filesystems fall back
+    to a Spark-side count (one cheap job, still no distinct exchange).
+    Round-14 (VERDICT r13 item 2): this was a whole broadcast-build
+    job + full scan inside text_tfidf_topk's dispatch chain.
+    """
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(
+            f"{sf_dir}/documents.parquet"
+        ).metadata.num_rows
+    except (OSError, ImportError):
+        return load(spark, sf_dir, "documents").count()
+
+
+
+
 @register(
     "text_tfidf_topk",
     oracle_sql="""
@@ -323,9 +349,18 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 100 TB removes the largest shuffle in the query (distinct
     # (doc, token) pairs ~= corpus token volume).
     # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): identical plan — map-side array_distinct df
-    # branch, pruned+broadcast tf branch, broadcast n_docs scalar — in
-    # one parse round trip instead of ~120 py4j Column calls.
+    # agg_pricing_summary): map-side array_distinct df branch,
+    # pruned+broadcast tf branch, in one parse round trip instead of
+    # ~120 py4j Column calls. Round-14 (VERDICT r13 item 2): the
+    # corpus-size scalar is folded driver-side (_corpus_doc_count —
+    # parquet footer num_rows, doc_id being the table key) instead of
+    # a COUNT(DISTINCT doc_id) subquery: that branch was a full
+    # documents scan + distinct exchange + broadcast-build JOB whose
+    # only output was one literal. The tf10 broadcast build stays
+    # Spark-side — its input is data (the ranked docs' text), not a
+    # bounded domain, so folding it would move real compute to the
+    # driver.
+    n_docs = _corpus_doc_count(spark, sf_dir)
     docs_v = view(spark, sf_dir, "documents")
     return spark.sql(f"""
         WITH dfreq AS (
@@ -338,7 +373,6 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             GROUP BY token
         ),
-        nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM {docs_v}),
         tf10 AS (
             SELECT doc_id, token, COUNT(1) AS tf
             FROM (
@@ -349,11 +383,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY doc_id, token
         ),
         scored AS (
-            SELECT /*+ BROADCAST(tf10), BROADCAST(nd) */
+            SELECT /*+ BROADCAST(tf10) */
                    doc_id, token,
-                   CAST(ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df)
+                   CAST(ROUND(tf * LN({n_docs}.0D / df)
                               * 10000) AS BIGINT) AS s
-            FROM tf10 JOIN dfreq USING (token) CROSS JOIN nd
+            FROM tf10 JOIN dfreq USING (token)
         )
         SELECT doc_id, token, s / 10000.0D AS tfidf,
                ROW_NUMBER() OVER (
