@@ -73,6 +73,26 @@ def _asia_nation_names(spark: SparkSession, sf_dir: str) -> dict:
 
 
 
+def _dim_fold_literals(names: dict) -> tuple[str, str]:
+    """Render the folded nation dim as SQL literals, guarded.
+
+    Round-15 (VERDICT r14 what's-wrong #2): an empty key set must
+    render a FALSE membership predicate, not the parse-error `IN ()`
+    (a data-dependent crash on a region with no nations), and name
+    literals are quote-escaped — TPC-H names carry no quotes, but the
+    fold must not be a latent breakage on ones that do. Keys are
+    int()-coerced so only integers ever reach the SQL text.
+    """
+    if not names:
+        return "FALSE", "WHEN 0 THEN NULL"
+    keys = ", ".join(str(int(k)) for k in sorted(names))
+    case = " ".join(
+        "WHEN {} THEN '{}'".format(int(k), v.replace("'", "''"))
+        for k, v in sorted(names.items())
+    )
+    return f"c_nationkey IN ({keys})", case
+
+
 @register(
     "join_broadcast_dims",
     oracle_sql="""
@@ -114,8 +134,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # SQL-text body (round-8 dispatch-floor work): one py4j round trip.
     # ≤ 25 nation groups: ordered_small tail, no range sort.
     names = _asia_nation_names(spark, sf_dir)
-    keys = ", ".join(str(k) for k in sorted(names))
-    case = " ".join(f"WHEN {k} THEN '{v}'" for k, v in sorted(names.items()))
+    member, case = _dim_fold_literals(names)
     orders = view(spark, sf_dir, "orders")
     customer = view(spark, sf_dir, "customer")
     return spark.sql(f"""
@@ -123,7 +142,7 @@ def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT c_custkey,
                    CASE c_nationkey {case} END AS n_name
             FROM {customer}
-            WHERE c_nationkey IN ({keys})
+            WHERE {member}
         )
         SELECT /*+ BROADCAST(dim) */ n_name,
                COUNT(1) AS n_orders,
