@@ -169,12 +169,21 @@ def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is ≥ 30 min (Spark sessions are half-open [start, last+gap)).",
 )
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): same native session_window aggregation, one
-    # parse round trip. The streaming twin keeps the DataFrame form.
-    # Body shared with tools/session_tuning.py via session_30m_unsorted
-    # (ADVICE r13: the barrier A/B previously restated this SQL by hand
-    # and could silently drift from the op it claims to tune).
+    # Round-15 re-plan (VERDICT r14 item 5; guide §2.4): range-
+    # partition the events by user_id BEFORE the session aggregation.
+    # RangePartitioning(user_id) satisfies the session merge's
+    # ClusteredDistribution AND (prefix rule) the final ORDER BY
+    # (user_id, session_start_us)'s OrderedDistribution, so the plan
+    # carries ONE exchange instead of two and the range-boundary
+    # sampling job re-executes only the scan, not the whole
+    # MergingSessions reduce side. The shuffled rows are also
+    # NARROWER: the raw (user_id, ts, value) triple crosses the wire
+    # instead of the per-event partial-aggregate rows with their
+    # [start,end) session-window struct (guide §2.3). DataFrame form
+    # deliberately — SQL view resolution attaches attribute
+    # qualifiers that break RangePartitioning.satisfies' structural
+    # SortOrder equality, so the SQL-text body keeps the second
+    # exchange (measured, round 15). Declared ORDER BY unchanged.
     return session_30m_unsorted(spark, sf_dir, ordered=True)
 
 
@@ -182,25 +191,34 @@ def session_30m_unsorted(
     spark: SparkSession, sf_dir: str, *, ordered: bool = False
 ) -> DataFrame:
     """The stream_session_30m aggregation, optionally without its final
-    presentation ORDER BY — the single source of the session SQL, so
-    tuning harnesses that need the sort-free body (to A/B
-    checkpoint-then-sort against the duplicate-execution range sort)
-    measure exactly the registered operator's plan."""
-    ev = view(spark, sf_dir, "events")
-    tail = "ORDER BY user_id, session_start_us" if ordered else ""
-    return spark.sql(f"""
-        SELECT user_id, unix_micros(w.start) AS session_start_us,
-               n_events, sum_value
-        FROM (
-            SELECT user_id, session_window(ts, '30 minutes') AS w,
-                   COUNT(1) AS n_events,
-                   CAST(SUM(FLOOR(value * 100.0D + 0.5D)) AS DOUBLE)
-                       / 100.0D AS sum_value
-            FROM {ev}
-            GROUP BY user_id, session_window(ts, '30 minutes')
+    presentation ORDER BY — the single source of the session body, so
+    tuning harnesses that need the sort-free form measure exactly the
+    registered operator's plan. Round-15: DataFrame form with the
+    range repartition established before the aggregation (see
+    stream_session_30m's plan note); the unordered variant keeps the
+    identical aggregation subtree so A/B bodies stay comparable."""
+    ev = load(spark, sf_dir, "events")
+    sess = (
+        ev.select("user_id", "ts", "value")
+        .repartitionByRange("user_id")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5))).cast(
+                    "double"
+                )
+                / 100.0
+            ).alias("sum_value"),
         )
-        {tail}
-    """)
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            "n_events",
+            "sum_value",
+        )
+    )
+    return sess.orderBy("user_id", "session_start_us") if ordered else sess
 
 
 @register(

@@ -41,23 +41,43 @@ from etl_intraday_bidask_spark.tables import load, view
     "tie-broken on o_orderkey for determinism).",
 )
 def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL-text body (round-8 dispatch-floor work, see
-    # agg_pricing_summary): identical rank-filter window plan, one
-    # parse round trip.
-    orders = view(spark, sf_dir, "orders")
-    return spark.sql(f"""
-        SELECT c_custkey, o_orderkey, o_totalprice, rn
-        FROM (
-            SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY o_custkey
-                       ORDER BY o_totalprice DESC, o_orderkey
-                   ) AS rn
-            FROM {orders}
+    # Round-15 re-plan (VERDICT r14 item 4 — the most expensive
+    # untouched addressable headliner; guide §2.4 "remove shuffles
+    # outright"): establish the partitioning the final ORDER BY needs
+    # BEFORE the window, instead of paying a second exchange after it.
+    # repartitionByRange(o_custkey) satisfies BOTH the window's
+    # ClusteredDistribution(o_custkey) and — because RangePartitioning
+    # on a prefix key satisfies OrderedDistribution — the global
+    # sort's requirement, so the plan carries ONE exchange (range)
+    # instead of two (hash + range), and the range-boundary sampling
+    # job re-executes only the projected scan, not the whole
+    # window+filter reduce side. At 100 TB the shuffle moves the same
+    # bytes (orders crosses the wire once either way); what is deleted
+    # is the second exchange of the top-3 result and the duplicate
+    # window execution inside the sampling job. Expressed in
+    # DataFrame form deliberately: SQL view resolution attaches
+    # qualifiers to the ORDER BY attributes that break
+    # RangePartitioning.satisfies' structural SortOrder equality, so
+    # the SQL-text body cannot elide the exchange (measured, round
+    # 15). The trailing orderBy is the DECLARED sort, unchanged —
+    # same rows, same total order, one fewer exchange.
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", "o_totalprice")
+        .repartitionByRange("o_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
         )
-        WHERE rn <= 3
-        ORDER BY c_custkey, rn
-    """)
+        .orderBy("c_custkey", "rn")
+    )
 
 
 @register(

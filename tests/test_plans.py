@@ -74,6 +74,48 @@ def test_dim_joins_are_broadcast(spark):
     assert pushed, "ASIA nation-key IN filter not pushed to customer scan"
 
 
+def _single_range_exchange_pin(plan: str, range_key: str):
+    """Round-15 re-plan pin body (VERDICT r14 items 4-5): the op must
+    carry exactly ONE exchange — the early REPARTITION_BY_COL range
+    partitioning on `range_key` — with the final global sort riding
+    the prefix-satisfied OrderedDistribution instead of its own
+    ENSURE_REQUIREMENTS range exchange + reduce-side-re-executing
+    sampling job. Node-id counting per the round-10 ADVICE (formatted
+    explain lists each node twice)."""
+    import re
+
+    ex_ids = set(re.findall(r"\((\d+)\) Exchange", plan))
+    assert len(ex_ids) == 1, (
+        f"expected exactly one exchange, got node ids {sorted(ex_ids)}"
+    )
+    assert "ENSURE_REQUIREMENTS" not in plan, (
+        "the final sort re-grew its own exchange — the range-early "
+        "re-plan no longer satisfies its OrderedDistribution"
+    )
+    arg_lines = [
+        line
+        for line in plan.splitlines()
+        if "rangepartitioning(" in line and range_key in line
+    ]
+    assert arg_lines, f"the one exchange must range-partition on {range_key}"
+
+
+def test_win_topk_single_range_exchange(spark):
+    plan = plan_of(spark, "win_topk_per_group")
+    _single_range_exchange_pin(plan, "o_custkey")
+    # The declared final total order must still be a GLOBAL sort node
+    # (same declared output order; only its exchange is gone).
+    assert ") Sort" in plan and "c_custkey" in plan
+
+
+def test_session_30m_single_range_exchange(spark):
+    plan = plan_of(spark, "stream_session_30m")
+    _single_range_exchange_pin(plan, "user_id")
+    assert "MergingSessions" in plan, (
+        "session aggregation must stay the native merging-sessions plan"
+    )
+
+
 def test_global_topk_uses_take_ordered(spark):
     plan = plan_of(spark, "limit_global_topk")
     assert "TakeOrderedAndProject" in plan, (
