@@ -462,6 +462,19 @@ def main() -> None:
         "sf": sf,
         "floor_sec_per_query": floor,
         "marginal_suite_wall": suite_marginal,
+        # Round-15 additive keys (VERDICT r14 item 2): the scaling probe
+        # read "cores ignored" every round because nothing in this line
+        # said what parallelism the session actually HAD — at sf0.1 the
+        # fixtures are single 1-11 MB files under 4 MB splits and
+        # shuffle=4, so usable parallelism is ~3-8 tasks regardless of
+        # $SPARK_GRAFT_CPUS (which IS honored: session.py builds
+        # local[$SPARK_GRAFT_CPUS]). These keys let the probe
+        # distinguish "env ignored" from "SF too small to show a core
+        # ratio". Additive only — nothing removed or renamed.
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        "effective_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": shuffle,
+        "split_bytes": int(split),
     }
     # Ratio key regimes (VERDICT r7 item 4): the _hist ratios come FIRST
     # and `suite_wall_ratio` aliases the hist reading — rounds 1-6
