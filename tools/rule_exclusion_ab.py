@@ -106,7 +106,10 @@ def main() -> None:
     rule_exec.resetMetrics()
     suite_once()
     dump = rule_exec.dumpTimeSpent()
-    candidate_short = {r.rsplit(".", 1)[-1] for r in EXCLUDED_RULES.split(",")}
+    # ADVICE r14: match on FULL class names (Spark ships same-named
+    # rules in different packages, e.g. two SchemaPruning variants) —
+    # short names could mis-attribute a candidate in the receipt.
+    candidates = set(EXCLUDED_RULES.split(","))
     profile = {}
     total_ns = 0
     for line in dump.splitlines():
@@ -119,13 +122,34 @@ def main() -> None:
             continue
         name, _eff_ns, tot, eff_runs, runs = m.groups()
         total_ns += int(tot)
-        short = name.rsplit(".", 1)[-1]
-        if short in candidate_short:
-            profile[short] = {
+        if name in candidates:
+            profile[name.rsplit(".", 1)[-1]] = {
                 "total_ms": round(int(tot) / 1e6, 1),
                 "runs": int(runs),
                 "effective_runs": int(eff_runs),
             }
+    # ADVICE r14: the zero-effective gate must not pass VACUOUSLY — if
+    # the dump format drifted or a candidate never appears in the
+    # metering map, `all()` over a partial profile would print a clean
+    # receipt with 0 ms candidates. Require every candidate parsed.
+    if len(profile) != len(candidates):
+        missing = sorted(
+            c.rsplit(".", 1)[-1]
+            for c in candidates
+            if c.rsplit(".", 1)[-1] not in profile
+        )
+        print(
+            f"# ABORT: rule-time profile incomplete — candidates absent "
+            f"from dumpTimeSpent: {missing}",
+            file=sys.stderr,
+        )
+        print(
+            json.dumps(
+                {"verdict": "abort:profile_incomplete", "missing": missing}
+            )
+        )
+        spark.stop()
+        sys.exit(2)
     candidate_ms = sum(p["total_ms"] for p in profile.values())
     noneffective = all(p["effective_runs"] == 0 for p in profile.values())
     print(
@@ -169,6 +193,35 @@ def main() -> None:
         spark.stop()
         sys.exit(2)
 
+    # ---- step 2b: exclusion-took-effect check (ADVICE r14) ----
+    # spark.sql.optimizer.excludedRules silently IGNORES any rule Spark
+    # classes as non-excludable (warning only), so the ON leg could
+    # quietly measure a partial exclusion. Prove the conf took effect:
+    # with the exclusion ON, candidate rules must record ZERO runs.
+    spark.conf.set("spark.sql.optimizer.excludedRules", EXCLUDED_RULES)
+    rule_exec.resetMetrics()
+    suite_once()
+    on_dump = rule_exec.dumpTimeSpent()
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
+    leaked = []
+    for line in on_dump.splitlines():
+        m = re.match(
+            r"(\S+)\s+(\d+)\s*/\s*(\d+)\s+(\d+)\s*/\s*(\d+)\s*$", line.strip()
+        )
+        if m and m.group(1) in candidates and int(m.group(5)) > 0:
+            leaked.append(f"{m.group(1).rsplit('.', 1)[-1]}:{m.group(5)}")
+    if leaked:
+        print(
+            f"# ABORT: exclusion ignored for {leaked} — the ON leg "
+            "would measure a partial exclusion",
+            file=sys.stderr,
+        )
+        print(json.dumps({"verdict": "abort:exclusion_ignored", "leaked": leaked}))
+        spark.stop()
+        sys.exit(2)
+    print("# exclusion-took-effect check: candidate runs 0 in ON mode",
+          file=sys.stderr)
+
     # ---- step 3: interleaved timed suites ----
     t_off: dict[str, list[float]] = {}
     t_on: dict[str, list[float]] = {}
@@ -210,7 +263,9 @@ def main() -> None:
         100 * (suite_on - suite_off) / suite_off, 2
     )
     result["rule_profile"] = profile
-    result["plan_identity"] = "11/11"
+    # ADVICE r14: derive from HEADLINE — the gate above aborted on any
+    # diff, so by this point identity is total by construction.
+    result["plan_identity"] = f"{len(HEADLINE)}/{len(HEADLINE)}"
     print(
         f"# suite: off {suite_off:.0f} ms, on {suite_on:.0f} ms "
         f"({result['suite_delta_pct']:+.2f}%)",
