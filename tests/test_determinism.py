@@ -10,6 +10,11 @@ import pytest
 from etl_intraday_bidask_spark.registry import load_all_operators
 from tests.conftest import SF_SMALL
 
+# Battery tier (VERDICT r14 item 6): the per-op partition-invariance
+# audit (~3.5 min) is builder cadence; the certification companion is
+# tools/invariance_sweep.py over the full registry each round.
+pytestmark = pytest.mark.battery
+
 REGISTRY = load_all_operators()
 
 # The operators where partitioning could plausibly leak into results:

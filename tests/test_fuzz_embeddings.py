@@ -32,6 +32,10 @@ from etl_intraday_bidask_spark.tables import TABLE_NAMES
 from tests.conftest import SF_SMALL
 from tests.test_parity import normalize
 
+# Battery tier (VERDICT r14 item 6): fuzzed embedding parity is
+# builder cadence, same discipline as tests/test_fuzz_parity.py.
+pytestmark = pytest.mark.battery
+
 REGISTRY = load_all_operators()
 DIM = 64
 

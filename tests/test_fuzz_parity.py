@@ -29,6 +29,11 @@ from etl_intraday_bidask_spark.tables import TABLE_NAMES
 from tests.conftest import SF_SMALL
 from tests.test_parity import normalize
 
+# Battery tier (VERDICT r14 item 6): hypothesis fuzzed-fixture parity
+# is builder cadence — deterministic (derandomize) but ~3 min of
+# generated-fixture Spark work per run.
+pytestmark = pytest.mark.battery
+
 REGISTRY = load_all_operators()
 
 EVENT_OPS = [

@@ -35,6 +35,10 @@ from tests.test_fuzz_parity import (
 )
 from tests.test_parity import normalize
 
+# Battery tier (VERDICT r14 item 6): the staged-wave fuzz suites are
+# the single heaviest block of the battery (~8 min); builder cadence.
+pytestmark = pytest.mark.battery
+
 EVENT_STAGED = [
     # wave-G additions (round 7)
     "events_stickiness_dau_wau",

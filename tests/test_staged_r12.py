@@ -11,6 +11,10 @@ from tests.conftest import SF_SMALL
 from tests.test_parity import normalize
 
 
+# Battery tier (VERDICT r14 item 6): this parametrized parity sweep
+# carries the battery's single slowest test (embed_pca_top2_deflation,
+# ~4 min); the module's shape pins stay in the default tier.
+@pytest.mark.battery
 @pytest.mark.parametrize("name", sorted(STAGED_R12))
 def test_staged_r12_parity(spark, duck_small, name):
     spec = STAGED_R12[name]
